@@ -1,0 +1,241 @@
+"""Vectorized Prometheus→Warp10 parse stage (reference operator P1/P2/P4).
+
+Reference behavior: ``src/lib/transcompiler.rs:38-109`` (see
+``beamium_ray.oracle.format_prometheus`` for the line-level spec). This
+module re-expresses it as a zero-copy Arrow batch kernel: one
+``map_batches(parse_batch, batch_format="pyarrow")`` call turns a column
+of raw Prometheus text lines into typed columns::
+
+    ts:int64(µs)  class:string  labels:string  value_str:string
+    value:float64 line:string(formatted Warp10 line)
+
+Dropped lines (comments, empties, ±Inf/NaN values, unparseable) are
+filtered out and counted (``beamium_skip``-style counters, reference
+``src/scraper.rs:35-46``).
+
+The scrape-time default timestamp ``now`` is passed explicitly per
+partition so output is reproducible (ref ``transcompiler.rs:16-21``,
+SURVEY.md §2.3 T4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from beamium_ray.functions.encoding import (
+    first_index_of,
+    label_machine,
+    last_index_of,
+    slice_rows,
+    string_bytes,
+    strings_from_bytes,
+    urlencode_array,
+)
+
+_DROP_VALUES = pa.array(["+Inf", "-Inf", "nan", "NaN"])
+_INT_RE = r"^[+-]?[0-9]+$"
+
+PARSED_SCHEMA = pa.schema(
+    [
+        ("ts", pa.int64()),
+        ("class", pa.string()),
+        ("labels", pa.string()),
+        ("value_str", pa.string()),
+        ("value", pa.float64()),
+        ("line", pa.string()),
+    ]
+)
+
+
+def format_warp10_batch(lines: pa.Array) -> pa.Array:
+    """Sensision passthrough: trim (ref ``transcompiler.rs:33-35``)."""
+    return pc.utf8_trim_whitespace(lines)
+
+
+def _compose_line(ts: pa.Array, klass: pa.Array, labels: pa.Array, value: pa.Array) -> pa.Array:
+    """Rebuild the formatted Warp10 line ``ts// class{labels} value``."""
+    ts_str = pc.cast(ts, pa.string())
+    return pc.binary_join_element_wise(
+        ts_str, "// ", klass, "{", labels, "} ", value, ""
+    )
+
+
+def parse_prometheus_batch(
+    lines: pa.Array | pa.ChunkedArray, now: int, counters: dict | None = None
+) -> pa.Table:
+    """Parse a batch of Prometheus text lines into typed columns.
+
+    Vectorized equivalent of per-line ``oracle.format_prometheus``; rows
+    the reference drops or errors on are filtered out (and tallied into
+    ``counters`` when given: keys ``comment_or_empty``, ``bad_class``,
+    ``no_value``, ``inf_nan``).
+    """
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    if lines.null_count:
+        lines = pc.fill_null(lines, "")
+    arr = pc.utf8_trim_whitespace(lines)
+
+    keep = pc.and_(
+        pc.invert(pc.equal(arr, "")), pc.invert(pc.starts_with(arr, "#"))
+    )
+    if counters is not None:
+        counters["comment_or_empty"] = counters.get("comment_or_empty", 0) + (
+            len(arr) - pc.sum(keep).as_py()
+        )
+    arr = arr.filter(keep)
+    if len(arr) == 0:
+        return PARSED_SCHEMA.empty_table()
+
+    data, offsets = string_bytes(arr)
+    lens = np.diff(offsets)
+    brace_first = first_index_of(data, offsets, 0x7B)  # '{'
+    has_brace = brace_first >= 0
+    rbrace_last = last_index_of(data, offsets, 0x7D)  # '}'
+    space_first = first_index_of(data, offsets, 0x20)  # ' '
+    # class boundary (ref transcompiler.rs:47-52)
+    idx = np.where(has_brace, rbrace_last, space_first)
+    ok = idx >= 0
+    if counters is not None:
+        counters["bad_class"] = counters.get("bad_class", 0) + int((~ok).sum())
+    if not ok.all():
+        m = pa.array(ok)
+        arr = arr.filter(m)
+        data, offsets = string_bytes(arr)
+        lens = np.diff(offsets)
+        brace_first = brace_first[ok]
+        has_brace = has_brace[ok]
+        idx = idx[ok]
+    if len(arr) == 0:
+        return PARSED_SCHEMA.empty_table()
+
+    # rest of line after the class part → whitespace tokens (value, [ts]).
+    # utf8_split_whitespace emits empty tokens around whitespace runs
+    # (Rust split_whitespace does not), so pick the first two NON-empty
+    # tokens per row.
+    rest_b, rest_off = slice_rows(data, offsets, idx + 1, lens)
+    rest_arr = strings_from_bytes(rest_b, rest_off)
+    toks = pc.utf8_split_whitespace(rest_arr)
+    tok_off = toks.offsets.to_numpy().astype(np.int64)
+    tok_vals = toks.values
+    nonempty = np.flatnonzero(
+        pc.greater(pc.utf8_length(tok_vals), 0).to_numpy(zero_copy_only=False)
+    )
+    n = len(arr)
+    first_tok = np.full(n, -1, dtype=np.int64)
+    second_tok = np.full(n, -1, dtype=np.int64)
+    if len(nonempty):
+        rid = np.searchsorted(tok_off, nonempty, side="right") - 1
+        first_tok[rid[::-1]] = nonempty[::-1]  # first occurrence wins
+        rest_mask = nonempty != first_tok[rid]
+        rrid, rpos = rid[rest_mask], nonempty[rest_mask]
+        second_tok[rrid[::-1]] = rpos[::-1]
+    tok_counts = (first_tok >= 0).astype(np.int64) + (second_tok >= 0).astype(
+        np.int64
+    )
+
+    has_value = tok_counts >= 1
+    if counters is not None:
+        counters["no_value"] = counters.get("no_value", 0) + int((~has_value).sum())
+
+    # value token (rows without one get a placeholder, filtered below)
+    v_idx = np.where(has_value, first_tok, 0)
+    value_str = tok_vals.take(pa.array(v_idx))
+    is_inf_nan = pc.is_in(value_str, value_set=_DROP_VALUES).to_numpy(
+        zero_copy_only=False
+    ) & has_value
+    if counters is not None:
+        counters["inf_nan"] = counters.get("inf_nan", 0) + int(is_inf_nan.sum())
+
+    final_keep = has_value & ~is_inf_nan
+    if not final_keep.all():
+        m = pa.array(final_keep)
+        arr = arr.filter(m)
+        data, offsets = string_bytes(arr)
+        lens = np.diff(offsets)
+        brace_first = brace_first[final_keep]
+        has_brace = has_brace[final_keep]
+        idx = idx[final_keep]
+        value_str = value_str.filter(m)
+        second_tok = second_tok[final_keep]
+    if len(arr) == 0:
+        return PARSED_SCHEMA.empty_table()
+
+    # timestamp: 2nd token, int → ms*1000, else `now` (ref :62-66)
+    has_ts = second_tok >= 0
+    ts = np.full(len(arr), now, dtype=np.int64)
+    if has_ts.any():
+        t_idx = second_tok[has_ts]
+        ts_tok = tok_vals.take(pa.array(t_idx))
+        valid = pc.match_substring_regex(ts_tok, _INT_RE).to_numpy(
+            zero_copy_only=False
+        )
+        # i64-parseable only: >19 digits always overflows → `now` fallback
+        tlen = pc.utf8_length(ts_tok).to_numpy(zero_copy_only=False)
+        fastpath = valid & (tlen <= 18)
+        parsed = np.full(int(has_ts.sum()), now, dtype=np.int64)
+        if fastpath.any():
+            ints = pc.cast(ts_tok.filter(pa.array(fastpath)), pa.int64()).to_numpy()
+            with np.errstate(over="ignore"):
+                parsed[fastpath] = ints * 1000
+        slow = valid & (tlen > 18)
+        if slow.any():  # rare: 19+ digit tokens, exact i64 overflow semantics
+            for j in np.flatnonzero(slow):
+                v = int(ts_tok[j].as_py())
+                if -(2**63) <= v < 2**63:
+                    w = (v * 1000) & (2**64 - 1)
+                    parsed[j] = w - 2**64 if w >= 2**63 else w
+        ts[has_ts] = parsed
+
+    # class: before first '{' (or the whole class part), trimmed + encoded
+    class_stop = np.where(has_brace, brace_first, idx + 1)
+    cls_b, cls_off = slice_rows(data, offsets, np.zeros(len(arr), np.int64), class_stop)
+    klass = urlencode_array(
+        pc.utf8_trim_whitespace(strings_from_bytes(cls_b, cls_off))
+    )
+
+    # labels: quote-aware machine over text after the first '{'
+    lab_start = np.where(has_brace, brace_first + 1, lens)  # empty when no brace
+    lab_b, lab_off = slice_rows(data, offsets, lab_start, idx + 1)
+    labels = label_machine(strings_from_bytes(lab_b, lab_off))
+
+    ts_arr = pa.array(ts, pa.int64())
+    value = pc.cast(
+        pc.if_else(
+            pc.match_substring_regex(
+                value_str, r"^[+-]?([0-9]*\.?[0-9]+([eE][+-]?[0-9]+)?|Inf|inf)$"
+            ),
+            value_str,
+            pa.scalar(None, pa.string()),
+        ),
+        pa.float64(),
+    )
+    line = _compose_line(ts_arr, klass, labels, value_str)
+    return pa.table(
+        {
+            "ts": ts_arr,
+            "class": klass,
+            "labels": labels,
+            "value_str": value_str,
+            "value": value,
+            "line": line,
+        }
+    )
+
+
+class ParsePrometheus:
+    """Actor-pool/stateless stage wrapper: batch dict/Table -> parsed Table.
+
+    Use as ``ds.map_batches(ParsePrometheus(now_us=...), batch_format="pyarrow")``
+    over a dataset with a ``line`` (or given) column of raw text lines.
+    """
+
+    def __init__(self, now_us: int, column: str = "line"):
+        self.now = int(now_us)
+        self.column = column
+        self.counters: dict = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return parse_prometheus_batch(batch[self.column], self.now, self.counters)
