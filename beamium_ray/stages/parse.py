@@ -63,20 +63,29 @@ def _compose_line(ts: pa.Array, klass: pa.Array, labels: pa.Array, value: pa.Arr
 
 
 def parse_prometheus_batch(
-    lines: pa.Array | pa.ChunkedArray, now: int, counters: dict | None = None
-) -> pa.Table:
+    lines: pa.Array | pa.ChunkedArray,
+    now: int,
+    counters: dict | None = None,
+    return_indices: bool = False,
+):
     """Parse a batch of Prometheus text lines into typed columns.
 
     Vectorized equivalent of per-line ``oracle.format_prometheus``; rows
     the reference drops or errors on are filtered out (and tallied into
     ``counters`` when given: keys ``comment_or_empty``, ``bad_class``,
-    ``no_value``, ``inf_nan``).
+    ``no_value``, ``inf_nan``). With ``return_indices`` also returns the
+    surviving rows' indices into the input (for payload passthrough).
     """
+
+    def _done(table, indices):
+        return (table, indices) if return_indices else table
+
     if isinstance(lines, pa.ChunkedArray):
         lines = lines.combine_chunks()
     if lines.null_count:
         lines = pc.fill_null(lines, "")
     arr = pc.utf8_trim_whitespace(lines)
+    orig = np.arange(len(arr), dtype=np.int64)
 
     keep = pc.and_(
         pc.invert(pc.equal(arr, "")), pc.invert(pc.starts_with(arr, "#"))
@@ -86,8 +95,9 @@ def parse_prometheus_batch(
             len(arr) - pc.sum(keep).as_py()
         )
     arr = arr.filter(keep)
+    orig = orig[keep.to_numpy(zero_copy_only=False)]
     if len(arr) == 0:
-        return PARSED_SCHEMA.empty_table()
+        return _done(PARSED_SCHEMA.empty_table(), orig)
 
     data, offsets = string_bytes(arr)
     lens = np.diff(offsets)
@@ -108,8 +118,9 @@ def parse_prometheus_batch(
         brace_first = brace_first[ok]
         has_brace = has_brace[ok]
         idx = idx[ok]
+        orig = orig[ok]
     if len(arr) == 0:
-        return PARSED_SCHEMA.empty_table()
+        return _done(PARSED_SCHEMA.empty_table(), orig)
 
     # rest of line after the class part → whitespace tokens (value, [ts]).
     # utf8_split_whitespace emits empty tokens around whitespace runs
@@ -160,8 +171,9 @@ def parse_prometheus_batch(
         idx = idx[final_keep]
         value_str = value_str.filter(m)
         second_tok = second_tok[final_keep]
+        orig = orig[final_keep]
     if len(arr) == 0:
-        return PARSED_SCHEMA.empty_table()
+        return _done(PARSED_SCHEMA.empty_table(), orig)
 
     # timestamp: 2nd token, int → ms*1000, else `now` (ref :62-66)
     has_ts = second_tok >= 0
@@ -213,7 +225,7 @@ def parse_prometheus_batch(
         pa.float64(),
     )
     line = _compose_line(ts_arr, klass, labels, value_str)
-    return pa.table(
+    out = pa.table(
         {
             "ts": ts_arr,
             "class": klass,
@@ -223,19 +235,48 @@ def parse_prometheus_batch(
             "line": line,
         }
     )
+    return _done(out, orig)
+
+
+def parse_table(
+    batch: pa.Table,
+    now: int,
+    line_col: str = "line",
+    passthrough: list[str] | None = None,
+    counters: dict | None = None,
+) -> pa.Table:
+    """Parse ``batch[line_col]``, carrying ``passthrough`` columns of the
+    surviving rows alongside (the token-payload invariant path)."""
+    parsed, idx = parse_prometheus_batch(
+        batch[line_col], now, counters, return_indices=True
+    )
+    if passthrough:
+        taken = batch.select(passthrough).take(pa.array(idx))
+        for name in passthrough:
+            parsed = parsed.append_column(name, taken[name])
+    return parsed
 
 
 class ParsePrometheus:
-    """Actor-pool/stateless stage wrapper: batch dict/Table -> parsed Table.
+    """Actor-pool/stateless stage wrapper: batch Table -> parsed Table.
 
     Use as ``ds.map_batches(ParsePrometheus(now_us=...), batch_format="pyarrow")``
     over a dataset with a ``line`` (or given) column of raw text lines.
+    ``passthrough`` columns survive with the kept rows (token payload).
     """
 
-    def __init__(self, now_us: int, column: str = "line"):
+    def __init__(
+        self,
+        now_us: int,
+        column: str = "line",
+        passthrough: list[str] | None = None,
+    ):
         self.now = int(now_us)
         self.column = column
+        self.passthrough = passthrough or []
         self.counters: dict = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return parse_prometheus_batch(batch[self.column], self.now, self.counters)
+        return parse_table(
+            batch, self.now, self.column, self.passthrough, self.counters
+        )

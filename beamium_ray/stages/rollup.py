@@ -1,0 +1,323 @@
+"""Windowed rollup: min/max/sum/count/last per retention tier + gap-fill.
+
+The engine's only wide operation (SURVEY.md §2.4, §7 M3). Design:
+
+1. **Partial (combiner)** — ``map_batches(partial_rollup_batch)``:
+   within each Arrow batch, aggregate to one row per
+   ``(series_key, window_start)`` using pyarrow's hash aggregation
+   (sorted by ``(ts, order)`` first so ``last`` is well-defined:
+   tie-break = greatest ``ts`` then greatest ``order``). Hot-key skew
+   is neutralized HERE: a series with 10^9 rows still emits ≤1 partial
+   row per (batch, window), so no salting is needed downstream.
+2. **Shuffle** — partials get ``bucket = hash64(series_key) % B``; a
+   single ``groupby("bucket")`` colocates every series' partials. B is
+   sized to ≥4× the max CPU count so both cluster sizes keep all cores
+   busy (SURVEY.md §4.2).
+3. **Merge + cascade** — per bucket, one vectorized pass merges
+   partials at the base tier, then re-aggregates coarser tiers FROM the
+   finer tier's merged rows (1m→1h→1d; partial→final reuse, no second
+   shuffle), then gap-fills per series (dense windows between each
+   series' min/max window; missing windows: ``n=0``, null aggregates).
+
+The ``tokens`` payload NEVER passes through the shuffle — the rollup
+input is the narrow datapoint projection (SURVEY.md §7 hard parts).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from beamium_ray.functions.hashing import bucket_of
+
+AGG_COLS = ["vmin", "vmax", "vsum", "n", "last", "last_ts"]
+
+
+def window_start(ts: np.ndarray, tier_us: int) -> np.ndarray:
+    """Floor ts to the tier boundary (numpy mod → floor for negatives too)."""
+    return ts - np.mod(ts, tier_us)
+
+
+def partial_rollup_batch(
+    batch: pa.Table,
+    tier_us: int,
+    key_col: str = "series_key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str | None = None,
+    num_buckets: int = 64,
+) -> pa.Table:
+    """Per-batch combiner: ≤1 row per (series_key, window) per batch.
+
+    Output schema: series_key, window_start, vmin, vmax, vsum, n,
+    last, last_ts, last_order, bucket.
+    """
+    cols = {
+        "series_key": batch[key_col],
+        "ts": batch[ts_col],
+        "value": batch[value_col],
+    }
+    t = pa.table(cols)
+    t = t.filter(pc.is_valid(t["value"]))  # only datapoints aggregate
+    if order_col is not None:
+        t = t.append_column("order", batch.filter(pc.is_valid(batch[value_col]))[order_col])
+    else:
+        t = t.append_column(
+            "order", pa.array(np.arange(t.num_rows, dtype=np.int64))
+        )
+    if t.num_rows == 0:
+        return _empty_partial_schema(t)
+
+    ts = t["ts"].to_numpy()
+    t = t.append_column(
+        "window_start", pa.array(window_start(ts, tier_us), pa.int64())
+    )
+    # sort so hash 'last' (scan order, use_threads=False) = max (ts, order)
+    t = t.sort_by([("ts", "ascending"), ("order", "ascending")])
+    g = t.group_by(["series_key", "window_start"], use_threads=False).aggregate(
+        [
+            ("value", "min"),
+            ("value", "max"),
+            ("value", "sum"),
+            ("value", "count"),
+            ("value", "last"),
+            ("ts", "last"),
+            ("order", "last"),
+        ]
+    )
+    g = g.rename_columns(
+        [
+            "series_key",
+            "window_start",
+            "vmin",
+            "vmax",
+            "vsum",
+            "n",
+            "last",
+            "last_ts",
+            "last_order",
+        ]
+    )
+    g = g.set_column(
+        g.column_names.index("n"), "n", pc.cast(g["n"], pa.int64())
+    )
+    bucket = bucket_of(g["series_key"].combine_chunks(), num_buckets)
+    return g.append_column("bucket", pa.array(bucket, pa.int32()))
+
+
+def _empty_partial_schema(t: pa.Table) -> pa.Table:
+    vtype = t.schema.field("value").type
+    return pa.schema(
+        [
+            ("series_key", pa.string()),
+            ("window_start", pa.int64()),
+            ("vmin", vtype),
+            ("vmax", vtype),
+            ("vsum", vtype),
+            ("n", pa.int64()),
+            ("last", vtype),
+            ("last_ts", pa.int64()),
+            ("last_order", pa.int64()),
+            ("bucket", pa.int32()),
+        ]
+    ).empty_table()
+
+
+def merge_partials(t: pa.Table) -> pa.Table:
+    """Merge partial rows (any number per key/window) to finals.
+
+    ``last`` merge rule: the partial with the greatest (last_ts,
+    last_order) wins — achieved by sorting ascending and taking hash
+    'last' in scan order.
+    """
+    t = t.sort_by(
+        [
+            ("series_key", "ascending"),
+            ("window_start", "ascending"),
+            ("last_ts", "ascending"),
+            ("last_order", "ascending"),
+        ]
+    )
+    g = t.group_by(["series_key", "window_start"], use_threads=False).aggregate(
+        [
+            ("vmin", "min"),
+            ("vmax", "max"),
+            ("vsum", "sum"),
+            ("n", "sum"),
+            ("last", "last"),
+            ("last_ts", "last"),
+            ("last_order", "last"),
+        ]
+    )
+    g = g.rename_columns(
+        [
+            "series_key",
+            "window_start",
+            "vmin",
+            "vmax",
+            "vsum",
+            "n",
+            "last",
+            "last_ts",
+            "last_order",
+        ]
+    )
+    return g.sort_by(
+        [("series_key", "ascending"), ("window_start", "ascending")]
+    )
+
+
+def cascade_tier(fine: pa.Table, tier_us: int) -> pa.Table:
+    """Re-aggregate a merged finer tier into a coarser one (1m→1h→1d).
+
+    Correct because every aggregate here is decomposable: min of mins,
+    max of maxes, sum of sums/counts, last of lasts by (last_ts, order).
+    """
+    ws = window_start(fine["window_start"].to_numpy(), tier_us)
+    t = fine.set_column(
+        fine.column_names.index("window_start"),
+        "window_start",
+        pa.array(ws, pa.int64()),
+    )
+    return merge_partials(
+        t.rename_columns(
+            [
+                "series_key",
+                "window_start",
+                "vmin",
+                "vmax",
+                "vsum",
+                "n",
+                "last",
+                "last_ts",
+                "last_order",
+            ]
+        )
+    )
+
+
+def gapfill_tier(t: pa.Table, tier_us: int) -> pa.Table:
+    """Dense windows per series between its own min/max window.
+
+    Missing windows: n=0, null aggregates (FIXTURES.md §3). Input must
+    be sorted by (series_key, window_start) — merge_partials output is.
+    Fully vectorized (dictionary ordinals + scatter).
+    """
+    if t.num_rows == 0:
+        return t
+    keys = t["series_key"].combine_chunks().dictionary_encode()
+    ords = keys.indices.to_numpy().astype(np.int64)
+    ws = t["window_start"].to_numpy()
+
+    # series boundaries in the sorted table
+    change = np.flatnonzero(np.diff(ords) != 0) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(ords)]))
+    min_w, max_w = ws[starts], ws[ends - 1]
+    n_win = (max_w - min_w) // tier_us + 1
+    total = int(n_win.sum())
+    if total == t.num_rows:  # already dense
+        return t
+
+    cum = np.concatenate(([0], np.cumsum(n_win)))
+    sidx = np.repeat(np.arange(len(starts), dtype=np.int64), n_win)
+    dense_ws = min_w[sidx] + (np.arange(total, dtype=np.int64) - cum[sidx]) * tier_us
+
+    # position of each existing row in the dense grid
+    row_series = np.searchsorted(starts, np.arange(len(ords)), side="right") - 1
+    pos = cum[row_series] + (ws - min_w[row_series]) // tier_us
+    present = np.zeros(total, dtype=bool)
+    present[pos] = True
+
+    series_ord_per_first_row = ords[starts]
+    dense_keys = keys.dictionary.take(
+        pa.array(series_ord_per_first_row[sidx], pa.int64())
+    )
+
+    out_cols: dict[str, pa.Array] = {
+        "series_key": dense_keys,
+        "window_start": pa.array(dense_ws, pa.int64()),
+    }
+    for name in ["vmin", "vmax", "vsum", "last"]:
+        src = t[name].combine_chunks()
+        vals = np.zeros(total, dtype=np.float64 if pa.types.is_floating(src.type) else np.int64)
+        arr_np = src.to_numpy(zero_copy_only=False)
+        vals[pos] = arr_np
+        out_cols[name] = pa.array(vals, src.type, mask=~present)
+    for name in ["last_ts", "last_order"]:
+        src = t[name].combine_chunks()
+        vals = np.zeros(total, dtype=np.int64)
+        vals[pos] = src.to_numpy(zero_copy_only=False)
+        out_cols[name] = pa.array(vals, pa.int64(), mask=~present)
+    nvals = np.zeros(total, dtype=np.int64)
+    nvals[pos] = t["n"].to_numpy()
+    out_cols["n"] = pa.array(nvals, pa.int64())
+    return pa.table(out_cols).select(
+        [
+            "series_key",
+            "window_start",
+            "vmin",
+            "vmax",
+            "vsum",
+            "n",
+            "last",
+            "last_ts",
+            "last_order",
+        ]
+    )
+
+
+def merge_cascade_gapfill(
+    bucket_table: pa.Table, tiers: dict[str, int], gapfill: bool = True
+) -> pa.Table:
+    """Per-bucket finalization: merge base tier, cascade coarser tiers,
+    gap-fill each, union with a ``tier`` label column."""
+    if "bucket" in bucket_table.column_names:
+        bucket_table = bucket_table.drop_columns(["bucket"])
+    order = sorted(tiers.items(), key=lambda kv: kv[1])
+    base_name, base_us = order[0]
+    merged = {base_name: merge_partials(bucket_table)}
+    prev = merged[base_name]
+    for name, us in order[1:]:
+        if us % order[0][1] != 0:
+            raise ValueError(f"tier {name} not a multiple of base tier")
+        prev = cascade_tier(prev, us)
+        merged[name] = prev
+    pieces = []
+    for name, us in order:
+        m = merged[name]
+        if gapfill:
+            m = gapfill_tier(m, us)
+        m = m.append_column("tier", pa.array([name] * m.num_rows, pa.string()))
+        pieces.append(m)
+    return pa.concat_tables(pieces)
+
+
+def rollup_dataset(
+    ds,
+    tiers: dict[str, int],
+    key_col: str = "series_key",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_col: str | None = None,
+    num_buckets: int = 64,
+    gapfill: bool = True,
+):
+    """Full Ray Data rollup pipeline over a datapoint Dataset.
+
+    Returns a Dataset of (tier, series_key, window_start, vmin, vmax,
+    vsum, n, last, last_ts, last_order) rows. One shuffle (bucket).
+    """
+    base_us = min(tiers.values())
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        return partial_rollup_batch(
+            batch, base_us, key_col, ts_col, value_col, order_col, num_buckets
+        )
+
+    def _merge(group: pa.Table) -> pa.Table:
+        return merge_cascade_gapfill(group, tiers, gapfill)
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    return partials.groupby("bucket").map_groups(_merge, batch_format="pyarrow")

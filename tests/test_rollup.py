@@ -1,0 +1,211 @@
+"""Rollup correctness: hand fixtures + brute-force oracle (duckdb) + Ray e2e."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from beamium_ray.stages.rollup import (
+    cascade_tier,
+    gapfill_tier,
+    merge_cascade_gapfill,
+    merge_partials,
+    partial_rollup_batch,
+    rollup_dataset,
+)
+
+TIERS = {"1m": 60, "1h": 3600}  # seconds-as-µs toy tiers for readable fixtures
+
+
+def mk(ts, key, val, order=None):
+    n = len(ts)
+    return pa.table(
+        {
+            "series_key": pa.array(key, pa.string()),
+            "ts": pa.array(ts, pa.int64()),
+            "value": pa.array(val, pa.float64()),
+            "order": pa.array(order if order else list(range(n)), pa.int64()),
+        }
+    )
+
+
+def full_rollup(t, tiers, gapfill=False, num_buckets=1, batches=None):
+    """Drive the kernels directly (no Ray): split into batches → partial →
+    merge/cascade/gapfill, as the Dataset pipeline does."""
+    base = min(tiers.values())
+    if batches is None:
+        batches = [t]
+    partials = pa.concat_tables(
+        [
+            partial_rollup_batch(b, base, order_col="order", num_buckets=num_buckets)
+            for b in batches
+        ]
+    )
+    return merge_cascade_gapfill(partials, tiers, gapfill)
+
+
+def test_hand_fixture():
+    # 2 series, windows of 60: s1 has pts at 10,50 (w0) and 70 (w60);
+    # s2 one pt at 130 (w120)
+    t = mk(
+        ts=[10, 50, 70, 130],
+        key=["s1", "s1", "s1", "s2"],
+        val=[5.0, 3.0, 7.0, 2.0],
+    )
+    out = full_rollup(t, {"1m": 60})
+    rows = {
+        (r["series_key"], r["window_start"]): r for r in out.to_pylist()
+    }
+    r = rows[("s1", 0)]
+    assert (r["vmin"], r["vmax"], r["vsum"], r["n"], r["last"]) == (3, 5, 8, 2, 3)
+    r = rows[("s1", 60)]
+    assert (r["vmin"], r["vmax"], r["vsum"], r["n"], r["last"]) == (7, 7, 7, 1, 7)
+    r = rows[("s2", 120)]
+    assert r["last_ts"] == 130
+
+
+def test_last_tiebreak_on_order():
+    # equal ts → greater order wins, across batch splits too
+    t1 = mk(ts=[100], key=["s"], val=[1.0], order=[5])
+    t2 = mk(ts=[100], key=["s"], val=[2.0], order=[9])
+    out = full_rollup(
+        pa.concat_tables([t1, t2]), {"1m": 60}, batches=[t1, t2]
+    )
+    assert out.to_pylist()[0]["last"] == 2.0
+    out = full_rollup(
+        pa.concat_tables([t2, t1]), {"1m": 60}, batches=[t2, t1]
+    )
+    assert out.to_pylist()[0]["last"] == 2.0
+
+
+def test_cascade_matches_direct():
+    rng = np.random.default_rng(42)
+    n = 5000
+    t = mk(
+        ts=rng.integers(0, 100_000, n).tolist(),
+        key=rng.choice(["a", "b", "c"], n).tolist(),
+        val=np.round(rng.normal(0, 10, n), 2).tolist(),
+        order=list(range(n)),
+    )
+    # batched partial → cascade 1h from 1m
+    out = full_rollup(t, TIERS, batches=[t.slice(0, 1700), t.slice(1700, 1700), t.slice(3400)])
+    got_1h = out.filter(pa.compute.equal(out["tier"], "1h")).drop_columns(["tier"])
+    # direct rollup at 1h only
+    direct = full_rollup(t, {"1h": 3600}).drop_columns(["tier"])
+    got_1h = got_1h.sort_by([("series_key", "ascending"), ("window_start", "ascending")])
+    direct = direct.sort_by([("series_key", "ascending"), ("window_start", "ascending")])
+    assert got_1h.num_rows == direct.num_rows
+    for col in got_1h.column_names:
+        if col == "vsum":  # float addition order differs between paths
+            assert np.allclose(
+                got_1h[col].to_numpy(), direct[col].to_numpy(), rtol=1e-12
+            )
+        else:
+            assert got_1h[col].to_pylist() == direct[col].to_pylist(), col
+
+
+def test_rollup_vs_duckdb_oracle():
+    import duckdb
+
+    rng = np.random.default_rng(7)
+    n = 20000
+    keys = rng.choice([f"s{i}" for i in range(50)], n).tolist()
+    ts = rng.integers(0, 10_000_000, n)
+    # unique (ts, order): order = row idx
+    vals = np.round(rng.normal(100, 30, n), 2)
+    t = mk(ts=ts.tolist(), key=keys, val=vals.tolist(), order=list(range(n)))
+
+    out = full_rollup(t, {"1m": 60_000_000 // 1000}, batches=[t.slice(i, 3000) for i in range(0, n, 3000)])
+    out = out.drop_columns(["tier", "last_ts", "last_order"])
+
+    con = duckdb.connect()
+    con.register("pts", t.to_pandas())
+    tier = 60_000
+    oracle = con.execute(
+        f"""
+        WITH w AS (
+          SELECT series_key, ts - (ts % {tier}) AS window_start, value, ts, "order",
+                 row_number() OVER (PARTITION BY series_key, ts - (ts % {tier})
+                                    ORDER BY ts DESC, "order" DESC) AS rn
+          FROM pts)
+        SELECT series_key, window_start,
+               min(value) AS vmin, max(value) AS vmax, sum(value) AS vsum,
+               count(*) AS n,
+               max(CASE WHEN rn = 1 THEN value END) AS last
+        FROM w GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).arrow()
+    got = out.sort_by([("series_key", "ascending"), ("window_start", "ascending")])
+    assert got.num_rows == oracle.num_rows
+    for col in ["series_key", "window_start", "vmin", "vmax", "n", "last"]:
+        assert got[col].to_pylist() == oracle[col].to_pylist(), col
+    assert np.allclose(got["vsum"].to_numpy(), oracle["vsum"].to_numpy(), rtol=1e-12)
+
+
+def test_gapfill():
+    t = mk(ts=[0, 130, 250], key=["s", "s", "s"], val=[1.0, 2.0, 3.0])
+    out = full_rollup(t, {"1m": 60}, gapfill=True)
+    rows = out.to_pylist()
+    wins = [r["window_start"] for r in rows]
+    assert wins == [0, 60, 120, 180, 240]
+    gap = rows[1]
+    assert gap["n"] == 0 and gap["vmin"] is None and gap["last"] is None
+    assert rows[3]["n"] == 0
+    # two series, independent ranges
+    t2 = mk(ts=[0, 120, 60], key=["a", "a", "b"], val=[1.0, 2.0, 3.0])
+    out2 = full_rollup(t2, {"1m": 60}, gapfill=True)
+    got = [(r["series_key"], r["window_start"], r["n"]) for r in out2.to_pylist()]
+    assert got == [("a", 0, 1), ("a", 60, 0), ("a", 120, 1), ("b", 60, 1)]
+
+
+def test_null_values_excluded():
+    t = pa.table(
+        {
+            "series_key": pa.array(["s", "s"]),
+            "ts": pa.array([10, 20], pa.int64()),
+            "value": pa.array([1.0, None], pa.float64()),
+            "order": pa.array([0, 1], pa.int64()),
+        }
+    )
+    out = full_rollup(t, {"1m": 60})
+    r = out.to_pylist()[0]
+    assert r["n"] == 1 and r["last"] == 1.0 and r["last_ts"] == 10
+
+
+def test_rollup_dataset_e2e(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    n = 30000
+    t = mk(
+        ts=rng.integers(0, 3_000_000, n).tolist(),
+        key=rng.choice([f"s{i}" for i in range(20)], n).tolist(),
+        val=np.round(rng.normal(0, 5, n), 2).tolist(),
+        order=list(range(n)),
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+    out = rollup_dataset(
+        ds, {"1m": 60_000, "1h": 3_600_000}, order_col="order", num_buckets=8
+    )
+    got = out.take_all()
+    want = full_rollup(
+        t,
+        {"1m": 60_000, "1h": 3_600_000},
+        gapfill=True,
+        batches=[t.slice(i, 5000) for i in range(0, n, 5000)],
+    )
+    want_rows = sorted(
+        want.to_pylist(), key=lambda r: (r["tier"], r["series_key"], r["window_start"])
+    )
+    got_rows = sorted(
+        got, key=lambda r: (r["tier"], r["series_key"], r["window_start"])
+    )
+    assert len(got_rows) == len(want_rows)
+    for g, w in zip(got_rows, want_rows):
+        gs, ws = g.pop("vsum"), w.pop("vsum")
+        assert g == w
+        if gs is None:
+            assert ws is None
+        else:  # float addition order differs with batching
+            assert abs(gs - ws) <= 1e-9 * max(1.0, abs(ws))
