@@ -1,0 +1,133 @@
+"""Flagship pipeline: sequences → datapoints → relabel/filter → rollup.
+
+Ray-Data re-expression of the reference lifecycle (SURVEY.md §3):
+
+    read_parquet(tokenized sequences)                 # scrape fetch S1-S3
+      → map_batches(derive + parse + relabel + filter)  # P1-P8 fused
+      → [token payload rides along]                   # router forward path
+      → rollup_dataset(narrow projection)             # the engine's new
+                                                      # wide operator (§2.4)
+
+Everything is streaming; the token payload never enters the shuffle —
+the rollup consumes only (series_key, ts, value, order).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from beamium_ray.config import EngineConfig
+from beamium_ray.sources.tokens import _NTOK_SALT, _SRC_SALT, _SOURCE_CUM, SOURCES, VOCAB
+from beamium_ray.functions.hashing import splitmix64
+from beamium_ray.stages.derive import (
+    DEFAULT_NOW_US,
+    derive_columns_batch,
+    derive_lines_batch,
+)
+from beamium_ray.stages.filters import whitelist_batch, route_batch
+from beamium_ray.stages.parse import parse_table
+from beamium_ray.stages.relabel import relabel_batch
+from beamium_ray.stages.rollup import rollup_dataset
+
+PAYLOAD_COLS = ["order", "doc_id", "tokens", "n_tok", "source"]
+
+
+def sequences_from_documents_batch(batch: pa.Table) -> pa.Table:
+    """Deterministically derive the canonical tokenized-sequence table
+    from a ``documents`` table's int64 ``doc_id`` (same splitmix64 rules
+    as sources.tokens.make_chunk, so row content is a pure function of
+    the id). Lets testdata drive the same pipeline as synthetic input."""
+    i = batch["doc_id"].to_numpy().astype(np.uint64)
+    n_tok = (16 + (splitmix64(i ^ _NTOK_SALT) % np.uint64(497))).astype(np.int32)
+    pct = (splitmix64(i ^ _SRC_SALT) % np.uint64(100)).astype(np.int64)
+    source = SOURCES[np.searchsorted(_SOURCE_CUM, pct, side="right")]
+    total = int(n_tok.sum(dtype=np.int64))
+    rid = np.repeat(i, n_tok)
+    off = np.concatenate(([0], np.cumsum(n_tok, dtype=np.int64)))
+    ar = np.arange(total, dtype=np.int64)
+    j = (ar - off[np.searchsorted(off, ar, side="right") - 1]).astype(np.uint64)
+    toks = (splitmix64((rid << np.uint64(20)) ^ j) % np.uint64(VOCAB)).astype(np.int32)
+    return pa.table(
+        {
+            "doc_id": pa.array([f"doc-{k:012d}" for k in i.tolist()], pa.string()),
+            "tokens": pa.ListArray.from_arrays(
+                pa.array(off, pa.int32()), pa.array(toks, pa.int32())
+            ),
+            "n_tok": pa.array(n_tok, pa.int32()),
+            "source": pa.array(source, pa.string()),
+        }
+    )
+
+
+class DeriveParseRelabel:
+    """Fused stage P1-P8: one vectorized pass per batch (SURVEY.md §2.2 P8).
+
+    mode="lines": compose Prometheus text then parse it (conformance
+    path — exercises the full parser on bulk data).
+    mode="columns": direct columnar derivation (scale path; identical
+    output, asserted in tests).
+    """
+
+    def __init__(self, cfg: EngineConfig, now_us: int = DEFAULT_NOW_US, mode: str = "columns"):
+        self.cfg = cfg
+        self.now = now_us
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        if self.mode == "lines":
+            lined = derive_lines_batch(batch, self.now)
+            t = parse_table(lined, self.now, "line", PAYLOAD_COLS)
+        else:
+            t = derive_columns_batch(batch, self.now)
+            t = t.drop_columns(["series_key"])
+        if cfg.labels or cfg.filtered_labels:
+            t = relabel_batch(t, add=cfg.labels, drop=cfg.filtered_labels)
+        if cfg.metrics_whitelist:
+            if "line" not in t.column_names:
+                from beamium_ray.stages.parse import _compose_line
+
+                vs = (
+                    t["value_str"]
+                    if "value_str" in t.column_names
+                    else pc.cast(t["value"], pa.string())
+                )
+                t = t.append_column(
+                    "line", _compose_line(t["ts"], t["class"], t["labels"], vs)
+                )
+            t = whitelist_batch(t, cfg.metrics_whitelist)
+        if cfg.selector is not None:
+            t = route_batch(t, cfg.selector)
+        series_key = pc.binary_join_element_wise(
+            t["class"], "{", t["labels"], "}", ""
+        )
+        return t.append_column("series_key", series_key)
+
+
+def datapoints(seq_ds, cfg: EngineConfig, now_us: int = DEFAULT_NOW_US, mode: str = "columns"):
+    """sequences Dataset → datapoint Dataset (payload carried along)."""
+    return seq_ds.map_batches(
+        DeriveParseRelabel(cfg, now_us, mode), batch_format="pyarrow"
+    )
+
+
+def rollup_from_datapoints(dp_ds, cfg: EngineConfig):
+    """Narrow projection → windowed rollup (the one shuffle)."""
+    narrow = dp_ds.select_columns(["series_key", "ts", "value", "order"])
+    return rollup_dataset(
+        narrow,
+        cfg.tiers,
+        order_col="order",
+        num_buckets=cfg.num_buckets,
+        gapfill=cfg.gapfill,
+    )
+
+
+def flagship(seq_ds, cfg: EngineConfig | None = None, now_us: int = DEFAULT_NOW_US,
+             mode: str = "columns"):
+    """sequences → (datapoints with payload, rolled tiers)."""
+    cfg = cfg or EngineConfig()
+    dp = datapoints(seq_ds, cfg, now_us, mode)
+    return dp, rollup_from_datapoints(dp, cfg)

@@ -41,9 +41,9 @@ def make_chunk(start: int, n: int) -> pa.Table:
 
     total = int(n_tok.sum(dtype=np.int64))
     rid = np.repeat(i, n_tok)
-    j = np.arange(total, dtype=np.uint64)
+    j = np.arange(total, dtype=np.int64)
     off = np.concatenate(([0], np.cumsum(n_tok, dtype=np.int64)))
-    j = j - off[np.searchsorted(off, j, side="right") - 1]
+    j = (j - off[np.searchsorted(off, j, side="right") - 1]).astype(np.uint64)
     toks = (splitmix64((rid << np.uint64(20)) ^ j) % np.uint64(VOCAB)).astype(
         np.int32
     )
