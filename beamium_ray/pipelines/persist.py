@@ -1,0 +1,168 @@
+"""Persisting rollup: blocks + lineage manifests + resume.
+
+``rollup_to_blocks`` is the durable variant of the rollup: the
+per-bucket merge task also ENCODES (Gorilla/DoD blocks) and COMMITS
+(manifest, written after blocks via tmp+rename) — so one Ray task =
+one recoverable unit of work, mirroring the reference's
+file-is-the-checkpoint design (SURVEY.md §3.4). A rerun with the same
+input fingerprint + config hash prunes committed buckets at the
+PARTIAL stage (before the shuffle), so resumed runs do no redundant
+shuffle or merge work.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from beamium_ray.config import EngineConfig
+from beamium_ray.stages.gorilla import encode_block
+from beamium_ray.stages.rollup import (
+    merge_cascade_gapfill,
+    partial_rollup_batch,
+)
+from beamium_ray.state.manifest import (
+    atomic_write_bytes,
+    commit_bucket_manifest,
+    input_fingerprint,
+    load_committed,
+    merge_run_manifest,
+)
+
+MANIFEST_ROW_SCHEMA = pa.schema(
+    [
+        ("bucket", pa.int32()),
+        ("tier", pa.string()),
+        ("path", pa.string()),
+        ("bytes", pa.int64()),
+        ("rows", pa.int64()),
+        ("points", pa.int64()),
+        ("min_window", pa.int64()),
+        ("max_window", pa.int64()),
+    ]
+)
+
+
+def _encode_and_commit(
+    group: pa.Table,
+    out_dir: str,
+    tiers: dict[str, int],
+    gapfill: bool,
+    fingerprint: str,
+    config_hash: str,
+) -> pa.Table:
+    """Per-bucket merge → encode per tier → atomic block write → manifest."""
+    if group.num_rows == 0:
+        return MANIFEST_ROW_SCHEMA.empty_table()
+    bucket = int(group["bucket"][0].as_py())
+    rolled = merge_cascade_gapfill(group, tiers, gapfill)
+
+    blocks: list[dict] = []
+    rows_out: list[dict] = []
+    watermark = None
+    counters = {"points_rolled": 0, "windows": 0, "gap_windows": 0}
+    for tier in tiers:
+        tt = rolled.filter(pc.equal(rolled["tier"], tier)).drop_columns(["tier"])
+        if tt.num_rows == 0:
+            continue
+        buf = encode_block(tt)
+        rel = os.path.join(f"tier={tier}", f"bucket={bucket:05d}", "block.bin")
+        atomic_write_bytes(os.path.join(out_dir, rel), buf)
+        ws = tt["window_start"].to_numpy()
+        lt_max = pc.max(tt["last_ts"]).as_py()  # None when all-null
+        base = min(tiers, key=tiers.get)
+        info = {
+            "tier": tier,
+            "path": rel,
+            "bytes": len(buf),
+            "rows": tt.num_rows,
+            "points": int(pc.sum(tt["n"]).as_py() or 0),
+            "min_window": int(ws.min()),
+            "max_window": int(ws.max()),
+        }
+        blocks.append(info)
+        rows_out.append({"bucket": bucket, **info})
+        if tier == base:
+            counters["points_rolled"] += info["points"]
+            counters["windows"] += tt.num_rows
+            counters["gap_windows"] += int(
+                pc.sum(pc.cast(pc.equal(tt["n"], 0), pa.int64())).as_py() or 0
+            )
+        if lt_max is not None:
+            watermark = lt_max if watermark is None else max(watermark, lt_max)
+
+    commit_bucket_manifest(
+        out_dir, bucket, fingerprint, config_hash, blocks, counters, watermark
+    )
+    return pa.Table.from_pylist(rows_out, schema=MANIFEST_ROW_SCHEMA)
+
+
+def rollup_to_blocks(
+    dp_ds,
+    cfg: EngineConfig,
+    input_paths: list[str],
+    out_dir: str | None = None,
+    key_col: str = "series_key",
+    order_col: str | None = "order",
+):
+    """Datapoint Dataset → committed compressed blocks; returns (run
+    manifest dict, manifest-rows Dataset result as pa.Table)."""
+    out_dir = out_dir or cfg.output_dir
+    fp = input_fingerprint(input_paths)
+    ch = cfg.config_hash()
+    committed = load_committed(out_dir, fp, ch)
+    skip = frozenset(committed)
+    base_us = min(cfg.tiers.values())
+    tiers, gapfill, nb = dict(cfg.tiers), cfg.gapfill, cfg.num_buckets
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = partial_rollup_batch(
+            batch, base_us, key_col=key_col, order_col=order_col, num_buckets=nb
+        )
+        if skip:  # resume: committed buckets never enter the shuffle
+            t = t.filter(
+                pc.invert(
+                    pc.is_in(
+                        t["bucket"], value_set=pa.array(sorted(skip), pa.int32())
+                    )
+                )
+            )
+        return t
+
+    def _merge(group: pa.Table) -> pa.Table:
+        return _encode_and_commit(group, out_dir, tiers, gapfill, fp, ch)
+
+    narrow = dp_ds.select_columns(
+        [c for c in [key_col, "ts", "value", order_col] if c]
+    )
+    result = (
+        narrow.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_merge, batch_format="pyarrow")
+    )
+    manifest_rows = pa.concat_tables(
+        list(result.iter_batches(batch_format="pyarrow"))
+        or [MANIFEST_ROW_SCHEMA.empty_table()]
+    )
+    run = merge_run_manifest(out_dir, fp, ch)
+    return run, manifest_rows
+
+
+def read_blocks(out_dir: str, tier: str) -> pa.Table:
+    """Decode all committed blocks of one tier back into a table."""
+    from beamium_ray.stages.gorilla import decode_block
+
+    tdir = os.path.join(out_dir, f"tier={tier}")
+    parts = []
+    if os.path.isdir(tdir):
+        for bdir in sorted(os.listdir(tdir)):
+            p = os.path.join(tdir, bdir, "block.bin")
+            if os.path.exists(p):
+                with open(p, "rb") as f:
+                    parts.append(decode_block(f.read()))
+    if not parts:
+        return pa.table({})
+    return pa.concat_tables(parts)

@@ -1,0 +1,127 @@
+"""Per-partition lineage manifests + atomic commit + resume.
+
+Re-expresses the reference's DFO durability contract (SURVEY.md §3.4):
+"data is never deleted until the next stage durably accepted it" — the
+reference's write-tmp-then-rename files (``src/scraper.rs:253-265``,
+``src/router.rs:212-225``) and delete-after-2xx protocol become:
+
+- every (bucket) partition writes its compressed tier blocks to
+  ``tier=<t>/bucket=<b>/block.bin`` via tmp+rename, then commits
+  ``_manifests/bucket=<b>.json`` (atomic rename, written LAST);
+- a manifest records the input fingerprint, config hash, watermark
+  (max rolled last_ts), block paths+sizes and stage counters;
+- resume = read committed manifests, skip buckets whose
+  (input_fingerprint, config_hash) match — killed runs never re-roll
+  completed windows (north rule).
+
+Layout (SURVEY.md §4.3)::
+
+    out/
+      tier=1m/bucket=000/block.bin
+      _manifests/bucket=000.json
+      _run/manifest.json        # merged, committed last
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+
+def input_fingerprint(paths: list[str], extra: str = "") -> str:
+    """Stable fingerprint of the input file list (+ sizes when local)."""
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        h.update(p.encode())
+        try:
+            h.update(str(os.path.getsize(p)).encode())
+        except OSError:
+            pass
+    h.update(extra.encode())
+    return h.hexdigest()[:16]
+
+
+def atomic_write_bytes(path: str, data: bytes) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)  # atomic finalize (ref scraper.rs:253-265)
+
+
+def manifest_path(out_dir: str, bucket: int) -> str:
+    return os.path.join(out_dir, "_manifests", f"bucket={bucket:05d}.json")
+
+
+def commit_bucket_manifest(
+    out_dir: str,
+    bucket: int,
+    fingerprint: str,
+    config_hash: str,
+    blocks: list[dict],
+    counters: dict,
+    watermark: int | None,
+) -> dict:
+    m = {
+        "bucket": bucket,
+        "fingerprint": fingerprint,
+        "config_hash": config_hash,
+        "watermark": watermark,
+        "blocks": blocks,
+        "counters": counters,
+        "committed_at": time.time(),
+    }
+    atomic_write_bytes(
+        manifest_path(out_dir, bucket), json.dumps(m, sort_keys=True).encode()
+    )
+    return m
+
+
+def load_committed(out_dir: str, fingerprint: str, config_hash: str) -> dict[int, dict]:
+    """Buckets already rolled for this exact input+config."""
+    mdir = os.path.join(out_dir, "_manifests")
+    out: dict[int, dict] = {}
+    if not os.path.isdir(mdir):
+        return out
+    for name in os.listdir(mdir):
+        if not name.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(mdir, name)) as f:
+                m = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            continue  # torn write → treat as uncommitted (will re-roll)
+        if m.get("fingerprint") == fingerprint and m.get("config_hash") == config_hash:
+            out[int(m["bucket"])] = m
+    return out
+
+
+def merge_run_manifest(out_dir: str, fingerprint: str, config_hash: str) -> dict:
+    """Merge bucket manifests into _run/manifest.json (committed last)."""
+    committed = load_committed(out_dir, fingerprint, config_hash)
+    counters: dict[str, int] = {}
+    blocks: list[dict] = []
+    watermark = None
+    for m in committed.values():
+        for k, v in (m.get("counters") or {}).items():
+            counters[k] = counters.get(k, 0) + v
+        blocks.extend(m.get("blocks") or [])
+        w = m.get("watermark")
+        if w is not None:
+            watermark = w if watermark is None else max(watermark, w)
+    run = {
+        "fingerprint": fingerprint,
+        "config_hash": config_hash,
+        "buckets_committed": sorted(committed),
+        "n_blocks": len(blocks),
+        "total_block_bytes": sum(b.get("bytes", 0) for b in blocks),
+        "counters": counters,
+        "watermark": watermark,
+    }
+    atomic_write_bytes(
+        os.path.join(out_dir, "_run", "manifest.json"),
+        json.dumps(run, sort_keys=True, indent=1).encode(),
+    )
+    return run

@@ -1,0 +1,123 @@
+"""Blocks + manifests + resume + retention (FIXTURES.md §3 resume/retention)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from beamium_ray.config import EngineConfig
+from beamium_ray.pipelines.persist import read_blocks, rollup_to_blocks
+from beamium_ray.state.manifest import load_committed, input_fingerprint
+from beamium_ray.state.retention import apply_retention
+
+OUT = "/tmp/beamium_ray_test_out"
+
+
+def _mk_dp(n=20000, seed=3):
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "series_key": pa.array(
+                rng.choice([f"s{i}" for i in range(30)], n).tolist(), pa.string()
+            ),
+            "ts": pa.array(rng.integers(0, 50_000_000, n), pa.int64()),
+            "value": pa.array(np.round(rng.normal(0, 5, n), 2), pa.float64()),
+            "order": pa.array(np.arange(n), pa.int64()),
+        }
+    )
+
+
+@pytest.fixture
+def cfg():
+    return EngineConfig(
+        tiers={"1m": 60_000, "1h": 3_600_000},
+        num_buckets=8,
+        output_dir=OUT,
+    )
+
+
+def _fresh():
+    shutil.rmtree(OUT, ignore_errors=True)
+
+
+def test_blocks_roundtrip_and_resume(ray_session, cfg):
+    import ray.data
+
+    _fresh()
+    t = _mk_dp()
+    ds = ray.data.from_arrow(t).repartition(4)
+    run, rows = rollup_to_blocks(ds, cfg, ["memory://dp"], OUT)
+    assert run["buckets_committed"] == list(range(8))
+    assert run["counters"]["points_rolled"] == t.num_rows
+    assert run["watermark"] is not None
+
+    # blocks decode to exactly the merged rollup
+    back = read_blocks(OUT, "1m")
+    assert pc.sum(back["n"]).as_py() == t.num_rows
+    back_1h = read_blocks(OUT, "1h")
+    assert pc.sum(back_1h["n"]).as_py() == t.num_rows
+
+    # resume: delete 3 bucket manifests → only those re-roll
+    fp = input_fingerprint(["memory://dp"])
+    before = load_committed(OUT, fp, cfg.config_hash())
+    for b in [1, 4, 6]:
+        os.remove(os.path.join(OUT, "_manifests", f"bucket={b:05d}.json"))
+    run2, rows2 = rollup_to_blocks(
+        ray.data.from_arrow(t).repartition(4), cfg, ["memory://dp"], OUT
+    )
+    assert run2["buckets_committed"] == list(range(8))
+    redone = set(rows2["bucket"].to_pylist())
+    assert redone == {1, 4, 6}  # committed buckets skipped pre-shuffle
+    after = load_committed(OUT, fp, cfg.config_hash())
+    for b in range(8):
+        if b not in (1, 4, 6):
+            assert after[b]["committed_at"] == before[b]["committed_at"]
+    # identical final content
+    assert pc.sum(read_blocks(OUT, "1m")["n"]).as_py() == t.num_rows
+
+    # config change → full re-roll (different config_hash)
+    cfg2 = EngineConfig(
+        tiers={"1m": 60_000, "1h": 3_600_000}, num_buckets=8, output_dir=OUT,
+        labels="env=prod",
+    )
+    run3, rows3 = rollup_to_blocks(
+        ray.data.from_arrow(t).repartition(4), cfg2, ["memory://dp"], OUT
+    )
+    assert set(rows3["bucket"].to_pylist()) == set(range(8))
+
+
+def test_retention_ttl_and_size(ray_session, cfg):
+    import ray.data
+
+    _fresh()
+    t = _mk_dp()
+    ds = ray.data.from_arrow(t).repartition(4)
+    run, rows = rollup_to_blocks(ds, cfg, ["memory://dp"], OUT)
+    total = run["total_block_bytes"]
+
+    # TTL: horizon cutting off everything below now-ttl for 1m only
+    now = 50_000_000
+    c = apply_retention(OUT, ttl_us={"1m": 10_000}, max_bytes=None, now_us=now)
+    assert c["blocks_ttl_evicted"] == 8  # all 1m blocks end before horizon
+    assert not os.path.exists(os.path.join(OUT, "tier=1m", "bucket=00000", "block.bin"))
+    assert os.path.exists(os.path.join(OUT, "tier=1h", "bucket=00000", "block.bin"))
+
+    # size cap: keep under half of remaining → oldest evicted first
+    c2 = apply_retention(OUT, max_bytes=c["bytes_after"] // 2)
+    assert c2["blocks_size_evicted"] > 0
+    assert c2["bytes_after"] <= c["bytes_after"] // 2
+
+
+def test_manifest_is_crash_safe(cfg):
+    _fresh()
+    os.makedirs(os.path.join(OUT, "_manifests"), exist_ok=True)
+    # torn manifest JSON → ignored, bucket treated as uncommitted
+    with open(os.path.join(OUT, "_manifests", "bucket=00000.json"), "w") as f:
+        f.write('{"bucket": 0, "finger')
+    assert load_committed(OUT, "x", "y") == {}
