@@ -1,0 +1,147 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Images/audio/video are ``binary`` columns with sidecar metadata
+(format, width/height/duration). Decode / feature-extract / resize /
+frame-sample are actor-pool ``map_batches`` stages: the Ray-side
+plumbing (schema, batch sizing for large payloads, actor signature,
+output layout) is real and tested; the codec itself is STUBBED —
+the image/audio libraries are not in this container — behind
+``decoder="fake"`` (deterministic synthetic pixels derived from the
+payload bytes) or ``decoder="pil"``/"ffmpeg" which raise
+``NotImplementedError`` with a clear message until the lib is present.
+
+Batch-size guidance (ray_guide "Memory-aware"): with payloads of ~B
+bytes, pick ``batch_size ≈ min(256, 64MiB // B)`` and
+``concurrency × num_cpus`` ≤ node CPUs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("payload", pa.binary()),
+        ("format", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+    ]
+)
+
+
+def synth_media_batch(start: int, n: int, payload_bytes: int = 4096) -> pa.Table:
+    """Deterministic synthetic media rows (for tests/benches)."""
+    ids = np.arange(start, start + n, dtype=np.int64)
+    payloads = []
+    for i in ids.tolist():
+        seed = hashlib.sha256(str(i).encode()).digest()
+        reps = payload_bytes // len(seed) + 1
+        payloads.append((seed * reps)[:payload_bytes])
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "format": pa.array(["fake/raw"] * n, pa.string()),
+            "width": pa.array(np.full(n, 32, np.int32), pa.int32()),
+            "height": pa.array(np.full(n, 32, np.int32), pa.int32()),
+        }
+    )
+
+
+class DecodeImage:
+    """Actor-pool decode stage: payload → pixel stats + thumbnail vector.
+
+    Real decoders load their codec ONCE here (per actor); the fake
+    decoder derives deterministic "pixels" from payload bytes so the
+    whole pipeline (schema, nulls, batch flow) is exercised end-to-end.
+    """
+
+    def __init__(self, decoder: str = "fake", thumb: int = 8):
+        if decoder == "fake":
+            self._decode = self._decode_fake
+        elif decoder in ("pil", "ffmpeg"):
+            raise NotImplementedError(
+                f"decoder '{decoder}' needs the {decoder} library, which is "
+                "not available in this environment; use decoder='fake'"
+            )
+        else:
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.thumb = thumb
+
+    def _decode_fake(self, payload: bytes, w: int, h: int) -> np.ndarray:
+        raw = np.frombuffer(payload, dtype=np.uint8)
+        need = w * h
+        if len(raw) < need:
+            raw = np.resize(raw, need)
+        return raw[:need].reshape(h, w).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        ws = batch["width"].to_numpy()
+        hs = batch["height"].to_numpy()
+        t = self.thumb
+        means, stds, thumbs = [], [], []
+        for p, w, h in zip(payloads, ws, hs):
+            img = self._decode(p, int(w), int(h))
+            means.append(float(img.mean()))
+            stds.append(float(img.std()))
+            # box-resample thumbnail (the "resize" op)
+            ty = np.linspace(0, h, t + 1).astype(int)
+            tx = np.linspace(0, w, t + 1).astype(int)
+            th = np.add.reduceat(
+                np.add.reduceat(img, ty[:-1], axis=0), tx[:-1], axis=1
+            ) / (
+                np.diff(ty)[:, None] * np.diff(tx)[None, :]
+            )
+            thumbs.append(th.ravel().astype(np.float32).tolist())
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "pix_mean": pa.array(means, pa.float64()),
+                "pix_std": pa.array(stds, pa.float64()),
+                "thumb": pa.array(thumbs, pa.list_(pa.float32())),
+            }
+        )
+
+
+def decode_dataset(ds, decoder: str = "fake", batch_size: int = 256,
+                   concurrency=2):
+    """Attach the decode actor pool with payload-aware batch sizing."""
+    return ds.map_batches(
+        DecodeImage,
+        fn_constructor_kwargs={"decoder": decoder},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class SampleFrames:
+    """Video-style frame sampling stub: emits every Nth "frame" offset
+    of the payload as its own row (flat_map-shaped via map_batches)."""
+
+    def __init__(self, frame_bytes: int = 1024, every: int = 4):
+        self.frame_bytes = frame_bytes
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, frames = [], [], []
+        for mid, p in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            n_frames = max(1, len(p) // self.frame_bytes)
+            for f in range(0, n_frames, self.every):
+                ids.append(mid)
+                fidx.append(f)
+                frames.append(p[f * self.frame_bytes : (f + 1) * self.frame_bytes])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame": pa.array(fidx, pa.int32()),
+                "payload": pa.array(frames, pa.binary()),
+            }
+        )

@@ -1,0 +1,180 @@
+"""Text analysis stages: token counting, quality scoring, language ID,
+document fingerprinting. All vectorized (pyarrow.compute / numpy);
+language ID keeps its profiles as per-actor state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from beamium_ray.functions.hashing import splitmix64
+
+PUNCT_RE = r"[.,!?;:]"
+UPPER_RE = r"[A-Z]"
+DIGIT_RE = r"[0-9]"
+TOKEN_RE = r"\S+"
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace token count per document (BPE-ish split is a separate
+    op; this matches ``regexp_split_to_array(trim(text), '\\s+')``)."""
+    n = pc.count_substring_regex(batch[text_col], TOKEN_RE)
+    return pa.table(
+        {"doc_id": batch["doc_id"], "n_tok_ws": pc.cast(n, pa.int64())}
+    )
+
+
+def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Length / punctuation / case / digit ratios (same formulas as the
+    oracle SQL: ratio = count / GREATEST(n_chars, 1) in float64)."""
+    text = batch[text_col]
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_punct = pc.cast(pc.count_substring_regex(text, PUNCT_RE), pa.int64())
+    n_upper = pc.cast(pc.count_substring_regex(text, UPPER_RE), pa.int64())
+    n_digit = pc.cast(pc.count_substring_regex(text, DIGIT_RE), pa.int64())
+    denom = pc.cast(pc.max_element_wise(n_chars, 1), pa.float64())
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": n_chars,
+            "n_punct": n_punct,
+            "punct_ratio": pc.divide(pc.cast(n_punct, pa.float64()), denom),
+            "n_upper": n_upper,
+            "upper_ratio": pc.divide(pc.cast(n_upper, pa.float64()), denom),
+            "n_digit": n_digit,
+            "digit_ratio": pc.divide(pc.cast(n_digit, pa.float64()), denom),
+        }
+    )
+
+
+class LangId:
+    """Stopword-profile language guesser (n-gram-free heuristic).
+
+    Stateful stage: profiles compiled once per actor (__init__), batch
+    work is one regex scan + set membership per language. Use with
+    ``map_batches(LangId, batch_format="pyarrow", concurrency=N)``.
+    """
+
+    PROFILES = {
+        "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "with"},
+        "fr": {"le", "la", "les", "de", "des", "et", "est", "que", "une", "pour"},
+        "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"},
+        "es": {"el", "la", "los", "de", "y", "es", "que", "una", "por", "con"},
+    }
+
+    def __init__(self):
+        self.langs = sorted(self.PROFILES)
+        self.lexicons = [
+            pa.array(sorted(self.PROFILES[l]), pa.string()) for l in self.langs
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words_list = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(text, "")), "[^a-z]+"
+        )
+        off = words_list.offsets.to_numpy().astype(np.int64)
+        words = words_list.values
+        valid = pc.greater(pc.utf8_length(words), 0).to_numpy(
+            zero_copy_only=False
+        )
+        rid = np.repeat(np.arange(len(off) - 1, dtype=np.int64), np.diff(off))
+        n_rows = len(off) - 1
+        totals = np.bincount(rid[valid], minlength=n_rows).astype(np.float64)
+        scores = np.zeros((len(self.langs), n_rows), dtype=np.float64)
+        for li, lex in enumerate(self.lexicons):  # loop over 4 languages only
+            hit = pc.is_in(words, value_set=lex).to_numpy(zero_copy_only=False)
+            scores[li] = np.bincount(rid[hit & valid], minlength=n_rows)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            scores = scores / totals[None, :]
+        best = np.argmax(scores, axis=0)
+        best_score = scores[best, np.arange(n_rows)]
+        langs = np.array(self.langs, dtype=object)[best]
+        langs[~(best_score > 0)] = "und"
+        langs[totals == 0] = "und"
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang_pred": pa.array(langs.tolist(), pa.string()),
+            }
+        )
+
+
+def _poly_hash_rows(data: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row polynomial rolling hash over UTF-8 bytes, mod 2^64.
+
+    hash(row) = Σ b_i · P^(len-1-i)  (wrapping uint64) — vectorized via
+    precomputed power table + segmented sums (no per-row Python).
+    """
+    P = np.uint64(1099511628211)
+    lens = np.diff(offsets)
+    if len(data) == 0:
+        return np.zeros(len(lens), dtype=np.uint64)
+    maxlen = int(lens.max()) if len(lens) else 0
+    pows = np.ones(maxlen + 1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(1, maxlen + 1):  # tiny loop over max length only
+            pows[k] = pows[k - 1] * P
+        rid = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        pos = np.arange(len(data), dtype=np.int64) - offsets[rid]
+        exp = (lens[rid] - 1 - pos).astype(np.int64)
+        terms = data.astype(np.uint64) * pows[exp]
+        out = np.zeros(len(lens), dtype=np.uint64)
+        np.add.at(out, rid, terms)
+    return out
+
+
+def fingerprint_batch(
+    batch: pa.Table, text_col: str = "text", k: int = 8, sample_mod: int = 4
+) -> pa.Table:
+    """Document fingerprint: whole-text rolling hash + mod-p-sampled
+    k-gram hash sketch (a winnowing-style fingerprint with deterministic
+    mod sampling instead of windowed minima — fully vectorizable)."""
+    from beamium_ray.functions.encoding import string_bytes
+
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    text = pc.fill_null(text, "")
+    data, offsets = string_bytes(text)
+    full = _poly_hash_rows(data, offsets)
+
+    # k-gram rolling hashes: hash every k-byte window, keep those ≡0 (mod m)
+    lens = np.diff(offsets)
+    n_grams = np.maximum(lens - k + 1, 0)
+    sketches: list[list[int]] = []
+    if len(data) >= k and n_grams.sum() > 0:
+        P = np.uint64(1099511628211)
+        with np.errstate(over="ignore"):
+            # prefix hashes via cumulative Horner within rows is sequential;
+            # instead hash each window independently: windows as strided view
+            win = np.lib.stride_tricks.sliding_window_view(data, k).astype(
+                np.uint64
+            )
+            powk = np.array(
+                [P ** np.uint64(k - 1 - i) for i in range(k)], dtype=np.uint64
+            )
+            wh = (win * powk[None, :]).sum(axis=1, dtype=np.uint64)
+        mixed = splitmix64(wh)
+        keep = (mixed % np.uint64(sample_mod)) == 0
+        rid_start = offsets[:-1]
+        for r in range(len(lens)):
+            if n_grams[r] <= 0:
+                sketches.append([])
+                continue
+            s = slice(rid_start[r], rid_start[r] + n_grams[r])
+            sel = mixed[s][keep[s]]
+            sketches.append(np.unique(sel).astype(np.int64).tolist())
+    else:
+        sketches = [[] for _ in range(len(lens))]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "fingerprint": pa.array(full.astype(np.int64), pa.int64()),
+            "sketch": pa.array(sketches, pa.list_(pa.int64())),
+        }
+    )

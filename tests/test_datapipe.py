@@ -1,0 +1,241 @@
+"""Training-data ops: dedup family, text stats, similarity, multimodal."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from beamium_ray.datapipe.dedup import (
+    embedding_neardup,
+    exact_dedup,
+    jaccard_pairs,
+    minhash_dedup,
+    minhash_signatures,
+    simhash_batch,
+    simhash_candidates,
+)
+from beamium_ray.datapipe.similarity import brute_force_topk, ivf_topk
+from beamium_ray.datapipe.textstats import (
+    LangId,
+    fingerprint_batch,
+    quality_score_batch,
+    token_count_batch,
+)
+from beamium_ray.datapipe.multimodal import (
+    DecodeImage,
+    SampleFrames,
+    decode_dataset,
+    synth_media_batch,
+)
+
+DOCS = pa.table(
+    {
+        "doc_id": pa.array(range(8), pa.int64()),
+        "text": pa.array(
+            [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+                "the quick brown fox jumps over a lazy dog",  # near dup of 0
+                "le chat est sur la table et le chien est dans le jardin",
+                "der hund ist nicht mit der katze und das ist gut",
+                "completely different content about astronomy and galaxies",
+                "",
+                "el perro y el gato son amigos por la tarde es que",
+            ]
+        ),
+    }
+)
+
+
+def test_token_count_and_quality():
+    t = token_count_batch(DOCS)
+    assert t["n_tok_ws"].to_pylist()[:3] == [9, 9, 9]
+    assert t["n_tok_ws"].to_pylist()[6] == 0
+    q = quality_score_batch(DOCS)
+    assert q["n_chars"].to_pylist()[6] == 0
+    assert q["punct_ratio"].to_pylist()[6] == 0.0
+
+
+def test_lang_id():
+    out = LangId()(DOCS)
+    langs = out["lang_pred"].to_pylist()
+    assert langs[0] == "en"
+    assert langs[3] == "fr"
+    assert langs[4] == "de"
+    assert langs[7] == "es"
+    assert langs[6] == "und"
+
+
+def test_fingerprint_deterministic():
+    a = fingerprint_batch(DOCS)
+    b = fingerprint_batch(DOCS)
+    assert a["fingerprint"].to_pylist() == b["fingerprint"].to_pylist()
+    # identical texts → identical fingerprints & sketches
+    assert a["fingerprint"][0].as_py() == a["fingerprint"][1].as_py()
+    assert a["sketch"][0].as_py() == a["sketch"][1].as_py()
+    assert a["fingerprint"][0].as_py() != a["fingerprint"][5].as_py()
+
+
+def test_minhash_signature_similarity():
+    sigs = minhash_signatures(DOCS["text"].combine_chunks(), num_perm=128)
+    sim01 = (sigs[0] == sigs[1]).mean()  # exact dup
+    sim02 = (sigs[0] == sigs[2]).mean()  # near dup
+    sim05 = (sigs[0] == sigs[5]).mean()  # unrelated
+    assert sim01 == 1.0
+    assert sim02 > 0.5
+    assert sim05 < 0.2
+
+
+def test_simhash():
+    out = simhash_batch(DOCS)
+    sh = out["simhash"].to_pylist()
+    assert sh[0] == sh[1]
+    d02 = bin(sh[0] ^ sh[2]).count("1")
+    d05 = bin(sh[0] ^ sh[5]).count("1")
+    assert d02 < d05
+
+
+def test_exact_dedup_ray(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(DOCS).repartition(3)
+    out = exact_dedup(ds, num_buckets=4)
+    rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
+    # doc 0 and 1 identical → one row with n=2, doc_id=0
+    by_id = {r["doc_id"]: r["n"] for r in rows}
+    assert by_id[0] == 2
+    assert 1 not in by_id
+    assert sum(by_id.values()) == 8
+
+
+def test_minhash_dedup_ray(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(DOCS).repartition(2)
+    labels = minhash_dedup(ds, max_iters=2)
+    got = {r["doc_id"]: r["cluster"] for r in labels.take_all()}
+    assert got[1] == 0  # exact dup clustered with 0
+    assert got[2] == 0  # near dup clustered with 0
+    assert got.get(5, 5) == 5  # unrelated doc stays its own cluster
+
+
+def test_simhash_candidates_ray(ray_session):
+    import ray.data
+
+    # add a truly-near doc (one char changed → hamming ≤ 3 expected)
+    docs = DOCS.append_column(
+        "ignored", pa.array([0] * 8, pa.int64())
+    ).drop_columns(["ignored"])
+    near = pa.table(
+        {
+            "doc_id": pa.array([100], pa.int64()),
+            "text": pa.array(
+                ["the quick brown fox jumps over the lazy dot"], pa.string()
+            ),
+        }
+    )
+    docs = pa.concat_tables([docs, near])
+    ds = ray.data.from_arrow(docs).repartition(2)
+    pairs = simhash_candidates(ds)
+    got = {(r["a"], r["b"]): r["min(dist)"] for r in pairs.take_all()}
+    assert got.get((0, 1)) == 0  # identical docs share all bands
+    assert (0, 100) in got  # 1-char edit caught by banding
+    assert got[(0, 100)] <= 6
+
+
+def test_jaccard_pairs_ray(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(DOCS)
+    out = jaccard_pairs(ds, [(0, 1), (0, 2), (0, 5)])
+    j = {(r["a"], r["b"]): r["jaccard"] for r in out.to_pylist()}
+    assert j[(0, 1)] == 1.0
+    assert 0.5 < j[(0, 2)] < 1.0
+    assert j[(0, 5)] < 0.1
+
+
+def _embeddings(n=300, d=16, seed=5):
+    rng = np.random.default_rng(seed)
+    M = rng.normal(size=(n, d))
+    # plant near-dups: vec 10 ≈ vec 20, vec 30 ≈ vec 40
+    M[20] = M[10] + rng.normal(scale=1e-3, size=d)
+    M[40] = M[30] + rng.normal(scale=1e-3, size=d)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32).tolist() for row in M],
+                pa.list_(pa.float32()),
+            ),
+        }
+    ), M
+
+
+def test_embedding_neardup_ray(ray_session):
+    import ray.data
+
+    t, _ = _embeddings()
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = embedding_neardup(ds, threshold=0.99)
+    pairs = {(r["a"], r["b"]) for r in out.take_all()}
+    assert (10, 20) in pairs and (30, 40) in pairs
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    import ray.data
+
+    t, M = _embeddings()
+    ds = ray.data.from_arrow(t).repartition(3)
+    q = M[7]
+    got = brute_force_topk(ds, q, k=5)
+    got_ids = got["vec_id"].to_pylist()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    # engine computes from the float32-stored vectors
+    M32 = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    M32n = M32 / np.linalg.norm(M32, axis=1, keepdims=True)
+    sims = M32n @ (q / np.linalg.norm(q))
+    want = np.argsort(-sims, kind="stable")[:5].tolist()
+    assert got_ids == want
+    assert got_ids[0] == 7
+
+
+def test_ivf_topk_recall(ray_session):
+    import ray.data
+
+    t, M = _embeddings(n=500)
+    ds = ray.data.from_arrow(t).repartition(3)
+    q = M[3]
+    exact = brute_force_topk(ds, q, k=10)["vec_id"].to_pylist()
+    approx = ivf_topk(ds, q, k=10, n_lists=8, nprobe=4)["vec_id"].to_pylist()
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5
+    assert approx[0] == 3  # the query vector itself is always found
+
+
+def test_multimodal_decode(ray_session):
+    import ray.data
+
+    media = synth_media_batch(0, 64)
+    out = DecodeImage(decoder="fake")(media)
+    assert out.num_rows == 64
+    assert len(out["thumb"][0].as_py()) == 64
+    # deterministic
+    out2 = DecodeImage(decoder="fake")(media)
+    assert out["pix_mean"].to_pylist() == out2["pix_mean"].to_pylist()
+    # actor-pool path through Ray
+    ds = ray.data.from_arrow(media).repartition(2)
+    rows = decode_dataset(ds, batch_size=16, concurrency=2).take_all()
+    assert len(rows) == 64
+    # real decoders are stubbed with a clear error
+    with pytest.raises(NotImplementedError):
+        DecodeImage(decoder="pil")
+
+
+def test_frame_sampling():
+    media = synth_media_batch(0, 4, payload_bytes=8192)
+    out = SampleFrames(frame_bytes=1024, every=4)(media)
+    assert out.num_rows == 8  # 8 frames per payload, every 4th → 2 each
+    assert set(out["frame"].to_pylist()) == {0, 4}
+    assert all(len(p) == 1024 for p in out["payload"].to_pylist())
