@@ -203,8 +203,12 @@ def minhash_dedup(
     labels = labels.map_batches(
         lambda t: t.rename_columns(["doc_id", "cluster"]), batch_format="pyarrow"
     )
-    num_partitions = 16
+    num_partitions = 8
     for _ in range(max_iters - 1):
+        # materialize between rounds: labels are the SMALL (doc, cluster)
+        # projection, and without pinning, each lazy join would replay the
+        # whole LSH pipeline once per side per iteration
+        labels = labels.materialize()
         j = labels.join(
             labels,
             join_type="inner",

@@ -39,8 +39,12 @@ class BruteForceTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         M = _mat(batch[self.vec_col])
-        Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
-        sims = Mn @ self.Qn.T  # (n, nq)
+        # dot / (|m|·|q|): same formula shape as DuckDB's
+        # list_cosine_similarity, so oracle comparisons agree bit-for-bit
+        # on well-separated ranks
+        norms = np.maximum(np.linalg.norm(M, axis=1), 1e-30)
+        qn = np.maximum(np.linalg.norm(self.Q, axis=1), 1e-30)
+        sims = (M @ self.Q.T) / (norms[:, None] * qn[None, :])  # (n, nq)
         n, nq = sims.shape
         k = min(self.k, n)
         idx = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, nq)

@@ -1,0 +1,472 @@
+"""Driver-facing query battery: one entry per implemented operator.
+
+Each function takes ``sf_dir`` (a testdata scale directory) and returns
+a Dataset / pyarrow Table. ``ORACLE_SQL`` holds the DuckDB-equivalent
+ANSI SQL for every SQL-expressible query — column names match exactly
+(the driver hashes values after sorting columns by name).
+
+Monetary values are aggregated as integer cents
+(``CAST(floor(value*100 + 0.5) AS BIGINT)`` on both sides) so sums are
+exact under any addition order — float sums would differ in final ulps
+between the engine's partial aggregation and DuckDB's scan order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from beamium_ray.config import EngineConfig
+from beamium_ray.stages.filters import route_batch, whitelist_batch
+from beamium_ray.stages.parse import parse_table
+from beamium_ray.stages.relabel import relabel_batch
+from beamium_ray.stages.rollup import rollup_dataset
+
+US_1M = 60_000_000
+US_1H = 3_600_000_000
+US_1D = 86_400_000_000
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------- events → datapoint prep ----------
+
+
+def _events_points(batch: pa.Table) -> pa.Table:
+    """events → (series_key=event_type, ts µs, value=cents, order=event_id)."""
+    ts = pc.cast(batch["ts"], pa.int64())
+    v = np.floor(batch["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+    return pa.table(
+        {
+            "series_key": batch["event_type"],
+            "ts": ts,
+            "value": pa.array(v, pa.int64()),
+            "order": batch["event_id"],
+        }
+    )
+
+
+def _events_lines(batch: pa.Table) -> pa.Table:
+    """Compose the Prometheus text line for each event:
+    ``evt.<type>{user="<uid>"} <value> <ms>`` (P1 conformance on real data)."""
+    ms = pc.divide(pc.cast(batch["ts"], pa.int64()), 1000)
+    line = pc.binary_join_element_wise(
+        "evt.",
+        batch["event_type"],
+        '{user="',
+        pc.cast(batch["user_id"], pa.string()),
+        '"} ',
+        pc.cast(batch["value"], pa.string()),
+        " ",
+        pc.cast(ms, pa.string()),
+        "",
+    )
+    return pa.table({"line": line, "event_id": batch["event_id"]})
+
+
+def _rolled_events(sf_dir: str, tiers: dict[str, int], pick: str, gapfill: bool):
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value", "event_id"])
+    pts = ds.map_batches(_events_points, batch_format="pyarrow")
+    rolled = rollup_dataset(
+        pts, tiers, order_col="order", num_buckets=16, gapfill=gapfill
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["tier"], pick))
+        return pa.table(
+            {
+                "event_type": t["series_key"],
+                "window_start": t["window_start"],
+                "vmin": t["vmin"],
+                "vmax": t["vmax"],
+                "vsum": t["vsum"],
+                "n": t["n"],
+                "last": t["last"],
+            }
+        )
+
+    return rolled.map_batches(finalize, batch_format="pyarrow")
+
+
+def rollup_1m_events(sf_dir: str):
+    return _rolled_events(sf_dir, {"1m": US_1M}, "1m", gapfill=False)
+
+
+def rollup_1h_events(sf_dir: str):
+    # via the 1m→1h cascade (partial→final reuse), oracle-checked
+    return _rolled_events(sf_dir, {"1m": US_1M, "1h": US_1H}, "1h", gapfill=False)
+
+
+def rollup_1d_events(sf_dir: str):
+    return _rolled_events(
+        sf_dir, {"1m": US_1M, "1h": US_1H, "1d": US_1D}, "1d", gapfill=False
+    )
+
+
+def gapfill_1m_events(sf_dir: str):
+    return _rolled_events(sf_dir, {"1m": US_1M}, "1m", gapfill=True)
+
+
+def parse_prometheus_events(sf_dir: str):
+    """Full P1 parse of composed Prometheus lines (vs direct SQL projection)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "user_id", "value", "event_id"])
+
+    def go(b: pa.Table) -> pa.Table:
+        lined = _events_lines(b)
+        t = parse_table(lined, now=0, passthrough=["event_id"])
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "class": t["class"],
+                "labels": t["labels"],
+                "value": t["value"],
+            }
+        )
+
+    return ds.map_batches(go, batch_format="pyarrow")
+
+
+def relabel_events(sf_dir: str):
+    """P6+P7 on parsed real data: add env/dc labels, drop dc again."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "user_id", "value", "event_id"])
+
+    def go(b: pa.Table) -> pa.Table:
+        lined = _events_lines(b)
+        t = parse_table(lined, now=0, passthrough=["event_id"])
+        t = relabel_batch(t, add="env=prod,dc=gra1", drop=["dc"])
+        return pa.table({"event_id": t["event_id"], "labels": t["labels"]})
+
+    return ds.map_batches(go, batch_format="pyarrow")
+
+
+def route_selector_events(sf_dir: str):
+    """P10 sink selector (anchored ^ on the class{labels} token)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "user_id", "value", "event_id"])
+    sel = r"evt\.(click|view)"
+
+    def go(b: pa.Table) -> pa.Table:
+        lined = _events_lines(b)
+        t = parse_table(lined, now=0, passthrough=["event_id"])
+        t = route_batch(t, sel)
+        return pa.table(
+            {"event_id": t["event_id"], "class": t["class"], "labels": t["labels"]}
+        )
+
+    return ds.map_batches(go, batch_format="pyarrow")
+
+
+def whitelist_filter_events(sf_dir: str):
+    """P5 metric whitelist (unanchored, whole formatted line, ANY-of)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "user_id", "value", "event_id"])
+    patterns = [r"evt\.(error|signup)", r"user=1[0-9]\}"]
+
+    def go(b: pa.Table) -> pa.Table:
+        lined = _events_lines(b)
+        t = parse_table(lined, now=0, passthrough=["event_id"])
+        t = whitelist_batch(t, patterns)
+        return pa.table({"event_id": t["event_id"]})
+
+    return ds.map_batches(go, batch_format="pyarrow")
+
+
+def topk_users_events(sf_dir: str):
+    """groupby + sort + limit (Ray native aggregate over cents)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = np.floor(b["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        return pa.table({"user_id": b["user_id"], "cents": pa.array(v, pa.int64())})
+
+    agg = (
+        ds.map_batches(cents, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("cents", alias_name="vsum"), Count(alias_name="n"))
+    )
+    return agg.sort(["vsum", "user_id"], descending=[True, False]).limit(10)
+
+
+# ---------- documents ----------
+
+
+def dedup_exact_docs(sf_dir: str):
+    from beamium_ray.datapipe.dedup import exact_dedup
+
+    return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def token_count_docs(sf_dir: str):
+    from beamium_ray.datapipe.textstats import token_count_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pyarrow"
+    )
+
+
+def quality_score_docs(sf_dir: str):
+    from beamium_ray.datapipe.textstats import quality_score_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        quality_score_batch, batch_format="pyarrow"
+    )
+
+
+def lang_id_docs(sf_dir: str):
+    from beamium_ray.datapipe.textstats import LangId
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", concurrency=2
+    )
+
+
+def fingerprint_docs(sf_dir: str):
+    from beamium_ray.datapipe.textstats import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )
+    return ds.select_columns(["doc_id", "fingerprint"])
+
+
+def dedup_minhash_docs(sf_dir: str):
+    from beamium_ray.datapipe.dedup import minhash_dedup
+
+    return minhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def dedup_simhash_docs(sf_dir: str):
+    from beamium_ray.datapipe.dedup import simhash_candidates
+
+    return simhash_candidates(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+# ---------- embeddings ----------
+
+
+def simsearch_topk_embeddings(sf_dir: str):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding (float64)."""
+    import pyarrow.parquet as pq
+
+    from beamium_ray.datapipe.similarity import brute_force_topk
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.array(
+        qt.filter(pc.equal(qt["vec_id"], 0))["embedding"][0].as_py(),
+        dtype=np.float64,
+    )
+    out = brute_force_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), q, k=10
+    )
+    return out.select(["vec_id"])
+
+
+def simsearch_ivf_embeddings(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from beamium_ray.datapipe.similarity import ivf_topk
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.array(
+        qt.filter(pc.equal(qt["vec_id"], 0))["embedding"][0].as_py(),
+        dtype=np.float64,
+    )
+    return ivf_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), q, k=10
+    ).select(["vec_id"])
+
+
+def embedding_neardup_embeddings(sf_dir: str):
+    from beamium_ray.datapipe.dedup import embedding_neardup
+
+    out = embedding_neardup(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.95
+    )
+    return out.select_columns(["a", "b"])
+
+
+# ---------- flagship over synthesized sequences ----------
+
+
+def flagship_rollup_1m(sf_dir: str):
+    """Full engine pipeline over the tokenized-sequence table derived
+    deterministically from documents doc_ids (rows-only check)."""
+    from beamium_ray.pipelines.rollup_pipeline import (
+        flagship,
+        sequences_from_documents_batch,
+    )
+
+    seq = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        sequences_from_documents_batch, batch_format="pyarrow"
+    )
+    cfg = EngineConfig(labels="env=prod", num_buckets=16)
+    _, rolled = flagship(seq, cfg)
+
+    def pick(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["tier"], "1m"))
+        return t.drop_columns(["tier", "last_ts", "last_order"])
+
+    return rolled.map_batches(pick, batch_format="pyarrow")
+
+
+def multimodal_decode(sf_dir: str):
+    """Actor-pool decode over synthetic media (rows-only check)."""
+    import ray.data
+
+    from beamium_ray.datapipe.multimodal import decode_dataset, synth_media_batch
+
+    media = ray.data.from_arrow(synth_media_batch(0, 512))
+    return decode_dataset(media, batch_size=64, concurrency=2).select_columns(
+        ["media_id", "pix_mean", "pix_std"]
+    )
+
+
+# ---------- oracle SQL ----------
+
+_CENTS = "CAST(floor(value*100 + 0.5) AS BIGINT)"
+
+
+def _rollup_sql(tier_us: int) -> str:
+    return f"""
+WITH w AS (
+  SELECT event_type,
+         epoch_us(ts) - (epoch_us(ts) % {tier_us}) AS window_start,
+         {_CENTS} AS v, epoch_us(ts) AS ts_us, event_id,
+         row_number() OVER (
+           PARTITION BY event_type, epoch_us(ts) - (epoch_us(ts) % {tier_us})
+           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events)
+SELECT event_type, window_start,
+       min(v) AS vmin, max(v) AS vmax, CAST(sum(v) AS BIGINT) AS vsum,
+       count(*) AS n, max(CASE WHEN rn = 1 THEN v END) AS last
+FROM w GROUP BY 1, 2
+"""
+
+
+_GAPFILL_SQL = f"""
+WITH w AS (
+  SELECT event_type,
+         epoch_us(ts) - (epoch_us(ts) % {US_1M}) AS window_start,
+         {_CENTS} AS v, epoch_us(ts) AS ts_us, event_id,
+         row_number() OVER (
+           PARTITION BY event_type, epoch_us(ts) - (epoch_us(ts) % {US_1M})
+           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events),
+agg AS (
+  SELECT event_type, window_start,
+         min(v) AS vmin, max(v) AS vmax, CAST(sum(v) AS BIGINT) AS vsum,
+         count(*) AS n, max(CASE WHEN rn = 1 THEN v END) AS last
+  FROM w GROUP BY 1, 2),
+bounds AS (SELECT event_type, min(window_start) lo, max(window_start) hi
+           FROM agg GROUP BY 1),
+dense AS (
+  SELECT b.event_type, unnest(generate_series(b.lo, b.hi, {US_1M})) AS window_start
+  FROM bounds b)
+SELECT d.event_type, d.window_start, a.vmin, a.vmax, a.vsum,
+       coalesce(a.n, 0) AS n, a.last
+FROM dense d LEFT JOIN agg a
+  ON d.event_type = a.event_type AND d.window_start = a.window_start
+"""
+
+_CLASS_TOKEN = "'evt.' || event_type || '{user=' || CAST(user_id AS VARCHAR) || '}'"
+
+ORACLE_SQL: dict[str, str] = {
+    "rollup_1m_events": _rollup_sql(US_1M),
+    "rollup_1h_events": _rollup_sql(US_1H),
+    "rollup_1d_events": _rollup_sql(US_1D),
+    "gapfill_1m_events": _GAPFILL_SQL,
+    "parse_prometheus_events": """
+SELECT event_id,
+       (epoch_us(ts) // 1000) * 1000 AS ts,
+       'evt.' || event_type AS class,
+       'user=' || CAST(user_id AS VARCHAR) AS labels,
+       value
+FROM events
+""",
+    "relabel_events": """
+SELECT event_id, 'env=prod,user=' || CAST(user_id AS VARCHAR) AS labels
+FROM events
+""",
+    "route_selector_events": f"""
+SELECT event_id, 'evt.' || event_type AS class,
+       'user=' || CAST(user_id AS VARCHAR) AS labels
+FROM events
+WHERE regexp_matches({_CLASS_TOKEN}, '^evt\\.(click|view)')
+""",
+    "whitelist_filter_events": f"""
+SELECT event_id FROM events
+WHERE regexp_matches({_CLASS_TOKEN}, 'evt\\.(error|signup)')
+   OR regexp_matches({_CLASS_TOKEN}, 'user=1[0-9]}}')
+""",
+    "topk_users_events": f"""
+SELECT user_id, CAST(sum({_CENTS}) AS BIGINT) AS vsum, count(*) AS n
+FROM events GROUP BY user_id
+ORDER BY vsum DESC, user_id LIMIT 10
+""",
+    "dedup_exact_docs": """
+SELECT min(doc_id) AS doc_id, count(*) AS n FROM documents GROUP BY text
+""",
+    "token_count_docs": r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+       END AS n_tok_ws
+FROM documents
+""",
+    "quality_score_docs": """
+WITH c AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+         CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+  FROM documents)
+SELECT doc_id, n_chars, n_punct,
+       CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS punct_ratio,
+       n_upper,
+       CAST(n_upper AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS upper_ratio,
+       n_digit,
+       CAST(n_digit AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS digit_ratio
+FROM c
+""",
+    "simsearch_topk_embeddings": """
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id
+FROM embeddings e, q
+ORDER BY list_cosine_similarity(
+           CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+         e.vec_id
+LIMIT 10
+""",
+}
+
+
+QUERIES = {
+    "rollup_1m_events": rollup_1m_events,
+    "rollup_1h_events": rollup_1h_events,
+    "rollup_1d_events": rollup_1d_events,
+    "gapfill_1m_events": gapfill_1m_events,
+    "parse_prometheus_events": parse_prometheus_events,
+    "relabel_events": relabel_events,
+    "route_selector_events": route_selector_events,
+    "whitelist_filter_events": whitelist_filter_events,
+    "topk_users_events": topk_users_events,
+    "dedup_exact_docs": dedup_exact_docs,
+    "token_count_docs": token_count_docs,
+    "quality_score_docs": quality_score_docs,
+    "lang_id_docs": lang_id_docs,
+    "fingerprint_docs": fingerprint_docs,
+    "dedup_minhash_docs": dedup_minhash_docs,
+    "dedup_simhash_docs": dedup_simhash_docs,
+    "simsearch_topk_embeddings": simsearch_topk_embeddings,
+    "simsearch_ivf_embeddings": simsearch_ivf_embeddings,
+    "embedding_neardup_embeddings": embedding_neardup_embeddings,
+    "flagship_rollup_1m": flagship_rollup_1m,
+    "multimodal_decode": multimodal_decode,
+}

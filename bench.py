@@ -1,0 +1,185 @@
+"""Benchmark harness: headline rollup pipeline + query battery.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "points_per_sec": ...}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32),
+     BENCH_HEADLINE_ONLY=1 to skip the query battery (used by --scaling).
+
+--scaling: runs the headline twice in FRESH processes at num_cpus=8 and
+num_cpus=32 over the same input (cluster-size criterion, evidenced via
+CPU-count proxy in this sandbox) and prints throughput + efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DATA_ROOT = "/tmp/beamium_bench"
+
+# headline input size scales with the sf directory
+_SF_ROWS = {"sf0.001": 40_000, "sf0.01": 400_000, "sf0.1": 2_000_000}
+
+
+def sf_name() -> str:
+    return os.path.basename(os.path.normpath(SF_DIR))
+
+
+def ensure_bench_data() -> tuple[str, int]:
+    """Generate (once, cached) the tokenized-sequence table for this sf."""
+    from beamium_ray.sources.tokens import generate_dataset
+
+    n_rows = _SF_ROWS.get(sf_name(), 400_000)
+    out = os.path.join(BENCH_DATA_ROOT, f"seq_{n_rows}")
+    paths = generate_dataset(out, n_rows, rows_per_file=100_000)
+    return out, n_rows
+
+
+def run_headline() -> dict:
+    """Flagship: read sequences → derive+parse(Prometheus text)+relabel →
+    windowed rollup 1m/1h/1d with gap-fill → consume counts.
+
+    Columns are pruned at the read: the rollup needs only
+    (doc_id, n_tok, source); the heavy tokens column never leaves disk.
+    """
+    import pyarrow.compute as pc
+    import ray.data
+
+    from beamium_ray.config import EngineConfig
+    from beamium_ray.pipelines.rollup_pipeline import flagship
+
+    data_dir, n_rows = ensure_bench_data()
+    cfg = EngineConfig(labels="env=bench", num_buckets=max(64, NUM_CPUS * 4))
+
+    # warm page cache so both scaling runs measure compute, not first read
+    ds_warm = ray.data.read_parquet(data_dir, columns=["doc_id", "n_tok", "source"])
+    ds_warm.count()
+
+    t0 = time.perf_counter()
+    seq = ray.data.read_parquet(data_dir, columns=["doc_id", "n_tok", "source"])
+    _, rolled = flagship(seq, cfg, mode="lines")
+    total_points = 0
+    total_windows = 0
+    for b in rolled.iter_batches(batch_format="pyarrow"):
+        m = pc.equal(b["tier"], "1m")
+        total_points += pc.sum(pc.if_else(m, b["n"], 0)).as_py() or 0
+        total_windows += b.num_rows
+    sec = time.perf_counter() - t0
+    return {
+        "sec": sec,
+        "rows_in": n_rows,
+        "points_rolled": int(total_points),
+        "windows": int(total_windows),
+        "points_per_sec": int(total_points / sec) if sec > 0 else 0,
+    }
+
+
+QUERY_NAMES = [
+    "rollup_1m_events",
+    "rollup_1h_events",
+    "gapfill_1m_events",
+    "parse_prometheus_events",
+    "dedup_exact_docs",
+    "dedup_minhash_docs",
+    "token_count_docs",
+    "quality_score_docs",
+    "simsearch_topk_embeddings",
+]
+
+
+def run_queries() -> dict[str, float]:
+    from beamium_ray.queries import QUERIES
+
+    out = {}
+    for name in QUERY_NAMES:
+        t0 = time.perf_counter()
+        res = QUERIES[name](SF_DIR)
+        # consume
+        if hasattr(res, "iter_batches"):
+            for _ in res.iter_batches(batch_format="pyarrow"):
+                pass
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    head = run_headline()
+    queries = {} if os.environ.get("BENCH_HEADLINE_ONLY") else run_queries()
+    result = {
+        "metric": "flagship_rollup_sec",
+        "value": round(head["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_name(),
+        "num_cpus": NUM_CPUS,
+        "rows_in": head["rows_in"],
+        "points_rolled": head["points_rolled"],
+        "points_per_sec": head["points_per_sec"],
+    }
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+def scaling():
+    def run(ncpu: int) -> dict:
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_HEADLINE_ONLY="1"
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    speedup = r_lo["value"] / r_hi["value"]
+    eff = speedup / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "cpus_lo": lo,
+                "cpus_hi": hi,
+                "sec_lo": r_lo["value"],
+                "sec_hi": r_hi["value"],
+                "points_per_sec_lo": r_lo["points_per_sec"],
+                "points_per_sec_hi": r_hi["points_per_sec"],
+                "speedup": round(speedup, 3),
+                "scaling_efficiency": round(eff, 3),
+                "sf": r_hi["sf"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()
