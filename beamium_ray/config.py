@@ -35,6 +35,7 @@ class EngineConfig:
     # rollup
     tiers: dict[str, int] = field(default_factory=lambda: dict(DEFAULT_TIERS))
     num_buckets: int = 64  # series_key hash buckets (the one shuffle)
+    shuffle_blocks: int | None = None  # coalesce partials pre-shuffle (~CPUs)
     gapfill: bool = True
 
     # retention (reference DFO bounds, src/sink.rs:102-221)

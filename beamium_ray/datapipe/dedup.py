@@ -52,6 +52,7 @@ def exact_dedup(
         ds.map_batches(
             lambda b: exact_partial_batch(b, text_col, id_col, num_buckets),
             batch_format="pyarrow",
+            batch_size=None,
         )
         .groupby("bucket")
         .map_groups(exact_merge_group, batch_format="pyarrow")
@@ -190,6 +191,7 @@ def minhash_dedup(
         ds.map_batches(
             lambda b: minhash_bands_batch(b, text_col, id_col, num_perm, bands, k),
             batch_format="pyarrow",
+            batch_size=None,
         )
         .groupby(["band", "band_hash"])
         .map_groups(lsh_star_edges, batch_format="pyarrow")
@@ -228,7 +230,7 @@ def minhash_dedup(
             did = t["doc_id_l"] if "doc_id_l" in cols else t["doc_id"]
             return pa.table({"doc_id": did, "cluster": new})
 
-        labels = j.map_batches(_pick, batch_format="pyarrow")
+        labels = j.map_batches(_pick, batch_format="pyarrow", batch_size=None)
     return labels
 
 
@@ -331,7 +333,7 @@ def jaccard_pairs(
 
     docs = pa.concat_tables(
         list(
-            ds.map_batches(grab, batch_format="pyarrow").iter_batches(
+            ds.map_batches(grab, batch_format="pyarrow", batch_size=None).iter_batches(
                 batch_format="pyarrow"
             )
         )
@@ -419,7 +421,7 @@ def embedding_neardup(
         )
 
     return (
-        ds.map_batches(sketch, batch_format="pyarrow")
+        ds.map_batches(sketch, batch_format="pyarrow", batch_size=None)
         .groupby("key")
         .map_groups(verify, batch_format="pyarrow")
     )

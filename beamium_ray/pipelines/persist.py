@@ -138,10 +138,11 @@ def rollup_to_blocks(
     narrow = dp_ds.select_columns(
         [c for c in [key_col, "ts", "value", order_col] if c]
     )
-    result = (
-        narrow.map_batches(_partial, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(_merge, batch_format="pyarrow")
+    partials = narrow.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+    if cfg.shuffle_blocks:
+        partials = partials.repartition(cfg.shuffle_blocks)
+    result = partials.groupby("bucket").map_groups(
+        _merge, batch_format="pyarrow"
     )
     manifest_rows = pa.concat_tables(
         list(result.iter_batches(batch_format="pyarrow"))

@@ -46,8 +46,8 @@ def sequences_from_documents_batch(batch: pa.Table) -> pa.Table:
     total = int(n_tok.sum(dtype=np.int64))
     rid = np.repeat(i, n_tok)
     off = np.concatenate(([0], np.cumsum(n_tok, dtype=np.int64)))
-    ar = np.arange(total, dtype=np.int64)
-    j = (ar - off[np.searchsorted(off, ar, side="right") - 1]).astype(np.uint64)
+    row_of = np.repeat(np.arange(len(i), dtype=np.int64), n_tok)
+    j = (np.arange(total, dtype=np.int64) - off[row_of]).astype(np.uint64)
     toks = (splitmix64((rid << np.uint64(20)) ^ j) % np.uint64(VOCAB)).astype(np.int32)
     return pa.table(
         {
@@ -79,7 +79,8 @@ class DeriveParseRelabel:
         cfg = self.cfg
         if self.mode == "lines":
             lined = derive_lines_batch(batch, self.now)
-            t = parse_table(lined, self.now, "line", PAYLOAD_COLS)
+            passthrough = [c for c in PAYLOAD_COLS if c in lined.column_names]
+            t = parse_table(lined, self.now, "line", passthrough)
         else:
             t = derive_columns_batch(batch, self.now)
             t = t.drop_columns(["series_key"])
@@ -109,7 +110,10 @@ class DeriveParseRelabel:
 def datapoints(seq_ds, cfg: EngineConfig, now_us: int = DEFAULT_NOW_US, mode: str = "columns"):
     """sequences Dataset → datapoint Dataset (payload carried along)."""
     return seq_ds.map_batches(
-        DeriveParseRelabel(cfg, now_us, mode), batch_format="pyarrow"
+        DeriveParseRelabel(cfg, now_us, mode),
+        batch_format="pyarrow",
+        batch_size=None,  # whole-block batches: the kernels are fully
+        # vectorized, so bigger batches amortize fixed kernel overhead
     )
 
 
@@ -122,6 +126,7 @@ def rollup_from_datapoints(dp_ds, cfg: EngineConfig):
         order_col="order",
         num_buckets=cfg.num_buckets,
         gapfill=cfg.gapfill,
+        shuffle_blocks=cfg.shuffle_blocks,
     )
 
 

@@ -71,7 +71,7 @@ def _events_lines(batch: pa.Table) -> pa.Table:
 
 def _rolled_events(sf_dir: str, tiers: dict[str, int], pick: str, gapfill: bool):
     ds = _read(sf_dir, "events", ["ts", "event_type", "value", "event_id"])
-    pts = ds.map_batches(_events_points, batch_format="pyarrow")
+    pts = ds.map_batches(_events_points, batch_format="pyarrow", batch_size=None)
     rolled = rollup_dataset(
         pts, tiers, order_col="order", num_buckets=16, gapfill=gapfill
     )
@@ -90,7 +90,7 @@ def _rolled_events(sf_dir: str, tiers: dict[str, int], pick: str, gapfill: bool)
             }
         )
 
-    return rolled.map_batches(finalize, batch_format="pyarrow")
+    return rolled.map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
 
 def rollup_1m_events(sf_dir: str):
@@ -129,7 +129,7 @@ def parse_prometheus_events(sf_dir: str):
             }
         )
 
-    return ds.map_batches(go, batch_format="pyarrow")
+    return ds.map_batches(go, batch_format="pyarrow", batch_size=None)
 
 
 def relabel_events(sf_dir: str):
@@ -142,7 +142,7 @@ def relabel_events(sf_dir: str):
         t = relabel_batch(t, add="env=prod,dc=gra1", drop=["dc"])
         return pa.table({"event_id": t["event_id"], "labels": t["labels"]})
 
-    return ds.map_batches(go, batch_format="pyarrow")
+    return ds.map_batches(go, batch_format="pyarrow", batch_size=None)
 
 
 def route_selector_events(sf_dir: str):
@@ -158,7 +158,7 @@ def route_selector_events(sf_dir: str):
             {"event_id": t["event_id"], "class": t["class"], "labels": t["labels"]}
         )
 
-    return ds.map_batches(go, batch_format="pyarrow")
+    return ds.map_batches(go, batch_format="pyarrow", batch_size=None)
 
 
 def whitelist_filter_events(sf_dir: str):
@@ -172,7 +172,7 @@ def whitelist_filter_events(sf_dir: str):
         t = whitelist_batch(t, patterns)
         return pa.table({"event_id": t["event_id"]})
 
-    return ds.map_batches(go, batch_format="pyarrow")
+    return ds.map_batches(go, batch_format="pyarrow", batch_size=None)
 
 
 def topk_users_events(sf_dir: str):
@@ -186,7 +186,7 @@ def topk_users_events(sf_dir: str):
         return pa.table({"user_id": b["user_id"], "cents": pa.array(v, pa.int64())})
 
     agg = (
-        ds.map_batches(cents, batch_format="pyarrow")
+        ds.map_batches(cents, batch_format="pyarrow", batch_size=None)
         .groupby("user_id")
         .aggregate(Sum("cents", alias_name="vsum"), Count(alias_name="n"))
     )
@@ -312,7 +312,7 @@ def flagship_rollup_1m(sf_dir: str):
         t = t.filter(pc.equal(t["tier"], "1m"))
         return t.drop_columns(["tier", "last_ts", "last_order"])
 
-    return rolled.map_batches(pick, batch_format="pyarrow")
+    return rolled.map_batches(pick, batch_format="pyarrow", batch_size=None)
 
 
 def multimodal_decode(sf_dir: str):

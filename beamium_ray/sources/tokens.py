@@ -41,9 +41,9 @@ def make_chunk(start: int, n: int) -> pa.Table:
 
     total = int(n_tok.sum(dtype=np.int64))
     rid = np.repeat(i, n_tok)
-    j = np.arange(total, dtype=np.int64)
     off = np.concatenate(([0], np.cumsum(n_tok, dtype=np.int64)))
-    j = (j - off[np.searchsorted(off, j, side="right") - 1]).astype(np.uint64)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), n_tok)
+    j = (np.arange(total, dtype=np.int64) - off[row_of]).astype(np.uint64)
     toks = (splitmix64((rid << np.uint64(20)) ^ j) % np.uint64(VOCAB)).astype(
         np.int32
     )
@@ -61,22 +61,49 @@ def make_chunk(start: int, n: int) -> pa.Table:
     )
 
 
+def _write_chunk(out_dir: str, fidx: int, start: int, n: int) -> str:
+    path = os.path.join(out_dir, f"sequences-{fidx:05d}.parquet")
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pq.write_table(make_chunk(start, n), tmp)
+        os.replace(tmp, path)  # atomic finalize (ref scraper.rs:253-265)
+    return path
+
+
 def generate_dataset(
     out_dir: str, n_rows: int, rows_per_file: int = 100_000
 ) -> list[str]:
-    """Write the synthetic table as one-or-more parquet files; idempotent."""
+    """Write the synthetic table as parquet files; idempotent (chunk
+    content is a pure function of the row range). Parallelized with Ray
+    tasks when a Ray session is up."""
     os.makedirs(out_dir, exist_ok=True)
-    paths = []
+    jobs = []
     for fidx, start in enumerate(range(0, n_rows, rows_per_file)):
-        n = min(rows_per_file, n_rows - start)
-        path = os.path.join(out_dir, f"sequences-{fidx:05d}.parquet")
-        paths.append(path)
-        if os.path.exists(path):
-            continue
-        tmp = path + ".tmp"
-        pq.write_table(make_chunk(start, n), tmp)
-        os.replace(tmp, path)  # atomic finalize (ref scraper.rs:253-265)
-    return paths
+        jobs.append((fidx, start, min(rows_per_file, n_rows - start)))
+    try:
+        import ray
+
+        use_ray = ray.is_initialized()
+    except ImportError:  # pragma: no cover
+        use_ray = False
+    todo = [
+        j
+        for j in jobs
+        if not os.path.exists(
+            os.path.join(out_dir, f"sequences-{j[0]:05d}.parquet")
+        )
+    ]
+    if use_ray and len(todo) > 1:
+        import ray
+
+        w = ray.remote(num_cpus=1)(_write_chunk)
+        ray.get([w.remote(out_dir, f, s, n) for f, s, n in todo])
+    else:
+        for f, s, n in todo:
+            _write_chunk(out_dir, f, s, n)
+    return [
+        os.path.join(out_dir, f"sequences-{f:05d}.parquet") for f, _, _ in jobs
+    ]
 
 
 def read_sequences(paths: str | list[str], columns: list[str] | None = None):

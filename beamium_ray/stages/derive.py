@@ -33,7 +33,11 @@ import pyarrow.compute as pc
 from beamium_ray.functions.hashing import hash64, splitmix64
 
 T0_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z
-STEP_US = 1_000_000  # one datapoint per second of "scrape time"
+# 20 datapoints per second across the stream → with ~64 series a 1m
+# window holds ~19 points per series (realistic rollup density; the
+# per-batch combiner then reduces ~19×, so the shuffle moves ~5% of the
+# points — the property the partial→final design relies on at scale)
+STEP_US = 50_000
 _TS_NULL_SALT = np.uint64(0x7A57_0001)
 _VAL_SALT = np.uint64(0x7A57_0002)
 DEFAULT_NOW_US = 1_700_100_000_000_000  # deterministic per-run "scrape now"
@@ -103,21 +107,18 @@ def derive_columns_batch(batch: pa.Table, now_us: int = DEFAULT_NOW_US) -> pa.Ta
     series_key = pc.binary_join_element_wise(
         f["class"], "{", f["labels"], "}", ""
     )
-    t = pa.table(
-        {
-            "ts": pa.array(f["ts"], pa.int64()),
-            "class": f["class"],
-            "labels": f["labels"],
-            "value": pa.array(f["value"], pa.float64()),
-            "series_key": series_key,
-            "order": pa.array(f["i"].astype(np.int64), pa.int64()),
-            "doc_id": batch["doc_id"],
-            "tokens": batch["tokens"],
-            "n_tok": batch["n_tok"],
-            "source": batch["source"],
-        }
-    )
-    return t.filter(pa.array(keep))
+    cols = {
+        "ts": pa.array(f["ts"], pa.int64()),
+        "class": f["class"],
+        "labels": f["labels"],
+        "value": pa.array(f["value"], pa.float64()),
+        "series_key": series_key,
+        "order": pa.array(f["i"].astype(np.int64), pa.int64()),
+    }
+    for name in ("doc_id", "tokens", "n_tok", "source"):
+        if name in batch.column_names:  # payload passthrough; column-pruned
+            cols[name] = batch[name]  # reads may omit the heavy tokens
+    return pa.table(cols).filter(pa.array(keep))
 
 
 def derive_lines_batch(batch: pa.Table, now_us: int = DEFAULT_NOW_US) -> pa.Table:
@@ -161,13 +162,11 @@ def derive_lines_batch(batch: pa.Table, now_us: int = DEFAULT_NOW_US) -> pa.Tabl
         ts_tok,
         "",
     )
-    return pa.table(
-        {
-            "line": line,
-            "order": pa.array(i.astype(np.int64), pa.int64()),
-            "doc_id": batch["doc_id"],
-            "tokens": batch["tokens"],
-            "n_tok": batch["n_tok"],
-            "source": batch["source"],
-        }
-    )
+    cols = {
+        "line": line,
+        "order": pa.array(i.astype(np.int64), pa.int64()),
+    }
+    for name in ("doc_id", "tokens", "n_tok", "source"):
+        if name in batch.column_names:
+            cols[name] = batch[name]
+    return pa.table(cols)

@@ -303,11 +303,19 @@ def rollup_dataset(
     order_col: str | None = None,
     num_buckets: int = 64,
     gapfill: bool = True,
+    shuffle_blocks: int | None = None,
 ):
     """Full Ray Data rollup pipeline over a datapoint Dataset.
 
     Returns a Dataset of (tier, series_key, window_start, vmin, vmax,
     vsum, n, last, last_ts, last_order) rows. One shuffle (bucket).
+
+    ``shuffle_blocks``: coalesce the (already combiner-reduced) partials
+    to this many blocks before the groupby. The shuffle's fixed cost
+    scales with input-block count, not bytes — after a ~20× combiner
+    reduction, hundreds of tiny partial blocks would pay hundreds of
+    sort/exchange task overheads. Size it to ~the CPU count (cluster
+    size), never to the input size.
     """
     base_us = min(tiers.values())
 
@@ -319,5 +327,7 @@ def rollup_dataset(
     def _merge(group: pa.Table) -> pa.Table:
         return merge_cascade_gapfill(group, tiers, gapfill)
 
-    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    partials = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+    if shuffle_blocks:
+        partials = partials.repartition(shuffle_blocks)
     return partials.groupby("bucket").map_groups(_merge, batch_format="pyarrow")
