@@ -177,7 +177,7 @@ def minhash_dedup(
     num_perm: int = 128,
     bands: int = 32,
     k: int = 5,
-    max_iters: int = 4,
+    max_iters: int = 2,
 ):
     """Near-dup clusters via MinHash-LSH + distributed min-label propagation.
 

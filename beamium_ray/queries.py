@@ -73,7 +73,8 @@ def _rolled_events(sf_dir: str, tiers: dict[str, int], pick: str, gapfill: bool)
     ds = _read(sf_dir, "events", ["ts", "event_type", "value", "event_id"])
     pts = ds.map_batches(_events_points, batch_format="pyarrow", batch_size=None)
     rolled = rollup_dataset(
-        pts, tiers, order_col="order", num_buckets=16, gapfill=gapfill
+        pts, tiers, order_col="order", num_buckets=16, gapfill=gapfill,
+        shuffle_blocks=8,
     )
 
     def finalize(t: pa.Table) -> pa.Table:

@@ -77,6 +77,11 @@ def run_headline() -> dict:
     _, warm_rolled = flagship(warm_seq, cfg, mode="lines")
     for _ in warm_rolled.iter_batches(batch_format="pyarrow"):
         pass
+    # page-cache warm must READ the bytes — parquet count() only touches
+    # footers, which is why a count-based warm-up measures disk, not CPU
+    ray.data.read_parquet(data_dir, **read_kw).map_batches(
+        lambda b: b.slice(0, 1), batch_format="pyarrow", batch_size=None
+    ).count()
 
     t0 = time.perf_counter()
     seq = ray.data.read_parquet(data_dir, **read_kw)
