@@ -49,3 +49,55 @@ class EngineConfig:
     def config_hash(self) -> str:
         blob = json.dumps(asdict(self), sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
+
+    @classmethod
+    def from_dict(cls, raw: dict, env: dict | None = None) -> "EngineConfig":
+        """Build from a plain dict (parsed YAML/JSON), applying the
+        reference's env-injection rules (``src/conf.rs:246-265,588-609``):
+
+        - label values of the form ``env:VAR`` resolve from the
+          environment (error if unset, like the reference);
+        - ``BEAMIUM_LABEL_<NAME>=<value>`` env vars append extra labels
+          (name lowercased).
+        """
+        import os as _os
+
+        env = dict(_os.environ if env is None else env)
+        known = {f.name for f in __import__("dataclasses").fields(cls)}
+        kwargs = {k: v for k, v in raw.items() if k in known}
+
+        # labels may be given as a mapping -> canonical "k=v,k=v" string
+        labels = kwargs.get("labels", "")
+        if isinstance(labels, dict):
+            items = []
+            for k, v in labels.items():
+                v = str(v)
+                if v.startswith("env:"):
+                    var = v[4:]
+                    if var not in env:
+                        raise KeyError(f"label {k}: environment variable {var} is unset")
+                    v = env[var]
+                items.append(f"{k}={v}")
+            labels = ",".join(items)
+        extra = [
+            f"{name[len('BEAMIUM_LABEL_'):].lower()}={val}"
+            for name, val in sorted(env.items())
+            if name.startswith("BEAMIUM_LABEL_")
+        ]
+        if extra:
+            labels = ",".join(([labels] if labels else []) + extra)
+        kwargs["labels"] = labels
+        return cls(**kwargs)
+
+    @classmethod
+    def from_yaml(cls, path: str, env: dict | None = None) -> "EngineConfig":
+        """Load from a YAML (or JSON — YAML superset) config file."""
+        try:
+            import yaml
+
+            with open(path) as f:
+                raw = yaml.safe_load(f) or {}
+        except ImportError:  # no PyYAML in env: accept JSON configs
+            with open(path) as f:
+                raw = json.load(f)
+        return cls.from_dict(raw, env)

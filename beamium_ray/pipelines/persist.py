@@ -57,6 +57,11 @@ def _encode_and_commit(
     """Per-bucket merge → encode per tier → atomic block write → manifest."""
     if group.num_rows == 0:
         return MANIFEST_ROW_SCHEMA.empty_table()
+    delay = float(os.environ.get("BEAMIUM_TEST_COMMIT_DELAY", "0") or 0)
+    if delay:  # test hook: widen the kill window for crash-resume tests
+        import time
+
+        time.sleep(delay)
     bucket = int(group["bucket"][0].as_py())
     rolled = merge_cascade_gapfill(group, tiers, gapfill)
 

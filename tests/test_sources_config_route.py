@@ -1,0 +1,184 @@
+"""Text-line sources, YAML config surface, router multicast writes,
+and true SIGKILL crash-resume."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import signal
+import subprocess
+import sys
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from beamium_ray import oracle
+from beamium_ray.config import EngineConfig
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_read_metric_lines_and_parse(ray_session, tmp_path):
+    from beamium_ray.sources.lines import parse_lines_dataset, read_metric_lines
+
+    d = tmp_path / "src"
+    d.mkdir()
+    (d / "a-1.metrics").write_text(
+        'f{job_id="123"} 10 1484828198557\n# comment\nf{} +Inf\nbare_metric 7\n'
+    )
+    (d / "b-2.metrics").write_text('g{x="1 3"} 2.5\n')
+    (d / "ignored.txt").write_text("not_scanned 1\n")
+
+    ds = read_metric_lines(str(d))
+    parsed = parse_lines_dataset(ds, "prometheus", now_us=99)
+    lines = sorted(r["line"] for r in parsed.take_all())
+    want = sorted(
+        [
+            oracle.format_prometheus('f{job_id="123"} 10 1484828198557', 99),
+            oracle.format_prometheus("bare_metric 7", 99),
+            oracle.format_prometheus('g{x="1 3"} 2.5', 99),
+        ]
+    )
+    assert lines == want  # comments/Inf dropped, .txt not scanned
+
+    # sensision passthrough = trim only
+    sens = parse_lines_dataset(read_metric_lines(str(d)), "sensision")
+    assert all("\n" not in r["line"] for r in sens.take_all())
+
+
+def test_config_from_yaml_and_env_labels(tmp_path):
+    cfgfile = tmp_path / "conf.json"
+    cfgfile.write_text(
+        json.dumps(
+            {
+                "labels": {"host": "env:TEST_HOSTNAME", "dc": "gra"},
+                "filtered_labels": ["secret"],
+                "num_buckets": 32,
+                "ignored_unknown_key": 1,
+            }
+        )
+    )
+    env = {"TEST_HOSTNAME": "node-7", "BEAMIUM_LABEL_RACK": "r12"}
+    cfg = EngineConfig.from_yaml(str(cfgfile), env=env)
+    assert cfg.labels == "host=node-7,dc=gra,rack=r12"
+    assert cfg.filtered_labels == ["secret"]
+    assert cfg.num_buckets == 32
+    with pytest.raises(KeyError):
+        EngineConfig.from_dict({"labels": {"h": "env:UNSET_VAR_X"}}, env={})
+
+
+def test_route_sinks_multicast_and_write(ray_session, tmp_path):
+    import ray.data
+
+    from beamium_ray.pipelines.route import route_sinks, write_routed
+
+    t = pa.table(
+        {
+            "ts": pa.array([1, 2, 3], pa.int64()),
+            "class": pa.array(["evt.click", "evt.view", "other.x"]),
+            "labels": pa.array(["a=1", "a=2", "a=3"]),
+            "value_str": pa.array(["1", "2", "3"]),
+            "value": pa.array([1.0, 2.0, 3.0]),
+        }
+    )
+    dp = ray.data.from_arrow(t)
+    sinks = {"clicks": r"evt\.click", "all_evt": r"evt\.", "everything": None}
+    branches = route_sinks(dp, sinks, global_labels="dc=gra")
+    assert branches["clicks"].count() == 1
+    assert branches["all_evt"].count() == 2
+    assert branches["everything"].count() == 3
+    # global labels prepended on every branch (router P9)
+    row = branches["clicks"].take_all()[0]
+    assert row["labels"] == "dc=gra,a=1"
+
+    out = tmp_path / "routed"
+    paths = write_routed(dp, str(out), sinks, global_labels="dc=gra")
+    back = pq.read_table(paths["all_evt"])
+    assert back.num_rows == 2
+    assert set(back["class"].to_pylist()) == {"evt.click", "evt.view"}
+
+
+@pytest.mark.slow
+def test_sigkill_resume(tmp_path):
+    """Kill a persisting run mid-flight (FIXTURES.md §3 resume): rerun
+    must keep committed buckets and produce identical final content."""
+    out = str(tmp_path / "run")
+    clean = str(tmp_path / "clean")
+    env = dict(
+        os.environ,
+        BEAMIUM_TEST_COMMIT_DELAY="0.4",
+        RAY_DEDUP_LOGS="0",
+    )
+    proc = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tools", "run_persist.py"), out],
+        env=env,
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    mdir = os.path.join(out, "_manifests")
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        n = len(os.listdir(mdir)) if os.path.isdir(mdir) else 0
+        if 1 <= n <= 12:
+            break
+        if proc.poll() is not None:
+            break
+        time.sleep(0.1)
+    if proc.poll() is None:
+        proc.send_signal(signal.SIGKILL)
+        proc.wait()
+    committed_before = sorted(os.listdir(mdir)) if os.path.isdir(mdir) else []
+    assert committed_before, "no bucket committed before the kill"
+    mtimes = {
+        f: os.path.getmtime(os.path.join(mdir, f)) for f in committed_before
+    }
+
+    env2 = dict(os.environ)
+    env2.pop("BEAMIUM_TEST_COMMIT_DELAY", None)
+    r2 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "run_persist.py"), out],
+        env=env2,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    run2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    # every NON-EMPTY bucket commits (a bucket owning no series never
+    # reaches the merge stage and legitimately has no manifest)
+    assert len(run2["buckets_committed"]) >= 15
+    # buckets committed before the kill were NOT re-rolled
+    for f, m in mtimes.items():
+        try:
+            json.load(open(os.path.join(mdir, f)))
+        except json.JSONDecodeError:
+            continue  # torn manifest: legitimately rewritten
+        assert os.path.getmtime(os.path.join(mdir, f)) == m, f
+
+    # content identical to a clean run
+    r3 = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "run_persist.py"), clean],
+        env=env2,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    run3 = json.loads(r3.stdout.strip().splitlines()[-1])
+    assert run2["counters"] == run3["counters"]
+    assert run2["watermark"] == run3["watermark"]
+
+    sys.path.insert(0, REPO)
+    from beamium_ray.pipelines.persist import read_blocks
+
+    a = read_blocks(out, "1m").sort_by(
+        [("series_key", "ascending"), ("window_start", "ascending")]
+    )
+    b = read_blocks(clean, "1m").sort_by(
+        [("series_key", "ascending"), ("window_start", "ascending")]
+    )
+    assert a.num_rows == b.num_rows
+    for col in ["series_key", "window_start", "vmin", "vmax", "n", "last"]:
+        assert a[col].to_pylist() == b[col].to_pylist(), col
+    shutil.rmtree(out, ignore_errors=True)
