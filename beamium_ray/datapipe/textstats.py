@@ -17,12 +17,28 @@ DIGIT_RE = r"[0-9]"
 TOKEN_RE = r"\S+"
 
 
+# GPT-2-style pre-tokenizer shape: contractions | letter runs | digit
+# runs | punct runs | whitespace runs (RE2-compatible — no lookahead, so
+# trailing-space handling is approximated by splitting whitespace runs)
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Whitespace token count per document (BPE-ish split is a separate
-    op; this matches ``regexp_split_to_array(trim(text), '\\s+')``)."""
+    """Whitespace token count per document (matches
+    ``regexp_split_to_array(trim(text), '\\s+')``)."""
     n = pc.count_substring_regex(batch[text_col], TOKEN_RE)
     return pa.table(
         {"doc_id": batch["doc_id"], "n_tok_ws": pc.cast(n, pa.int64())}
+    )
+
+
+def bpe_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """BPE-ish token count: number of GPT-2-style pre-tokenizer pieces
+    (a proxy for LLM token cost — real BPE merges only within pieces,
+    so piece count lower-bounds the true token count)."""
+    n = pc.count_substring_regex(batch[text_col], BPE_RE)
+    return pa.table(
+        {"doc_id": batch["doc_id"], "n_tok_bpe": pc.cast(n, pa.int64())}
     )
 
 

@@ -219,6 +219,14 @@ def quality_score_docs(sf_dir: str):
     )
 
 
+def bpe_token_count_docs(sf_dir: str):
+    from beamium_ray.datapipe.textstats import bpe_token_count_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        bpe_token_count_batch, batch_format="pyarrow"
+    )
+
+
 def lang_id_docs(sf_dir: str):
     from beamium_ray.datapipe.textstats import LangId
 
@@ -287,7 +295,7 @@ def embedding_neardup_embeddings(sf_dir: str):
     from beamium_ray.datapipe.dedup import embedding_neardup
 
     out = embedding_neardup(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.95
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.7
     )
     return out.select_columns(["a", "b"])
 
@@ -413,6 +421,13 @@ ORDER BY vsum DESC, user_id LIMIT 10
     "dedup_exact_docs": """
 SELECT min(doc_id) AS doc_id, count(*) AS n FROM documents GROUP BY text
 """,
+    "bpe_token_count_docs": r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))
+         AS BIGINT) AS n_tok_bpe
+FROM documents
+""",
     "token_count_docs": r"""
 SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0
@@ -460,6 +475,7 @@ QUERIES = {
     "topk_users_events": topk_users_events,
     "dedup_exact_docs": dedup_exact_docs,
     "token_count_docs": token_count_docs,
+    "bpe_token_count_docs": bpe_token_count_docs,
     "quality_score_docs": quality_score_docs,
     "lang_id_docs": lang_id_docs,
     "fingerprint_docs": fingerprint_docs,
