@@ -1,0 +1,83 @@
+"""Batch-job entry point (the `ray job submit` target, SURVEY.md M6).
+
+    python -m beamium_ray.run --input /data/sequences --output /out \
+        [--config conf.yaml] [--mode lines|columns] [--num-cpus N]
+
+Runs the full persisting pipeline: read sequences → derive/parse/
+relabel/filter → rollup → Gorilla blocks + lineage manifests, then
+applies retention and prints the merged run manifest (with stage
+metrics) as one JSON line. Re-running with the same input+config
+resumes: committed buckets are skipped before the shuffle.
+
+Owns its Ray session (guarded init — safe under `ray job submit`,
+where the cluster is already up).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="beamium_ray.run")
+    ap.add_argument("--input", required=True, help="dir/glob of sequence parquet")
+    ap.add_argument("--output", required=True, help="block/manifest output dir")
+    ap.add_argument("--config", help="YAML/JSON EngineConfig file")
+    ap.add_argument("--mode", default="columns", choices=["lines", "columns"])
+    ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--no-metrics", action="store_true")
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from beamium_ray.config import EngineConfig
+    from beamium_ray.pipelines.persist import rollup_to_blocks
+    from beamium_ray.pipelines.rollup_pipeline import datapoints, stage_metrics
+    from beamium_ray.state.retention import apply_retention
+
+    cfg = (
+        EngineConfig.from_yaml(args.config) if args.config else EngineConfig()
+    )
+    cfg.output_dir = args.output
+
+    seq = ray.data.read_parquet(args.input, columns=["doc_id", "n_tok", "source"])
+    dp = datapoints(seq, cfg, mode=args.mode)
+    import glob
+    import os
+
+    paths = (
+        sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+        if os.path.isdir(args.input)
+        else [args.input]
+    )
+    run, _rows = rollup_to_blocks(dp, cfg, paths, args.output)
+    if not args.no_metrics:
+        seq2 = ray.data.read_parquet(
+            args.input, columns=["doc_id", "n_tok", "source"]
+        )
+        run["stage_metrics"] = stage_metrics(seq2, cfg)
+    if cfg.ttl_us or cfg.max_bytes:
+        run["retention"] = apply_retention(
+            args.output, cfg.ttl_us or None, cfg.max_bytes
+        )
+    print(json.dumps(run))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
