@@ -157,6 +157,62 @@ def rollup_to_blocks(
     return run, manifest_rows
 
 
+def read_blocks_dataset(
+    out_dir: str,
+    tier: str,
+    min_window: int | None = None,
+    max_window: int | None = None,
+):
+    """Query path over persisted blocks: a Ray Dataset of decoded rolled
+    rows, with BLOCK-LEVEL pruning from the manifests — blocks whose
+    [min_window, max_window] range misses the predicate are never read
+    or decoded (the retention engine's read side; window predicates are
+    additionally applied row-level after decode).
+    """
+    import ray.data
+
+    from beamium_ray.stages.gorilla import decode_block
+
+    manifests = []
+    mdir = os.path.join(out_dir, "_manifests")
+    if os.path.isdir(mdir):
+        import json
+
+        for name in sorted(os.listdir(mdir)):
+            if name.endswith(".json"):
+                with open(os.path.join(mdir, name)) as f:
+                    manifests.append(json.load(f))
+    keep_paths = []
+    for m in manifests:
+        for b in m.get("blocks") or []:
+            if b.get("tier") != tier:
+                continue
+            if min_window is not None and b["max_window"] < min_window:
+                continue  # pruned: entirely before the range
+            if max_window is not None and b["min_window"] > max_window:
+                continue  # pruned: entirely after
+            keep_paths.append(os.path.join(out_dir, b["path"]))
+
+    def decode(batch: pa.Table) -> pa.Table:
+        parts = []
+        for path in batch["path"].to_pylist():
+            with open(path, "rb") as f:
+                t = decode_block(f.read())
+            if min_window is not None:
+                t = t.filter(pc.greater_equal(t["window_start"], min_window))
+            if max_window is not None:
+                t = t.filter(pc.less_equal(t["window_start"], max_window))
+            parts.append(t)
+        if not parts:
+            import pyarrow as _pa
+
+            return _pa.table({})
+        return pa.concat_tables(parts)
+
+    paths_ds = ray.data.from_items([{"path": p} for p in keep_paths])
+    return paths_ds.map_batches(decode, batch_format="pyarrow", batch_size=1)
+
+
 def read_blocks(out_dir: str, tier: str) -> pa.Table:
     """Decode all committed blocks of one tier back into a table."""
     from beamium_ray.stages.gorilla import decode_block

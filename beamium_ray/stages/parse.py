@@ -257,6 +257,74 @@ def parse_table(
     return parsed
 
 
+def parse_warp10_batch(lines: pa.Array | pa.ChunkedArray) -> pa.Table:
+    """Parse Warp10/Sensision datapoint lines ``ts// class{labels} value``
+    into the same typed columns as the Prometheus path (so native
+    Sensision input can feed the rollup engine — the reference only
+    passes these through, ``transcompiler.rs:33-35``; parsing them is an
+    engine extension needed because our rollup consumes columns).
+
+    Rows not matching the shape (no '// ' separator or no '{') are
+    dropped. Position/elevation fields of the full ``ts/lat:lon/elev``
+    triple are not supported (beamium never emits them).
+    """
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    arr = pc.utf8_trim_whitespace(pc.fill_null(lines, ""))
+    arr = arr.filter(pc.invert(pc.equal(arr, "")))
+    if len(arr) == 0:
+        return PARSED_SCHEMA.empty_table()
+    data, offsets = string_bytes(arr)
+    lens = np.diff(offsets)
+
+    slash = first_index_of(data, offsets, 0x2F)  # '/'
+    brace = first_index_of(data, offsets, 0x7B)  # '{'
+    rbrace = last_index_of(data, offsets, 0x7D)  # '}'
+    ok = (slash >= 1) & (brace > slash) & (rbrace > brace)
+    if not ok.all():
+        arr = arr.filter(pa.array(ok))
+        if len(arr) == 0:
+            return PARSED_SCHEMA.empty_table()
+        data, offsets = string_bytes(arr)
+        lens = np.diff(offsets)
+        slash, brace, rbrace = slash[ok], brace[ok], rbrace[ok]
+
+    ts_b, ts_off = slice_rows(data, offsets, np.zeros(len(arr), np.int64), slash)
+    ts_str = strings_from_bytes(ts_b, ts_off)
+    valid_ts = pc.match_substring_regex(ts_str, _INT_RE)
+    ts = pc.if_else(valid_ts, ts_str, pa.scalar(None, pa.string()))
+    ts = pc.cast(ts, pa.int64())
+
+    # class between '// ' and '{'
+    cls_b, cls_off = slice_rows(data, offsets, slash + 3, brace)
+    klass = strings_from_bytes(cls_b, cls_off)
+    lab_b, lab_off = slice_rows(data, offsets, brace + 1, rbrace)
+    labels = strings_from_bytes(lab_b, lab_off)
+    val_b, val_off = slice_rows(data, offsets, rbrace + 2, lens)
+    value_str = strings_from_bytes(val_b, val_off)
+    value = pc.cast(
+        pc.if_else(
+            pc.match_substring_regex(
+                value_str, r"^[+-]?([0-9]*\.?[0-9]+([eE][+-]?[0-9]+)?)$"
+            ),
+            value_str,
+            pa.scalar(None, pa.string()),
+        ),
+        pa.float64(),
+    )
+    line = _compose_line(ts, klass, labels, value_str)
+    return pa.table(
+        {
+            "ts": ts,
+            "class": klass,
+            "labels": labels,
+            "value_str": value_str,
+            "value": value,
+            "line": line,
+        }
+    )
+
+
 class ParsePrometheus:
     """Actor-pool/stateless stage wrapper: batch Table -> parsed Table.
 

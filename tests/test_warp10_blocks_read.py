@@ -1,0 +1,84 @@
+"""Warp10 line parser round-trip + pruned block-read query path."""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from beamium_ray.stages.parse import parse_prometheus_batch, parse_warp10_batch
+
+NOW = 1_484_828_198_557_102
+
+
+def test_warp10_roundtrip_from_prometheus():
+    lines = [
+        'f{job_id="1 3"} 2.5 1000',
+        "bare 42",
+        'metric{a="1",b="2"} -7e3',
+        "# dropped",
+        "",
+    ]
+    p = parse_prometheus_batch(pa.array(lines), NOW)
+    w = parse_warp10_batch(p["line"])
+    assert w.num_rows == p.num_rows
+    for col in ["ts", "class", "labels", "value_str", "value", "line"]:
+        assert w[col].to_pylist() == p[col].to_pylist(), col
+
+
+def test_warp10_malformed_dropped():
+    w = parse_warp10_batch(pa.array(["garbage", "1// ok{} 2", "no braces// x 1"]))
+    assert w["class"].to_pylist() == ["ok"]
+    assert w["value"].to_pylist() == [2.0]
+
+
+def test_read_blocks_dataset_pruning(ray_session, tmp_path):
+    import ray.data
+
+    from beamium_ray.config import EngineConfig
+    from beamium_ray.pipelines.persist import (
+        read_blocks,
+        read_blocks_dataset,
+        rollup_to_blocks,
+    )
+
+    out = str(tmp_path / "blocks")
+    rng = np.random.default_rng(9)
+    n = 30000
+    t = pa.table(
+        {
+            "series_key": pa.array(
+                rng.choice([f"s{i}" for i in range(10)], n).tolist(), pa.string()
+            ),
+            "ts": pa.array(rng.integers(0, 10_000_000, n), pa.int64()),
+            "value": pa.array(np.round(rng.normal(0, 5, n), 2), pa.float64()),
+            "order": pa.array(np.arange(n), pa.int64()),
+        }
+    )
+    cfg = EngineConfig(tiers={"1m": 60_000}, num_buckets=4, output_dir=out)
+    rollup_to_blocks(ray.data.from_arrow(t).repartition(4), cfg, ["mem://x"], out)
+
+    whole = read_blocks(out, "1m")
+    ds_all = read_blocks_dataset(out, "1m")
+    got = pa.concat_tables(list(ds_all.iter_batches(batch_format="pyarrow")))
+    assert got.num_rows == whole.num_rows
+    assert pc.sum(got["n"]).as_py() == n
+
+    lo, hi = 1_200_000, 4_800_000
+    ds_rng = read_blocks_dataset(out, "1m", min_window=lo, max_window=hi)
+    sub = pa.concat_tables(list(ds_rng.iter_batches(batch_format="pyarrow")))
+    ws = sub["window_start"].to_numpy()
+    assert ws.min() >= lo and ws.max() <= hi
+    want = whole.filter(
+        pc.and_(
+            pc.greater_equal(whole["window_start"], lo),
+            pc.less_equal(whole["window_start"], hi),
+        )
+    )
+    assert sub.num_rows == want.num_rows
+    # fully-out-of-range prune reads nothing
+    ds_none = read_blocks_dataset(out, "1m", min_window=10**15)
+    assert sum(b.num_rows for b in ds_none.iter_batches(batch_format="pyarrow")) == 0
+    shutil.rmtree(out, ignore_errors=True)
