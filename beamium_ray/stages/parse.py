@@ -189,7 +189,10 @@ def parse_prometheus_batch(
         fastpath = valid & (tlen <= 18)
         parsed = np.full(int(has_ts.sum()), now, dtype=np.int64)
         if fastpath.any():
-            ints = pc.cast(ts_tok.filter(pa.array(fastpath)), pa.int64()).to_numpy()
+            toks = ts_tok.filter(pa.array(fastpath))
+            # Rust from_str_radix accepts a leading '+'; Arrow's cast doesn't
+            toks = pc.replace_substring_regex(toks, r"^\+", "")
+            ints = pc.cast(toks, pa.int64()).to_numpy()
             with np.errstate(over="ignore"):
                 parsed[fastpath] = ints * 1000
         slow = valid & (tlen > 18)
