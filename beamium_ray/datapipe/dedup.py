@@ -205,6 +205,39 @@ def minhash_dedup(
     labels = labels.map_batches(
         lambda t: t.rename_columns(["doc_id", "cluster"]), batch_format="pyarrow"
     )
+    labels = labels.materialize()
+
+    # Hybrid propagation. The label table is the narrow (doc, cluster)
+    # projection. When it fits comfortably on the driver (< ~10M rows),
+    # iterate the min-label fixpoint there — a dict walk beats paying a
+    # hash-shuffle join's actor startup per round by 10-100×. Above the
+    # threshold, run the distributed join path.
+    SMALL = 10_000_000
+    if labels.count() <= SMALL:
+        t = pa.concat_tables(list(labels.iter_batches(batch_format="pyarrow")))
+        doc = t["doc_id"].to_pylist()
+        lab = t["cluster"].to_pylist()
+        m = dict(zip(doc, lab))
+        changed = True
+        while changed:  # full fixpoint (label(m) ≤ m ⇒ terminates)
+            changed = False
+            for d, l in m.items():
+                r = m.get(l, l)
+                while r in m and m[r] < r:
+                    r = m[r]
+                if r < l:
+                    m[d] = r
+                    changed = True
+        import ray.data
+
+        out = pa.table(
+            {
+                "doc_id": pa.array(list(m.keys()), t["doc_id"].type),
+                "cluster": pa.array(list(m.values()), t["cluster"].type),
+            }
+        )
+        return ray.data.from_arrow(out)
+
     num_partitions = 8
     for _ in range(max_iters - 1):
         # materialize between rounds: labels are the SMALL (doc, cluster)
