@@ -336,6 +336,209 @@ def multimodal_decode(sf_dir: str):
     )
 
 
+# ---------- windowed ops beyond tumbling (streaming-shaped, SURVEY §2.4) ----------
+
+
+def sliding_rollup_events(sf_dir: str):
+    """Sliding windowed aggregate: 120s windows sliding by 60s — each
+    point is pre-expanded to its 2 covering windows, then the SAME
+    combiner/merge machinery runs with the precomputed window column."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value", "event_id"])
+    SLIDE, WINDOW = US_1M, 2 * US_1M
+
+    def expand(b: pa.Table) -> pa.Table:
+        t = _events_points(b)
+        n = t.num_rows
+        tu = t["ts"].to_numpy()
+        k0 = tu // SLIDE
+        ws = np.concatenate([k0 * SLIDE, (k0 - 1) * SLIDE])
+        rep = pa.array(np.concatenate([np.arange(n), np.arange(n)]), pa.int64())
+        t2 = t.take(rep)
+        return t2.append_column("window_start", pa.array(ws, pa.int64()))
+
+    expanded = ds.map_batches(expand, batch_format="pyarrow", batch_size=None)
+
+    from beamium_ray.stages.rollup import merge_cascade_gapfill, partial_rollup_batch
+
+    def _partial(b: pa.Table) -> pa.Table:
+        return partial_rollup_batch(
+            b, WINDOW, order_col="order", num_buckets=16, window_col="window_start"
+        )
+
+    def _merge(g: pa.Table) -> pa.Table:
+        return merge_cascade_gapfill(g, {"w": WINDOW}, gapfill=False)
+
+    rolled = (
+        expanded.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+        .repartition(8)
+        .groupby("bucket")
+        .map_groups(_merge, batch_format="pyarrow")
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["series_key"],
+                "window_start": t["window_start"],
+                "vmin": t["vmin"],
+                "vmax": t["vmax"],
+                "vsum": t["vsum"],
+                "n": t["n"],
+                "last": t["last"],
+            }
+        )
+
+    return rolled.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
+def session_windows_events(sf_dir: str):
+    """Gap-based sessionization per user (30 min inactivity gap):
+    sorted per-group vectorized cumsum of gap breaks."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["ts", "user_id", "value", "event_id"])
+    GAP = 1_800_000_000
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = np.floor(b["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "tu": pc.cast(b["ts"], pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "event_id": b["event_id"],
+            }
+        )
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tu", "event_id"], kind="mergesort")
+        brk = (g["tu"].diff().isna()) | (g["tu"].diff() > GAP)
+        sid = brk.cumsum()
+        out = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
+            session_start=("tu", "min"),
+            session_end=("tu", "max"),
+            n=("tu", "size"),
+            vsum=("v", "sum"),
+        )
+        return out.reset_index(drop=True)
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+def asof_last_click_events(sf_dir: str):
+    """As-of join: each event gets the user's latest STRICTLY PRIOR
+    'click' timestamp (sorted per-group shifted running max)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type", "event_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "tu": pc.cast(b["ts"], pa.int64()),
+                "is_click": pc.equal(b["event_type"], "click"),
+                "event_id": b["event_id"],
+            }
+        )
+
+    def asof(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["tu", "event_id"], kind="mergesort")
+        click_ts = np.where(
+            g["is_click"].to_numpy(), g["tu"].to_numpy(), np.iinfo(np.int64).min
+        )
+        run = np.maximum.accumulate(click_ts)
+        prior = np.concatenate(([np.iinfo(np.int64).min], run[:-1]))
+        none = prior == np.iinfo(np.int64).min
+        return pa.table(
+            {
+                "event_id": pa.array(g["event_id"].to_numpy(), pa.int64()),
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "tu": pa.array(g["tu"].to_numpy(), pa.int64()),
+                "last_click_ts": pa.array(prior, pa.int64(), mask=none),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+        .groupby("user_id")
+        .map_groups(asof, batch_format="pandas")
+    )
+
+
+def lines_file_roundtrip_events(sf_dir: str):
+    """S2/S3 end-to-end: compose Prometheus lines, write real *.metrics
+    text files, re-ingest with the directory source, parse. Oracle =
+    the direct SQL projection (same as parse, minus ids which do not
+    survive a text file)."""
+    import hashlib
+    import os
+
+    import ray.data
+
+    from beamium_ray.sources.lines import parse_lines_dataset, read_metric_lines
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/beamium_gate/lines_{tag}"
+    os.makedirs(d, exist_ok=True)
+    ds = _read(sf_dir, "events", ["ts", "event_type", "user_id", "value", "event_id"])
+    i = 0
+    for b in ds.map_batches(
+        _events_lines, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow"):
+        path = os.path.join(d, f"batch-{i:05d}.metrics")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(b["line"].to_pylist()) + "\n")
+        os.replace(tmp, path)
+        i += 1
+
+    lines = read_metric_lines(d)
+    parsed = parse_lines_dataset(lines, "prometheus", now_us=0)
+
+    def pick(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ts": t["ts"],
+                "class": t["class"],
+                "labels": t["labels"],
+                "value": t["value"],
+            }
+        )
+
+    return parsed.map_batches(pick, batch_format="pyarrow", batch_size=None)
+
+
+def routed_write_roundtrip_events(sf_dir: str):
+    """S5/P10 end-to-end: parse, multicast-route to sinks, write the
+    'clicks' sink as partitioned parquet, read it back."""
+    import hashlib
+    import shutil
+
+    import ray.data
+
+    from beamium_ray.pipelines.route import write_routed
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/beamium_gate/routed_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    ds = _read(sf_dir, "events", ["ts", "event_type", "user_id", "value", "event_id"])
+
+    def go(b: pa.Table) -> pa.Table:
+        lined = _events_lines(b)
+        return parse_table(lined, now=0, passthrough=["event_id"])
+
+    dp = ds.map_batches(go, batch_format="pyarrow", batch_size=None)
+    paths = write_routed(dp, out, {"clicks": r"evt\.click", "rest": None})
+    back = ray.data.read_parquet(paths["clicks"], columns=["event_id", "class"])
+    return back
+
+
 # ---------- oracle SQL ----------
 
 _CENTS = "CAST(floor(value*100 + 0.5) AS BIGINT)"
@@ -387,6 +590,51 @@ _CLASS_TOKEN = "'evt.' || event_type || '{user=' || CAST(user_id AS VARCHAR) || 
 
 ORACLE_SQL: dict[str, str] = {
     "rollup_1m_events": _rollup_sql(US_1M),
+    "sliding_rollup_events": f"""
+WITH e AS (SELECT event_type, epoch_us(ts) AS tu,
+                  {_CENTS} AS v, event_id FROM events),
+x AS (SELECT event_type, ((tu // {US_1M}) - ks.k) * {US_1M} AS window_start,
+             v, tu, event_id
+      FROM e CROSS JOIN (SELECT unnest([0, 1]) AS k) ks),
+w AS (SELECT *, row_number() OVER (
+        PARTITION BY event_type, window_start
+        ORDER BY tu DESC, event_id DESC) AS rn FROM x)
+SELECT event_type, window_start,
+       min(v) AS vmin, max(v) AS vmax, CAST(sum(v) AS BIGINT) AS vsum,
+       count(*) AS n, max(CASE WHEN rn = 1 THEN v END) AS last
+FROM w GROUP BY 1, 2
+""",
+    "session_windows_events": f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS tu, {_CENTS} AS v, event_id FROM events),
+s AS (SELECT *, CASE WHEN lag(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) IS NULL
+                       OR tu - lag(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) > 1800000000
+                  THEN 1 ELSE 0 END AS brk FROM e),
+g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+SELECT user_id, min(tu) AS session_start, max(tu) AS session_end,
+       count(*) AS n, CAST(sum(v) AS BIGINT) AS vsum
+FROM g GROUP BY user_id, sid
+""",
+    "asof_last_click_events": """
+SELECT event_id, user_id, epoch_us(ts) AS tu,
+       max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+         OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+FROM events
+""",
+    "lines_file_roundtrip_events": """
+SELECT (epoch_us(ts) // 1000) * 1000 AS ts,
+       'evt.' || event_type AS class,
+       'user=' || CAST(user_id AS VARCHAR) AS labels,
+       value
+FROM events
+""",
+    "routed_write_roundtrip_events": f"""
+SELECT event_id, 'evt.' || event_type AS class
+FROM events
+WHERE regexp_matches({_CLASS_TOKEN}, '^evt\\.click')
+""",
+
     "rollup_1h_events": _rollup_sql(US_1H),
     "rollup_1d_events": _rollup_sql(US_1D),
     "gapfill_1m_events": _GAPFILL_SQL,
@@ -465,6 +713,11 @@ LIMIT 10
 
 QUERIES = {
     "rollup_1m_events": rollup_1m_events,
+    "sliding_rollup_events": sliding_rollup_events,
+    "session_windows_events": session_windows_events,
+    "asof_last_click_events": asof_last_click_events,
+    "lines_file_roundtrip_events": lines_file_roundtrip_events,
+    "routed_write_roundtrip_events": routed_write_roundtrip_events,
     "rollup_1h_events": rollup_1h_events,
     "rollup_1d_events": rollup_1d_events,
     "gapfill_1m_events": gapfill_1m_events,

@@ -47,21 +47,28 @@ def partial_rollup_batch(
     value_col: str = "value",
     order_col: str | None = None,
     num_buckets: int = 64,
+    window_col: str | None = None,
 ) -> pa.Table:
     """Per-batch combiner: ≤1 row per (series_key, window) per batch.
 
     Output schema: series_key, window_start, vmin, vmax, vsum, n,
-    last, last_ts, last_order, bucket.
+    last, last_ts, last_order, bucket. ``window_col`` overrides the
+    tumbling ``ts - ts % tier`` assignment with a precomputed window
+    column (sliding windows pre-expand points to their covering
+    windows, then reuse this same machinery).
     """
     cols = {
         "series_key": batch[key_col],
         "ts": batch[ts_col],
         "value": batch[value_col],
     }
+    if window_col is not None:
+        cols["window_start"] = batch[window_col]
     t = pa.table(cols)
-    t = t.filter(pc.is_valid(t["value"]))  # only datapoints aggregate
+    valid = pc.is_valid(t["value"])
+    t = t.filter(valid)  # only datapoints aggregate
     if order_col is not None:
-        t = t.append_column("order", batch.filter(pc.is_valid(batch[value_col]))[order_col])
+        t = t.append_column("order", batch.filter(valid)[order_col])
     else:
         t = t.append_column(
             "order", pa.array(np.arange(t.num_rows, dtype=np.int64))
@@ -69,10 +76,11 @@ def partial_rollup_batch(
     if t.num_rows == 0:
         return _empty_partial_schema(t)
 
-    ts = t["ts"].to_numpy()
-    t = t.append_column(
-        "window_start", pa.array(window_start(ts, tier_us), pa.int64())
-    )
+    if window_col is None:
+        ts = t["ts"].to_numpy()
+        t = t.append_column(
+            "window_start", pa.array(window_start(ts, tier_us), pa.int64())
+        )
     # sort so hash 'last' (scan order, use_threads=False) = max (ts, order)
     t = t.sort_by([("ts", "ascending"), ("order", "ascending")])
     g = t.group_by(["series_key", "window_start"], use_threads=False).aggregate(
