@@ -84,7 +84,6 @@ def _char_shingle_hashes(
         P = np.uint64(1099511628211)
         powk = np.array([P ** np.uint64(k - 1 - i) for i in range(k)], np.uint64)
         wh = (win * powk[None, :]).sum(axis=1, dtype=np.uint64)
-    keep = np.zeros(len(wh), dtype=bool)
     starts = offsets[:-1]
     rid = np.repeat(np.arange(len(lens), dtype=np.int64), n_grams)
     pos = (

@@ -110,6 +110,8 @@ def run_headline() -> dict:
 
 QUERY_NAMES = [
     "rollup_1m_events",
+    "sliding_rollup_events",
+    "session_windows_events",
     "rollup_1h_events",
     "gapfill_1m_events",
     "parse_prometheus_events",

@@ -58,6 +58,22 @@ def test_sequences_from_documents():
     assert seq["source"].to_pylist() == [canon["source"][i].as_py() for i in idx]
 
 
+def test_stage_metrics(ray_session):
+    import ray.data
+
+    from beamium_ray.pipelines.rollup_pipeline import stage_metrics
+
+    batch = make_chunk(0, 10000)
+    m = stage_metrics(ray.data.from_arrow(batch).repartition(4), EngineConfig())
+    assert m["rows_in"] == 10000
+    assert m["rows_out"] == 10000 - m["inf_nan"]
+    assert m["inf_nan"] > 0  # seeded 1/200 NaN/Inf fixtures present
+    assert m["bad_class"] == 0 and m["no_value"] == 0
+    # matches what the pipeline actually keeps
+    out = DeriveParseRelabel(EngineConfig(), mode="lines")(batch)
+    assert out.num_rows == m["rows_out"]
+
+
 def test_flagship_e2e(ray_session):
     import ray.data
 
