@@ -29,6 +29,7 @@ from beamium_ray.state.manifest import (
     commit_bucket_manifest,
     input_fingerprint,
     load_committed,
+    manifest_path,
     merge_run_manifest,
 )
 
@@ -46,6 +47,13 @@ MANIFEST_ROW_SCHEMA = pa.schema(
 )
 
 
+def combine_fp(applied: list[str]) -> str:
+    """Deterministic combined fingerprint of an append history."""
+    import hashlib
+
+    return hashlib.sha256("|".join(applied).encode()).hexdigest()[:16]
+
+
 def _encode_and_commit(
     group: pa.Table,
     out_dir: str,
@@ -53,8 +61,18 @@ def _encode_and_commit(
     gapfill: bool,
     fingerprint: str,
     config_hash: str,
+    incremental: bool = False,
 ) -> pa.Table:
-    """Per-bucket merge → encode per tier → atomic block write → manifest."""
+    """Per-bucket merge → encode per tier → atomic block write → manifest.
+
+    ``incremental`` (continuous-aggregate mode): merge the NEW partials
+    with the bucket's existing base-tier block instead of replacing it —
+    the persisted block rows carry full merge state (vmin/vmax/vsum/n/
+    last/last_ts/last_order), so appending is just another
+    merge_partials pass; coarser tiers and gap-fill are regenerated
+    from the combined base. Completed windows are never re-rolled from
+    raw input.
+    """
     if group.num_rows == 0:
         return MANIFEST_ROW_SCHEMA.empty_table()
     delay = float(os.environ.get("BEAMIUM_TEST_COMMIT_DELAY", "0") or 0)
@@ -63,6 +81,42 @@ def _encode_and_commit(
 
         time.sleep(delay)
     bucket = int(group["bucket"][0].as_py())
+
+    applied = [fingerprint]
+    if incremental:
+        import json
+
+        mpath = manifest_path(out_dir, bucket)
+        prior = None
+        if os.path.exists(mpath):
+            try:
+                with open(mpath) as f:
+                    prior = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                prior = None
+        if prior and prior.get("config_hash") == config_hash:
+            prior_applied = prior.get("applied") or [prior.get("fingerprint")]
+            if fingerprint in prior_applied:
+                return MANIFEST_ROW_SCHEMA.empty_table()  # idempotent rerun
+            applied = prior_applied + [fingerprint]
+            base_tier = min(tiers, key=tiers.get)
+            for b in prior.get("blocks") or []:
+                if b.get("tier") != base_tier:
+                    continue
+                from beamium_ray.stages.gorilla import decode_block
+
+                with open(os.path.join(out_dir, b["path"]), "rb") as f:
+                    old = decode_block(f.read())
+                # stored rows ARE merge state; drop gap-filled (n=0)
+                # rows, they are regenerated after the merge
+                old = old.filter(pc.greater(old["n"], 0))
+                group = pa.concat_tables(
+                    [group.drop_columns(["bucket"]), old], promote_options="default"
+                )
+        fingerprint = combine_fp(applied)
+
+    if "bucket" in group.column_names:
+        group = group.drop_columns(["bucket"])
     rolled = merge_cascade_gapfill(group, tiers, gapfill)
 
     blocks: list[dict] = []
@@ -99,9 +153,11 @@ def _encode_and_commit(
         if lt_max is not None:
             watermark = lt_max if watermark is None else max(watermark, lt_max)
 
-    commit_bucket_manifest(
-        out_dir, bucket, fingerprint, config_hash, blocks, counters, watermark
+    m = commit_bucket_manifest(
+        out_dir, bucket, fingerprint, config_hash, blocks, counters, watermark,
+        applied=applied,
     )
+    del m
     return pa.Table.from_pylist(rows_out, schema=MANIFEST_ROW_SCHEMA)
 
 
@@ -155,6 +211,125 @@ def rollup_to_blocks(
     )
     run = merge_run_manifest(out_dir, fp, ch)
     return run, manifest_rows
+
+
+def append_rollup(
+    dp_ds,
+    cfg: EngineConfig,
+    new_paths: list[str],
+    out_dir: str | None = None,
+    key_col: str = "series_key",
+    order_col: str | None = "order",
+):
+    """Continuous aggregate: fold NEW input into existing rollup blocks.
+
+    Only the new datapoints are read and combiner-reduced; each bucket
+    merge pulls its existing base-tier block (already merge-state) and
+    re-commits. Idempotent per (bucket, new-input fingerprint): a rerun
+    after a crash skips buckets that already applied this append — the
+    north rule's "resumes without re-rolling completed windows".
+    """
+    import json
+
+    out_dir = out_dir or cfg.output_dir
+    new_fp = input_fingerprint(new_paths)
+    ch = cfg.config_hash()
+
+    # buckets that already applied this exact append (crash rerun)
+    skip = set()
+    mdir = os.path.join(out_dir, "_manifests")
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            if not name.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(mdir, name)) as f:
+                    m = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                continue
+            if m.get("config_hash") == ch and new_fp in (m.get("applied") or []):
+                skip.add(int(m["bucket"]))
+    skip = frozenset(skip)
+
+    base_us = min(cfg.tiers.values())
+    tiers, gapfill, nb = dict(cfg.tiers), cfg.gapfill, cfg.num_buckets
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = partial_rollup_batch(
+            batch, base_us, key_col=key_col, order_col=order_col, num_buckets=nb
+        )
+        if skip:
+            t = t.filter(
+                pc.invert(
+                    pc.is_in(
+                        t["bucket"], value_set=pa.array(sorted(skip), pa.int32())
+                    )
+                )
+            )
+        return t
+
+    def _merge(group: pa.Table) -> pa.Table:
+        return _encode_and_commit(
+            group, out_dir, tiers, gapfill, new_fp, ch, incremental=True
+        )
+
+    narrow = dp_ds.select_columns(
+        [c for c in [key_col, "ts", "value", order_col] if c]
+    )
+    partials = narrow.map_batches(_partial, batch_format="pyarrow", batch_size=None)
+    if cfg.shuffle_blocks:
+        partials = partials.repartition(cfg.shuffle_blocks)
+    result = partials.groupby("bucket").map_groups(_merge, batch_format="pyarrow")
+    manifest_rows = pa.concat_tables(
+        list(result.iter_batches(batch_format="pyarrow"))
+        or [MANIFEST_ROW_SCHEMA.empty_table()]
+    )
+    run = merge_run_manifest_any(out_dir, ch)
+    return run, manifest_rows
+
+
+def merge_run_manifest_any(out_dir: str, config_hash: str) -> dict:
+    """Run-manifest merge across buckets regardless of append history
+    (used by the incremental path, where per-bucket combined
+    fingerprints are equal only once every bucket caught up)."""
+    import json
+
+    mdir = os.path.join(out_dir, "_manifests")
+    counters: dict[str, int] = {}
+    blocks: list[dict] = []
+    buckets = []
+    watermark = None
+    if os.path.isdir(mdir):
+        for name in sorted(os.listdir(mdir)):
+            if not name.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(mdir, name)) as f:
+                    m = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                continue
+            if m.get("config_hash") != config_hash:
+                continue
+            buckets.append(int(m["bucket"]))
+            for k, v in (m.get("counters") or {}).items():
+                counters[k] = counters.get(k, 0) + v
+            blocks.extend(m.get("blocks") or [])
+            w = m.get("watermark")
+            if w is not None:
+                watermark = w if watermark is None else max(watermark, w)
+    run = {
+        "config_hash": config_hash,
+        "buckets_committed": sorted(buckets),
+        "n_blocks": len(blocks),
+        "total_block_bytes": sum(b.get("bytes", 0) for b in blocks),
+        "counters": counters,
+        "watermark": watermark,
+    }
+    atomic_write_bytes(
+        os.path.join(out_dir, "_run", "manifest.json"),
+        json.dumps(run, sort_keys=True, indent=1).encode(),
+    )
+    return run
 
 
 def read_blocks_dataset(

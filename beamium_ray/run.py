@@ -28,6 +28,12 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--mode", default="columns", choices=["lines", "columns"])
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--no-metrics", action="store_true")
+    ap.add_argument(
+        "--append",
+        action="store_true",
+        help="continuous-aggregate mode: fold this input into existing "
+        "blocks (merge with prior state) instead of fingerprint-resume",
+    )
     args = ap.parse_args(argv)
 
     import ray
@@ -64,7 +70,12 @@ def main(argv: list[str] | None = None) -> int:
         if os.path.isdir(args.input)
         else [args.input]
     )
-    run, _rows = rollup_to_blocks(dp, cfg, paths, args.output)
+    if args.append:
+        from beamium_ray.pipelines.persist import append_rollup
+
+        run, _rows = append_rollup(dp, cfg, paths, args.output)
+    else:
+        run, _rows = rollup_to_blocks(dp, cfg, paths, args.output)
     if not args.no_metrics:
         seq2 = ray.data.read_parquet(
             args.input, columns=["doc_id", "n_tok", "source"]

@@ -63,11 +63,13 @@ def commit_bucket_manifest(
     blocks: list[dict],
     counters: dict,
     watermark: int | None,
+    applied: list[str] | None = None,
 ) -> dict:
     m = {
         "bucket": bucket,
         "fingerprint": fingerprint,
         "config_hash": config_hash,
+        "applied": applied or [fingerprint],  # append lineage (continuous aggs)
         "watermark": watermark,
         "blocks": blocks,
         "counters": counters,
