@@ -37,6 +37,7 @@ class EngineConfig:
     num_buckets: int = 64  # series_key hash buckets (the one shuffle)
     shuffle_blocks: int | None = None  # coalesce partials pre-shuffle (~CPUs)
     gapfill: bool = True
+    gapfill_max_gap: int | None = None  # longest hole (windows) to fill
 
     # retention (reference DFO bounds, src/sink.rs:102-221)
     ttl_us: dict[str, int] = field(default_factory=dict)  # per-tier horizon

@@ -62,6 +62,7 @@ def _encode_and_commit(
     fingerprint: str,
     config_hash: str,
     incremental: bool = False,
+    gapfill_max_gap: int | None = None,
 ) -> pa.Table:
     """Per-bucket merge → encode per tier → atomic block write → manifest.
 
@@ -117,7 +118,7 @@ def _encode_and_commit(
 
     if "bucket" in group.column_names:
         group = group.drop_columns(["bucket"])
-    rolled = merge_cascade_gapfill(group, tiers, gapfill)
+    rolled = merge_cascade_gapfill(group, tiers, gapfill, gapfill_max_gap)
 
     blocks: list[dict] = []
     rows_out: list[dict] = []
@@ -178,6 +179,7 @@ def rollup_to_blocks(
     skip = frozenset(committed)
     base_us = min(cfg.tiers.values())
     tiers, gapfill, nb = dict(cfg.tiers), cfg.gapfill, cfg.num_buckets
+    max_gap = cfg.gapfill_max_gap
 
     def _partial(batch: pa.Table) -> pa.Table:
         t = partial_rollup_batch(
@@ -194,7 +196,9 @@ def rollup_to_blocks(
         return t
 
     def _merge(group: pa.Table) -> pa.Table:
-        return _encode_and_commit(group, out_dir, tiers, gapfill, fp, ch)
+        return _encode_and_commit(
+            group, out_dir, tiers, gapfill, fp, ch, gapfill_max_gap=max_gap
+        )
 
     narrow = dp_ds.select_columns(
         [c for c in [key_col, "ts", "value", order_col] if c]
@@ -253,6 +257,7 @@ def append_rollup(
 
     base_us = min(cfg.tiers.values())
     tiers, gapfill, nb = dict(cfg.tiers), cfg.gapfill, cfg.num_buckets
+    max_gap = cfg.gapfill_max_gap
 
     def _partial(batch: pa.Table) -> pa.Table:
         t = partial_rollup_batch(
@@ -270,7 +275,8 @@ def append_rollup(
 
     def _merge(group: pa.Table) -> pa.Table:
         return _encode_and_commit(
-            group, out_dir, tiers, gapfill, new_fp, ch, incremental=True
+            group, out_dir, tiers, gapfill, new_fp, ch, incremental=True,
+            gapfill_max_gap=max_gap,
         )
 
     narrow = dp_ds.select_columns(

@@ -127,6 +127,7 @@ def rollup_from_datapoints(dp_ds, cfg: EngineConfig):
         num_buckets=cfg.num_buckets,
         gapfill=cfg.gapfill,
         shuffle_blocks=cfg.shuffle_blocks,
+        gapfill_max_gap=cfg.gapfill_max_gap,
     )
 
 

@@ -205,61 +205,67 @@ def cascade_tier(fine: pa.Table, tier_us: int) -> pa.Table:
     )
 
 
-def gapfill_tier(t: pa.Table, tier_us: int) -> pa.Table:
+def gapfill_tier(
+    t: pa.Table, tier_us: int, max_gap_windows: int | None = None
+) -> pa.Table:
     """Dense windows per series between its own min/max window.
 
     Missing windows: n=0, null aggregates (FIXTURES.md §3). Input must
     be sorted by (series_key, window_start) — merge_partials output is.
-    Fully vectorized (dictionary ordinals + scatter).
+    Fully vectorized (per-hole expansion: each present row emits itself
+    plus its following gap rows).
+
+    ``max_gap_windows`` is the scale-safety valve: holes LONGER than
+    this many windows are left unfilled (staleness semantics) instead
+    of materializing an unbounded dense range — a series with points
+    years apart would otherwise explode the output. None = fill all
+    interior holes (the default / reference-fixture behavior).
     """
     if t.num_rows == 0:
         return t
-    keys = t["series_key"].combine_chunks().dictionary_encode()
-    ords = keys.indices.to_numpy().astype(np.int64)
+    keys = t["series_key"].combine_chunks()
+    ords = keys.dictionary_encode().indices.to_numpy().astype(np.int64)
     ws = t["window_start"].to_numpy()
+    n = len(ws)
 
-    # series boundaries in the sorted table
-    change = np.flatnonzero(np.diff(ords) != 0) + 1
-    starts = np.concatenate(([0], change))
-    ends = np.concatenate((change, [len(ords)]))
-    min_w, max_w = ws[starts], ws[ends - 1]
-    n_win = (max_w - min_w) // tier_us + 1
-    total = int(n_win.sum())
-    if total == t.num_rows:  # already dense
+    same_next = np.empty(n, dtype=bool)
+    same_next[:-1] = ords[1:] == ords[:-1]
+    same_next[-1] = False
+    hole = np.zeros(n, dtype=np.int64)
+    hole[:-1] = np.where(same_next[:-1], (ws[1:] - ws[:-1]) // tier_us - 1, 0)
+    if max_gap_windows is not None:
+        hole = np.where(hole <= max_gap_windows, hole, 0)
+    if not hole.any():
         return t
 
-    cum = np.concatenate(([0], np.cumsum(n_win)))
-    sidx = np.repeat(np.arange(len(starts), dtype=np.int64), n_win)
-    dense_ws = min_w[sidx] + (np.arange(total, dtype=np.int64) - cum[sidx]) * tier_us
+    counts = 1 + hole
+    off = np.concatenate(([0], np.cumsum(counts)))
+    total = int(off[-1])
+    rid = np.repeat(np.arange(n, dtype=np.int64), counts)
+    k = np.arange(total, dtype=np.int64) - off[rid]
+    present = k == 0
+    out_ws = ws[rid] + k * tier_us
 
-    # position of each existing row in the dense grid
-    row_series = np.searchsorted(starts, np.arange(len(ords)), side="right") - 1
-    pos = cum[row_series] + (ws - min_w[row_series]) // tier_us
-    present = np.zeros(total, dtype=bool)
-    present[pos] = True
-
-    series_ord_per_first_row = ords[starts]
-    dense_keys = keys.dictionary.take(
-        pa.array(series_ord_per_first_row[sidx], pa.int64())
-    )
-
+    take = pa.array(rid, pa.int64())
+    mask = ~present
     out_cols: dict[str, pa.Array] = {
-        "series_key": dense_keys,
-        "window_start": pa.array(dense_ws, pa.int64()),
+        "series_key": keys.take(take),
+        "window_start": pa.array(out_ws, pa.int64()),
     }
-    for name in ["vmin", "vmax", "vsum", "last"]:
+    for name in ["vmin", "vmax", "vsum", "last", "last_ts", "last_order"]:
         src = t[name].combine_chunks()
-        vals = np.zeros(total, dtype=np.float64 if pa.types.is_floating(src.type) else np.int64)
+        np_dtype = np.float64 if pa.types.is_floating(src.type) else np.int64
         arr_np = src.to_numpy(zero_copy_only=False)
-        vals[pos] = arr_np
-        out_cols[name] = pa.array(vals, src.type, mask=~present)
-    for name in ["last_ts", "last_order"]:
-        src = t[name].combine_chunks()
-        vals = np.zeros(total, dtype=np.int64)
-        vals[pos] = src.to_numpy(zero_copy_only=False)
-        out_cols[name] = pa.array(vals, pa.int64(), mask=~present)
+        if arr_np.dtype != np_dtype:  # nulls widen int columns to float
+            arr_np = np.nan_to_num(arr_np.astype(np.float64)).astype(np_dtype)
+        vals = np.zeros(total, dtype=np_dtype)
+        vals[present] = arr_np
+        # gap rows are null; present rows keep their original validity
+        full_mask = mask.copy()
+        full_mask[present] |= ~np.asarray(src.is_valid())
+        out_cols[name] = pa.array(vals, src.type, mask=full_mask)
     nvals = np.zeros(total, dtype=np.int64)
-    nvals[pos] = t["n"].to_numpy()
+    nvals[present] = t["n"].to_numpy()
     out_cols["n"] = pa.array(nvals, pa.int64())
     return pa.table(out_cols).select(
         [
@@ -277,7 +283,10 @@ def gapfill_tier(t: pa.Table, tier_us: int) -> pa.Table:
 
 
 def merge_cascade_gapfill(
-    bucket_table: pa.Table, tiers: dict[str, int], gapfill: bool = True
+    bucket_table: pa.Table,
+    tiers: dict[str, int],
+    gapfill: bool = True,
+    gapfill_max_gap: int | None = None,
 ) -> pa.Table:
     """Per-bucket finalization: merge base tier, cascade coarser tiers,
     gap-fill each, union with a ``tier`` label column."""
@@ -296,7 +305,7 @@ def merge_cascade_gapfill(
     for name, us in order:
         m = merged[name]
         if gapfill:
-            m = gapfill_tier(m, us)
+            m = gapfill_tier(m, us, gapfill_max_gap)
         m = m.append_column("tier", pa.array([name] * m.num_rows, pa.string()))
         pieces.append(m)
     return pa.concat_tables(pieces)
@@ -312,6 +321,7 @@ def rollup_dataset(
     num_buckets: int = 64,
     gapfill: bool = True,
     shuffle_blocks: int | None = None,
+    gapfill_max_gap: int | None = None,
 ):
     """Full Ray Data rollup pipeline over a datapoint Dataset.
 
@@ -333,7 +343,7 @@ def rollup_dataset(
         )
 
     def _merge(group: pa.Table) -> pa.Table:
-        return merge_cascade_gapfill(group, tiers, gapfill)
+        return merge_cascade_gapfill(group, tiers, gapfill, gapfill_max_gap)
 
     partials = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
     if shuffle_blocks:

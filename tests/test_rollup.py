@@ -209,3 +209,17 @@ def test_rollup_dataset_e2e(ray_session):
             assert ws is None
         else:  # float addition order differs with batching
             assert abs(gs - ws) <= 1e-9 * max(1.0, abs(ws))
+
+
+def test_gapfill_max_gap_cap():
+    # hole of 4 windows between 0 and 300; cap 3 leaves it unfilled,
+    # cap 4 fills it (scale-safety valve)
+    t = mk(ts=[0, 300, 360], key=["s", "s", "s"], val=[1.0, 2.0, 3.0])
+    base = min({"1m": 60}.values())
+    p = partial_rollup_batch(t, base, order_col="order", num_buckets=1)
+    capped = merge_cascade_gapfill(p, {"1m": 60}, True, gapfill_max_gap=3)
+    assert [r["window_start"] for r in capped.to_pylist()] == [0, 300, 360]
+    filled = merge_cascade_gapfill(p, {"1m": 60}, True, gapfill_max_gap=4)
+    assert [r["window_start"] for r in filled.to_pylist()] == [0, 60, 120, 180, 240, 300, 360]
+    uncapped = merge_cascade_gapfill(p, {"1m": 60}, True)
+    assert uncapped.num_rows == 7
