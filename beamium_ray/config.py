@@ -67,12 +67,22 @@ class EngineConfig:
         known = {f.name for f in __import__("dataclasses").fields(cls)}
         kwargs = {k: v for k, v in raw.items() if k in known}
 
-        # labels may be given as a mapping -> canonical "k=v,k=v" string
+        # labels may be given as a mapping or a "k=v,k=v" string; the
+        # reference's env:VAR values resolve in either form (error if unset)
         labels = kwargs.get("labels", "")
         if isinstance(labels, dict):
+            pairs = [(k, str(v)) for k, v in labels.items()]
+        elif labels:
+            pairs = [
+                (item.split("=", 1)[0], item.split("=", 1)[1])
+                for item in str(labels).split(",")
+                if "=" in item
+            ]
+        else:
+            pairs = []
+        if pairs:
             items = []
-            for k, v in labels.items():
-                v = str(v)
+            for k, v in pairs:
                 if v.startswith("env:"):
                     var = v[4:]
                     if var not in env:

@@ -37,7 +37,18 @@ class BruteForceTopK:
         self.vec_col = vec_col
         self.id_col = id_col
 
+    def _empty(self) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "query": pa.array([], pa.int32()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty blocks crash np.stack/argpartition
+            return self._empty()
         M = _mat(batch[self.vec_col])
         # dot / (|m|·|q|): same formula shape as DuckDB's
         # list_cosine_similarity, so oracle comparisons agree bit-for-bit
@@ -148,6 +159,8 @@ def ivf_topk(
             self.probe_sets = probe_sets
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return self._empty()
             M = _mat(batch[self.vec_col])
             d2 = ((M[:, None, :] - self.cent[None, :, :]) ** 2).sum(-1)
             assign = d2.argmin(1)

@@ -129,7 +129,14 @@ def _encode_and_commit(
         if tt.num_rows == 0:
             continue
         buf = encode_block(tt)
-        rel = os.path.join(f"tier={tier}", f"bucket={bucket:05d}", "block.bin")
+        # VERSIONED block path: the manifest commit is the only pointer
+        # switch. A crash after the block write but before the manifest
+        # rename leaves an orphan file the old manifest never references,
+        # so an append rerun re-reads the OLD block and cannot
+        # double-count (crash-window fix; old versions GC'd post-commit).
+        rel = os.path.join(
+            f"tier={tier}", f"bucket={bucket:05d}", f"block-{fingerprint}.bin"
+        )
         atomic_write_bytes(os.path.join(out_dir, rel), buf)
         ws = tt["window_start"].to_numpy()
         lt_max = pc.max(tt["last_ts"]).as_py()  # None when all-null
@@ -154,11 +161,23 @@ def _encode_and_commit(
         if lt_max is not None:
             watermark = lt_max if watermark is None else max(watermark, lt_max)
 
-    m = commit_bucket_manifest(
+    commit_bucket_manifest(
         out_dir, bucket, fingerprint, config_hash, blocks, counters, watermark,
         applied=applied,
     )
-    del m
+    # post-commit GC: older block versions are no longer referenced
+    live = {b["path"] for b in blocks}
+    for tier in tiers:
+        bdir = os.path.join(out_dir, f"tier={tier}", f"bucket={bucket:05d}")
+        if not os.path.isdir(bdir):
+            continue
+        for name in os.listdir(bdir):
+            rel = os.path.join(f"tier={tier}", f"bucket={bucket:05d}", name)
+            if name.startswith("block") and rel not in live:
+                try:
+                    os.remove(os.path.join(bdir, name))
+                except OSError:
+                    pass
     return pa.Table.from_pylist(rows_out, schema=MANIFEST_ROW_SCHEMA)
 
 
@@ -395,17 +414,28 @@ def read_blocks_dataset(
 
 
 def read_blocks(out_dir: str, tier: str) -> pa.Table:
-    """Decode all committed blocks of one tier back into a table."""
+    """Decode all COMMITTED blocks of one tier (manifest-driven: only
+    files the manifests reference are read — orphans from a crash
+    window are invisible)."""
+    import json
+
     from beamium_ray.stages.gorilla import decode_block
 
-    tdir = os.path.join(out_dir, f"tier={tier}")
     parts = []
-    if os.path.isdir(tdir):
-        for bdir in sorted(os.listdir(tdir)):
-            p = os.path.join(tdir, bdir, "block.bin")
-            if os.path.exists(p):
-                with open(p, "rb") as f:
-                    parts.append(decode_block(f.read()))
+    mdir = os.path.join(out_dir, "_manifests")
+    if os.path.isdir(mdir):
+        for name in sorted(os.listdir(mdir)):
+            if not name.endswith(".json"):
+                continue
+            try:
+                with open(os.path.join(mdir, name)) as f:
+                    m = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                continue
+            for b in m.get("blocks") or []:
+                if b.get("tier") == tier:
+                    with open(os.path.join(out_dir, b["path"]), "rb") as f:
+                        parts.append(decode_block(f.read()))
     if not parts:
         return pa.table({})
     return pa.concat_tables(parts)

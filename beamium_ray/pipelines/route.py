@@ -58,6 +58,9 @@ def write_routed(
     per block, so a failed run leaves per-sink directories that a rerun
     can check and skip.
     """
+    # pin the shared upstream once: each sink write is an independent
+    # execution, and without this the parse pipeline would re-run per sink
+    dp_ds = dp_ds.materialize()
     paths = {}
     for name, ds in route_sinks(dp_ds, sinks, global_labels).items():
         path = f"{out_dir}/sink={name}"

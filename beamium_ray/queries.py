@@ -483,9 +483,12 @@ def lines_file_roundtrip_events(sf_dir: str):
 
     from beamium_ray.sources.lines import parse_lines_dataset, read_metric_lines
 
+    import shutil
+
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
     d = f"/tmp/beamium_gate/lines_{tag}"
-    os.makedirs(d, exist_ok=True)
+    shutil.rmtree(d, ignore_errors=True)  # stale batch files from a prior
+    os.makedirs(d, exist_ok=True)         # run must not be re-ingested
     ds = _read(sf_dir, "events", ["ts", "event_type", "user_id", "value", "event_id"])
     i = 0
     for b in ds.map_batches(

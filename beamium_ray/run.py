@@ -82,8 +82,11 @@ def main(argv: list[str] | None = None) -> int:
         )
         run["stage_metrics"] = stage_metrics(seq2, cfg)
     if cfg.ttl_us or cfg.max_bytes:
+        # TTL horizon is data-time based: "now" = the run watermark
+        # (deterministic), so expiry doesn't depend on wall clock
         run["retention"] = apply_retention(
-            args.output, cfg.ttl_us or None, cfg.max_bytes
+            args.output, cfg.ttl_us or None, cfg.max_bytes,
+            now_us=run.get("watermark"),
         )
     print(json.dumps(run))
     ray.shutdown()

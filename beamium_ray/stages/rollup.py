@@ -296,11 +296,20 @@ def merge_cascade_gapfill(
     base_name, base_us = order[0]
     merged = {base_name: merge_partials(bucket_table)}
     prev = merged[base_name]
+    prev_us = base_us
     for name, us in order[1:]:
-        if us % order[0][1] != 0:
-            raise ValueError(f"tier {name} not a multiple of base tier")
+        # each tier cascades from the PREVIOUS tier's merged rows, so the
+        # tiers must nest pairwise: a 45m window straddling a 2h boundary
+        # would be floored whole into one 2h window and silently corrupt
+        # the coarser aggregates
+        if us % prev_us != 0:
+            raise ValueError(
+                f"tier {name} ({us}µs) is not a multiple of the previous "
+                f"tier ({prev_us}µs); cascade requires nested tiers"
+            )
         prev = cascade_tier(prev, us)
         merged[name] = prev
+        prev_us = us
     pieces = []
     for name, us in order:
         m = merged[name]

@@ -6,7 +6,8 @@ reference's write-tmp-then-rename files (``src/scraper.rs:253-265``,
 ``src/router.rs:212-225``) and delete-after-2xx protocol become:
 
 - every (bucket) partition writes its compressed tier blocks to
-  ``tier=<t>/bucket=<b>/block.bin`` via tmp+rename, then commits
+  ``tier=<t>/bucket=<b>/block-<fingerprint>.bin`` via tmp+rename
+  (versioned: the manifest commit is the only pointer switch), then commits
   ``_manifests/bucket=<b>.json`` (atomic rename, written LAST);
 - a manifest records the input fingerprint, config hash, watermark
   (max rolled last_ts), block paths+sizes and stage counters;
@@ -17,7 +18,7 @@ reference's write-tmp-then-rename files (``src/scraper.rs:253-265``,
 Layout (SURVEY.md §4.3)::
 
     out/
-      tier=1m/bucket=000/block.bin
+      tier=1m/bucket=000/block-<fp>.bin
       _manifests/bucket=000.json
       _run/manifest.json        # merged, committed last
 """

@@ -28,7 +28,11 @@ def apply_retention(
     oldest-by-data-time evicted first (ref sink.rs:172-222).
     """
     mdir = os.path.join(out_dir, "_manifests")
-    counters = {"blocks_ttl_evicted": 0, "blocks_size_evicted": 0}
+    counters = {
+        "windows_expired": 0,
+        "blocks_ttl_evicted": 0,
+        "blocks_size_evicted": 0,
+    }
     if not os.path.isdir(mdir):
         counters["bytes_after"] = 0
         return counters
@@ -57,6 +61,7 @@ def apply_retention(
                 ):
                     drop_block(b)
                     counters["blocks_ttl_evicted"] += 1
+                    counters["windows_expired"] += b.get("rows", 0)
                 else:
                     kept.append(b)
             if len(kept) != len(m.get("blocks") or []):

@@ -96,3 +96,38 @@ def test_append_equals_full_rerun(ray_session):
     )
     shutil.rmtree(OUT, ignore_errors=True)
     shutil.rmtree(full, ignore_errors=True)
+
+
+def test_append_crash_window_no_double_count(ray_session):
+    """Crash between block write and manifest commit must not double-count:
+    block paths are versioned and only the manifest commit switches the
+    pointer, so a rerun re-reads the OLD block (code-review finding)."""
+    import os
+
+    import ray.data
+
+    out = "/tmp/beamium_ray_crashwin"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = EngineConfig(tiers={"1m": 60_000}, num_buckets=4, output_dir=out)
+    a = _points(5, 8000, 0)
+    b = _points(6, 6000, 8000)
+    rollup_to_blocks(ray.data.from_arrow(a).repartition(2), cfg, ["mem://a"], out)
+
+    # simulate the crash window: an orphan merged block exists on disk
+    # (written, never committed) — manifests still point at the A-only block
+    for bdir in os.listdir(os.path.join(out, "tier=1m")):
+        src = os.listdir(os.path.join(out, "tier=1m", bdir))[0]
+        with open(os.path.join(out, "tier=1m", bdir, src), "rb") as f:
+            payload = f.read()
+        with open(os.path.join(out, "tier=1m", bdir, "block-deadbeef.bin"), "wb") as f:
+            f.write(payload)
+
+    append_rollup(ray.data.from_arrow(b).repartition(2), cfg, ["mem://b"], out)
+    got = read_blocks(out, "1m")
+    assert pc.sum(got["n"]).as_py() == 14000  # no double count
+    # orphans GC'd after the commit
+    for bdir in os.listdir(os.path.join(out, "tier=1m")):
+        names = os.listdir(os.path.join(out, "tier=1m", bdir))
+        assert "block-deadbeef.bin" not in names
+        assert len(names) == 1
+    shutil.rmtree(out, ignore_errors=True)

@@ -105,8 +105,10 @@ def test_retention_ttl_and_size(ray_session, cfg):
     now = 50_000_000
     c = apply_retention(OUT, ttl_us={"1m": 10_000}, max_bytes=None, now_us=now)
     assert c["blocks_ttl_evicted"] == 8  # all 1m blocks end before horizon
-    assert not os.path.exists(os.path.join(OUT, "tier=1m", "bucket=00000", "block.bin"))
-    assert os.path.exists(os.path.join(OUT, "tier=1h", "bucket=00000", "block.bin"))
+    import glob as _glob
+
+    assert not _glob.glob(os.path.join(OUT, "tier=1m", "bucket=00000", "block-*.bin"))
+    assert _glob.glob(os.path.join(OUT, "tier=1h", "bucket=00000", "block-*.bin"))
 
     # size cap: keep under half of remaining → oldest evicted first
     c2 = apply_retention(OUT, max_bytes=c["bytes_after"] // 2)

@@ -223,3 +223,14 @@ def test_gapfill_max_gap_cap():
     assert [r["window_start"] for r in filled.to_pylist()] == [0, 60, 120, 180, 240, 300, 360]
     uncapped = merge_cascade_gapfill(p, {"1m": 60}, True)
     assert uncapped.num_rows == 7
+
+
+def test_non_nested_tiers_rejected():
+    # 45m is a multiple of 1m but NOT of nothing-coarser; 2h is not a
+    # multiple of 45m → cascade would floor straddling windows wrongly
+    t = mk(ts=[10], key=["s"], val=[1.0])
+    p = partial_rollup_batch(t, 60, order_col="order", num_buckets=1)
+    with pytest.raises(ValueError, match="not a multiple of the previous"):
+        merge_cascade_gapfill(p, {"1m": 60, "45m": 2700, "2h": 7200}, False)
+    # properly nested tiers still fine
+    merge_cascade_gapfill(p, {"1m": 60, "45m": 2700, "2h15": 8100}, False)
