@@ -336,6 +336,18 @@ def multimodal_decode(sf_dir: str):
     )
 
 
+def distinct_users_events(sf_dir: str):
+    """Exact distinct count via two-level groupby (the scale-safe shape:
+    dedup on the composite key first, then count per group — no
+    count-distinct state larger than the key space ever materializes)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    pairs = ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_c"))
+    out = pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+    return out
+
+
 # ---------- windowed ops beyond tumbling (streaming-shaped, SURVEY §2.4) ----------
 
 
@@ -664,6 +676,10 @@ SELECT event_id FROM events
 WHERE regexp_matches({_CLASS_TOKEN}, 'evt\\.(error|signup)')
    OR regexp_matches({_CLASS_TOKEN}, 'user=1[0-9]}}')
 """,
+    "distinct_users_events": """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+""",
     "topk_users_events": f"""
 SELECT user_id, CAST(sum({_CENTS}) AS BIGINT) AS vsum, count(*) AS n
 FROM events GROUP BY user_id
@@ -729,6 +745,7 @@ QUERIES = {
     "route_selector_events": route_selector_events,
     "whitelist_filter_events": whitelist_filter_events,
     "topk_users_events": topk_users_events,
+    "distinct_users_events": distinct_users_events,
     "dedup_exact_docs": dedup_exact_docs,
     "token_count_docs": token_count_docs,
     "bpe_token_count_docs": bpe_token_count_docs,
