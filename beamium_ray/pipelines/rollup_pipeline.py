@@ -70,20 +70,50 @@ class DeriveParseRelabel:
     output, asserted in tests).
     """
 
-    def __init__(self, cfg: EngineConfig, now_us: int = DEFAULT_NOW_US, mode: str = "columns"):
+    def __init__(
+        self,
+        cfg: EngineConfig,
+        now_us: int = DEFAULT_NOW_US,
+        mode: str = "columns",
+        metrics_actor: str | None = None,
+    ):
         self.cfg = cfg
         self.now = now_us
         self.mode = mode
+        self.metrics_actor = metrics_actor
+        self._actor = None
+
+    def _flush(self, counters: dict, rows_in: int, rows_out: int) -> None:
+        if not self.metrics_actor:
+            return
+        from beamium_ray.state.metrics import lookup
+
+        if self._actor is None:
+            self._actor = lookup(self.metrics_actor)
+            if self._actor is None:  # driver never created it → no-op
+                self.metrics_actor = None
+                return
+        # fire-and-forget: never backpressures the hot path
+        self._actor.add.remote(
+            {**counters, "rows_in": rows_in, "rows_out": rows_out}
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         if self.mode == "lines":
             lined = derive_lines_batch(batch, self.now)
             passthrough = [c for c in PAYLOAD_COLS if c in lined.column_names]
-            t = parse_table(lined, self.now, "line", passthrough)
+            counters: dict = {}
+            t = parse_table(lined, self.now, "line", passthrough, counters)
+            self._flush(counters, batch.num_rows, t.num_rows)
         else:
             t = derive_columns_batch(batch, self.now)
             t = t.drop_columns(["series_key"])
+            self._flush(
+                {"inf_nan": batch.num_rows - t.num_rows},
+                batch.num_rows,
+                t.num_rows,
+            )
         if cfg.labels or cfg.filtered_labels:
             t = relabel_batch(t, add=cfg.labels, drop=cfg.filtered_labels)
         if cfg.metrics_whitelist:
@@ -107,10 +137,21 @@ class DeriveParseRelabel:
         return t.append_column("series_key", series_key)
 
 
-def datapoints(seq_ds, cfg: EngineConfig, now_us: int = DEFAULT_NOW_US, mode: str = "columns"):
-    """sequences Dataset → datapoint Dataset (payload carried along)."""
+def datapoints(
+    seq_ds,
+    cfg: EngineConfig,
+    now_us: int = DEFAULT_NOW_US,
+    mode: str = "columns",
+    metrics_actor: str | None = None,
+):
+    """sequences Dataset → datapoint Dataset (payload carried along).
+
+    ``metrics_actor``: name of a counter actor to flush per-batch
+    drop-rule tallies to (in-pipeline metrics — no second counting
+    pass; read with ``state.metrics.read_and_drop`` after execution).
+    """
     return seq_ds.map_batches(
-        DeriveParseRelabel(cfg, now_us, mode),
+        DeriveParseRelabel(cfg, now_us, mode, metrics_actor),
         batch_format="pyarrow",
         batch_size=None,  # whole-block batches: the kernels are fully
         # vectorized, so bigger batches amortize fixed kernel overhead

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -52,7 +53,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from beamium_ray.config import EngineConfig
     from beamium_ray.pipelines.persist import rollup_to_blocks
-    from beamium_ray.pipelines.rollup_pipeline import datapoints, stage_metrics
+    from beamium_ray.pipelines.rollup_pipeline import datapoints
     from beamium_ray.state.retention import apply_retention
 
     cfg = (
@@ -60,10 +61,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     cfg.output_dir = args.output
 
+    metrics_name = f"beamium-metrics-{os.getpid()}"
+    metrics_handle = None
+    if not args.no_metrics:
+        from beamium_ray.state.metrics import get_or_create
+
+        # driver-owned; the HANDLE must stay referenced or the named
+        # actor is refcounted away before workers flush to it
+        metrics_handle = get_or_create(metrics_name)
     seq = ray.data.read_parquet(args.input, columns=["doc_id", "n_tok", "source"])
-    dp = datapoints(seq, cfg, mode=args.mode)
+    dp = datapoints(
+        seq, cfg, mode=args.mode,
+        metrics_actor=None if args.no_metrics else metrics_name,
+    )
     import glob
-    import os
 
     paths = (
         sorted(glob.glob(os.path.join(args.input, "*.parquet")))
@@ -77,10 +88,11 @@ def main(argv: list[str] | None = None) -> int:
     else:
         run, _rows = rollup_to_blocks(dp, cfg, paths, args.output)
     if not args.no_metrics:
-        seq2 = ray.data.read_parquet(
-            args.input, columns=["doc_id", "n_tok", "source"]
-        )
-        run["stage_metrics"] = stage_metrics(seq2, cfg)
+        # counters were flushed in-pipeline by the parse stage actors
+        from beamium_ray.state.metrics import read_and_drop
+
+        run["stage_metrics"] = read_and_drop(metrics_name)
+        del metrics_handle
     if cfg.ttl_us or cfg.max_bytes:
         # TTL horizon is data-time based: "now" = the run watermark
         # (deterministic), so expiry doesn't depend on wall clock

@@ -1,0 +1,74 @@
+"""In-pipeline metrics: a named zero-CPU counter actor.
+
+The reference keeps global Prometheus counters (T5, SURVEY.md §2.3).
+Here stages flush their per-batch drop-rule tallies to one named
+actor with fire-and-forget calls (no backpressure on the hot path);
+the driver reads the totals once at the end and folds them into the
+run manifest. This replaces the separate ``stage_metrics`` counting
+pass when a metrics actor name is configured.
+"""
+
+from __future__ import annotations
+
+
+def _actor_class():
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class Counters:
+        def __init__(self):
+            self._c: dict[str, int] = {}
+
+        def add(self, delta: dict) -> None:
+            for k, v in delta.items():
+                self._c[k] = self._c.get(k, 0) + int(v)
+
+        def get(self) -> dict:
+            return dict(self._c)
+
+        def reset(self) -> None:
+            self._c = {}
+
+    return Counters
+
+
+def get_or_create(name: str):
+    """Create (or get) the named counter actor.
+
+    MUST be called from the DRIVER before the pipeline runs: a named
+    non-detached actor is owned by its creator, so one created lazily
+    inside a map worker dies when that worker exits. Workers only look
+    it up (``lookup``)."""
+    import ray
+
+    return _actor_class().options(name=name, get_if_exists=True).remote()
+
+
+def lookup(name: str):
+    """Worker-side handle to the driver-owned actor (None if absent)."""
+    import ray
+
+    try:
+        return ray.get_actor(name)
+    except ValueError:
+        return None
+
+
+def read_and_drop(name: str) -> dict:
+    """Collect totals and remove the actor (driver-side, end of run).
+
+    Called after the Dataset has fully executed; a short grace sleep
+    lets the last in-flight fire-and-forget ``add`` calls drain (actor
+    mailboxes are per-caller ordered, not globally)."""
+    import time
+
+    import ray
+
+    try:
+        actor = ray.get_actor(name)
+    except ValueError:
+        return {}
+    time.sleep(0.5)
+    totals = ray.get(actor.get.remote())
+    ray.kill(actor)
+    return totals

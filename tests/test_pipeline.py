@@ -99,3 +99,31 @@ def test_flagship_e2e(ray_session):
     # count matches the datapoint stream
     n_points = dp.count()
     assert pc.sum(t1m["n"]).as_py() == n_points
+
+
+def test_metrics_actor_in_pipeline(ray_session):
+    import ray
+    import ray.data
+
+    from beamium_ray.pipelines.rollup_pipeline import datapoints
+    from beamium_ray.state.metrics import read_and_drop
+
+    from beamium_ray.state.metrics import get_or_create
+
+    batch = make_chunk(0, 12000)
+    name = "test-metrics-actor"
+    actor = get_or_create(name)  # driver-owned; handle must stay live
+    dp = datapoints(
+        ray.data.from_arrow(batch).repartition(4),
+        EngineConfig(),
+        mode="lines",
+        metrics_actor=name,
+    )
+    n_out = dp.count()
+    m = read_and_drop(name)
+    assert m["rows_in"] == 12000
+    assert m["rows_out"] == n_out
+    assert m["inf_nan"] == 12000 - n_out > 0
+    # actor is gone after read_and_drop
+    assert read_and_drop(name) == {}
+    del actor
