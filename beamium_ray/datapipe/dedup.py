@@ -45,9 +45,56 @@ def exact_merge_group(group: pa.Table) -> pa.Table:
 
 def exact_dedup(
     ds, text_col: str = "text", id_col: str = "doc_id", num_buckets: int = 64,
-    keep_text: bool = False,
+    keep_text: bool = False, mode: str = "text",
 ):
-    """Dataset of (doc_id=min id per distinct text, n=duplicate count)."""
+    """Dataset of (doc_id=min id per distinct text, n=duplicate count).
+
+    mode="text": groups by the FULL text end-to-end — zero collision
+    risk, but document bodies travel through the shuffle (fine at the
+    gate scales; the oracle query uses this mode).
+    mode="hash128": the 100 TB path — only (two independent 64-bit
+    hashes, id, count) move; distinct texts colliding on BOTH hashes
+    (~2^-128 per pair) is the accepted risk. Same output schema.
+    """
+    if mode == "hash128":
+
+        def partial128(b: pa.Table) -> pa.Table:
+            t = pa.table({"text": b[text_col], "doc_id": b[id_col]})
+            h1 = hash64(t["text"].combine_chunks())
+            h2 = splitmix64(h1 ^ np.uint64(0xD1FF_5EED))
+            t = pa.table(
+                {
+                    "h1": pa.array(h1.astype(np.int64), pa.int64()),
+                    "h2": pa.array(h2.astype(np.int64), pa.int64()),
+                    "doc_id": t["doc_id"],
+                }
+            )
+            g = t.group_by(["h1", "h2"], use_threads=False).aggregate(
+                [("doc_id", "min"), ("doc_id", "count")]
+            )
+            g = g.rename_columns(["h1", "h2", "doc_id", "n"])
+            g = g.set_column(
+                g.column_names.index("n"), "n", pc.cast(g["n"], pa.int64())
+            )
+            bucket = (
+                g["h1"].to_numpy().astype(np.uint64) % np.uint64(num_buckets)
+            ).astype(np.int32)
+            return g.append_column("bucket", pa.array(bucket, pa.int32()))
+
+        def merge128(group: pa.Table) -> pa.Table:
+            g = group.group_by(["h1", "h2"], use_threads=False).aggregate(
+                [("doc_id", "min"), ("n", "sum")]
+            )
+            return g.rename_columns(["h1", "h2", "doc_id", "n"]).select(
+                ["doc_id", "n"]
+            )
+
+        return (
+            ds.map_batches(partial128, batch_format="pyarrow", batch_size=None)
+            .groupby("bucket")
+            .map_groups(merge128, batch_format="pyarrow")
+        )
+
     out = (
         ds.map_batches(
             lambda b: exact_partial_batch(b, text_col, id_col, num_buckets),

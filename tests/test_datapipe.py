@@ -239,3 +239,15 @@ def test_frame_sampling():
     assert out.num_rows == 8  # 8 frames per payload, every 4th → 2 each
     assert set(out["frame"].to_pylist()) == {0, 4}
     assert all(len(p) == 1024 for p in out["payload"].to_pylist())
+
+
+def test_exact_dedup_hash128_matches_text_mode(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(DOCS).repartition(3)
+    a = sorted(exact_dedup(ds, num_buckets=4).take_all(), key=lambda r: r["doc_id"])
+    b = sorted(
+        exact_dedup(ds, num_buckets=4, mode="hash128").take_all(),
+        key=lambda r: r["doc_id"],
+    )
+    assert a == b
