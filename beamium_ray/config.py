@@ -73,16 +73,20 @@ class EngineConfig:
         if isinstance(labels, dict):
             pairs = [(k, str(v)) for k, v in labels.items()]
         elif labels:
+            # keep malformed (no '=') items verbatim — the reference
+            # passes label strings through; we only resolve env: values
             pairs = [
-                (item.split("=", 1)[0], item.split("=", 1)[1])
+                tuple(item.split("=", 1)) if "=" in item else (None, item)
                 for item in str(labels).split(",")
-                if "=" in item
             ]
         else:
             pairs = []
         if pairs:
             items = []
             for k, v in pairs:
+                if k is None:
+                    items.append(v)
+                    continue
                 if v.startswith("env:"):
                     var = v[4:]
                     if var not in env:

@@ -52,16 +52,24 @@ def exact_dedup(
     mode="text": groups by the FULL text end-to-end — zero collision
     risk, but document bodies travel through the shuffle (fine at the
     gate scales; the oracle query uses this mode).
-    mode="hash128": the 100 TB path — only (two independent 64-bit
-    hashes, id, count) move; distinct texts colliding on BOTH hashes
-    (~2^-128 per pair) is the accepted risk. Same output schema.
+    mode="hash128": the 100 TB path — only (two INDEPENDENTLY-seeded
+    64-bit hashes, id, count) move; distinct texts colliding on both
+    (~2^-128 per pair) is the accepted risk. Same (doc_id, n) output;
+    ``keep_text`` is incompatible (the text never leaves the mappers).
     """
     if mode == "hash128":
+        if keep_text:
+            raise ValueError(
+                "keep_text=True is incompatible with mode='hash128' — "
+                "the text column never travels past the map stage"
+            )
 
         def partial128(b: pa.Table) -> pa.Table:
             t = pa.table({"text": b[text_col], "doc_id": b[id_col]})
-            h1 = hash64(t["text"].combine_chunks())
-            h2 = splitmix64(h1 ^ np.uint64(0xD1FF_5EED))
+            # two independent SEEDS: deriving h2 from h1 would be a
+            # bijection and give only 64-bit protection
+            h1 = hash64(t["text"].combine_chunks(), seed=42)
+            h2 = hash64(t["text"].combine_chunks(), seed=1337)
             t = pa.table(
                 {
                     "h1": pa.array(h1.astype(np.int64), pa.int64()),

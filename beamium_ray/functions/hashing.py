@@ -20,17 +20,27 @@ except ImportError:  # pragma: no cover
     _HAVE_POLARS = False
 
 
-def hash64(arr: pa.Array | pa.ChunkedArray | np.ndarray | list) -> np.ndarray:
-    """Deterministic uint64 hash per element (strings or ints)."""
+def hash64(
+    arr: pa.Array | pa.ChunkedArray | np.ndarray | list, seed: int = 42
+) -> np.ndarray:
+    """Deterministic uint64 hash per element (strings or ints).
+
+    Different ``seed`` values give INDEPENDENT hash functions (xxhash
+    seeding) — required when two hashes must jointly provide more than
+    64 bits of collision resistance (a post-hoc mix of one hash is a
+    bijection and adds zero entropy)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if _HAVE_POLARS:
         s = pl.from_arrow(arr) if isinstance(arr, pa.Array) else pl.Series(arr)
-        return s.hash(seed=42).to_numpy().astype(np.uint64)
+        return s.hash(seed=seed).to_numpy().astype(np.uint64)
     import pandas as pd  # pragma: no cover - fallback
 
     vals = arr.to_numpy(zero_copy_only=False) if isinstance(arr, pa.Array) else np.asarray(arr)
-    return pd.util.hash_array(vals, categorize=False).astype(np.uint64)
+    key = (f"{seed:016x}" * 2)[:16]
+    return pd.util.hash_array(vals, categorize=False, hash_key=key).astype(
+        np.uint64
+    )
 
 
 def bucket_of(arr, num_buckets: int) -> np.ndarray:

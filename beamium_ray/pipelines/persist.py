@@ -23,6 +23,7 @@ from beamium_ray.stages.gorilla import encode_block
 from beamium_ray.stages.rollup import (
     merge_cascade_gapfill,
     partial_rollup_batch,
+    validate_tiers,
 )
 from beamium_ray.state.manifest import (
     atomic_write_bytes,
@@ -192,6 +193,7 @@ def rollup_to_blocks(
     """Datapoint Dataset → committed compressed blocks; returns (run
     manifest dict, manifest-rows Dataset result as pa.Table)."""
     out_dir = out_dir or cfg.output_dir
+    validate_tiers(cfg.tiers)  # fail fast, before any compute launches
     fp = input_fingerprint(input_paths)
     ch = cfg.config_hash()
     committed = load_committed(out_dir, fp, ch)
@@ -255,24 +257,18 @@ def append_rollup(
     import json
 
     out_dir = out_dir or cfg.output_dir
+    validate_tiers(cfg.tiers)
     new_fp = input_fingerprint(new_paths)
     ch = cfg.config_hash()
 
     # buckets that already applied this exact append (crash rerun)
-    skip = set()
-    mdir = os.path.join(out_dir, "_manifests")
-    if os.path.isdir(mdir):
-        for name in os.listdir(mdir):
-            if not name.endswith(".json"):
-                continue
-            try:
-                with open(os.path.join(mdir, name)) as f:
-                    m = json.load(f)
-            except (json.JSONDecodeError, OSError):
-                continue
-            if m.get("config_hash") == ch and new_fp in (m.get("applied") or []):
-                skip.add(int(m["bucket"]))
-    skip = frozenset(skip)
+    from beamium_ray.state.manifest import iter_bucket_manifests
+
+    skip = frozenset(
+        int(m["bucket"])
+        for _, m in iter_bucket_manifests(out_dir)
+        if m.get("config_hash") == ch and new_fp in (m.get("applied") or [])
+    )
 
     base_us = min(cfg.tiers.values())
     tiers, gapfill, nb = dict(cfg.tiers), cfg.gapfill, cfg.num_buckets
@@ -319,29 +315,22 @@ def merge_run_manifest_any(out_dir: str, config_hash: str) -> dict:
     fingerprints are equal only once every bucket caught up)."""
     import json
 
-    mdir = os.path.join(out_dir, "_manifests")
+    from beamium_ray.state.manifest import iter_bucket_manifests
+
     counters: dict[str, int] = {}
     blocks: list[dict] = []
     buckets = []
     watermark = None
-    if os.path.isdir(mdir):
-        for name in sorted(os.listdir(mdir)):
-            if not name.endswith(".json"):
-                continue
-            try:
-                with open(os.path.join(mdir, name)) as f:
-                    m = json.load(f)
-            except (json.JSONDecodeError, OSError):
-                continue
-            if m.get("config_hash") != config_hash:
-                continue
-            buckets.append(int(m["bucket"]))
-            for k, v in (m.get("counters") or {}).items():
-                counters[k] = counters.get(k, 0) + v
-            blocks.extend(m.get("blocks") or [])
-            w = m.get("watermark")
-            if w is not None:
-                watermark = w if watermark is None else max(watermark, w)
+    for _, m in iter_bucket_manifests(out_dir):
+        if m.get("config_hash") != config_hash:
+            continue
+        buckets.append(int(m["bucket"]))
+        for k, v in (m.get("counters") or {}).items():
+            counters[k] = counters.get(k, 0) + v
+        blocks.extend(m.get("blocks") or [])
+        w = m.get("watermark")
+        if w is not None:
+            watermark = w if watermark is None else max(watermark, w)
     run = {
         "config_hash": config_hash,
         "buckets_committed": sorted(buckets),
@@ -373,17 +362,10 @@ def read_blocks_dataset(
 
     from beamium_ray.stages.gorilla import decode_block
 
-    manifests = []
-    mdir = os.path.join(out_dir, "_manifests")
-    if os.path.isdir(mdir):
-        import json
+    from beamium_ray.state.manifest import iter_bucket_manifests
 
-        for name in sorted(os.listdir(mdir)):
-            if name.endswith(".json"):
-                with open(os.path.join(mdir, name)) as f:
-                    manifests.append(json.load(f))
     keep_paths = []
-    for m in manifests:
+    for _, m in iter_bucket_manifests(out_dir):
         for b in m.get("blocks") or []:
             if b.get("tier") != tier:
                 continue
@@ -417,25 +399,15 @@ def read_blocks(out_dir: str, tier: str) -> pa.Table:
     """Decode all COMMITTED blocks of one tier (manifest-driven: only
     files the manifests reference are read — orphans from a crash
     window are invisible)."""
-    import json
-
     from beamium_ray.stages.gorilla import decode_block
+    from beamium_ray.state.manifest import iter_bucket_manifests
 
     parts = []
-    mdir = os.path.join(out_dir, "_manifests")
-    if os.path.isdir(mdir):
-        for name in sorted(os.listdir(mdir)):
-            if not name.endswith(".json"):
-                continue
-            try:
-                with open(os.path.join(mdir, name)) as f:
-                    m = json.load(f)
-            except (json.JSONDecodeError, OSError):
-                continue
-            for b in m.get("blocks") or []:
-                if b.get("tier") == tier:
-                    with open(os.path.join(out_dir, b["path"]), "rb") as f:
-                        parts.append(decode_block(f.read()))
+    for _, m in iter_bucket_manifests(out_dir):
+        for b in m.get("blocks") or []:
+            if b.get("tier") == tier:
+                with open(os.path.join(out_dir, b["path"]), "rb") as f:
+                    parts.append(decode_block(f.read()))
     if not parts:
         return pa.table({})
     return pa.concat_tables(parts)

@@ -51,16 +51,23 @@ def write_routed(
     sinks: dict[str, str | None],
     global_labels: str = "",
     min_rows_per_file: int = 500_000,
+    materialize: bool = False,
 ) -> dict[str, str]:
     """Write each sink branch as partitioned Parquet (S5 analog).
 
     One directory per sink (never one giant file); Ray writes one file
     per block, so a failed run leaves per-sink directories that a rerun
     can check and skip.
+
+    Multicast cost trade-off: each sink write executes the shared
+    upstream independently (N sinks = N parse passes). Pass
+    ``materialize=True`` to pin the upstream once in the object store
+    instead — right when it fits (dimension-table-sized or
+    column-pruned inputs), wrong for payload-heavy datasets at scale
+    (it forces the full payload through the store before any write).
     """
-    # pin the shared upstream once: each sink write is an independent
-    # execution, and without this the parse pipeline would re-run per sink
-    dp_ds = dp_ds.materialize()
+    if materialize:
+        dp_ds = dp_ds.materialize()
     paths = {}
     for name, ds in route_sinks(dp_ds, sinks, global_labels).items():
         path = f"{out_dir}/sink={name}"

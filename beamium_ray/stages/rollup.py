@@ -34,6 +34,18 @@ from beamium_ray.functions.hashing import bucket_of
 AGG_COLS = ["vmin", "vmax", "vsum", "n", "last", "last_ts"]
 
 
+def validate_tiers(tiers: dict[str, int]) -> None:
+    """Fail fast on non-nested tier configs (each tier must divide the
+    next-coarser one; the cascade reuses the previous tier's rows)."""
+    widths = sorted(tiers.values())
+    for prev, cur in zip(widths, widths[1:]):
+        if cur % prev != 0:
+            raise ValueError(
+                f"tiers must nest pairwise: {cur}µs is not a multiple of "
+                f"{prev}µs (cascade would floor straddling windows wrongly)"
+            )
+
+
 def window_start(ts: np.ndarray, tier_us: int) -> np.ndarray:
     """Floor ts to the tier boundary (numpy mod → floor for negatives too)."""
     return ts - np.mod(ts, tier_us)
@@ -344,6 +356,7 @@ def rollup_dataset(
     sort/exchange task overheads. Size it to ~the CPU count (cluster
     size), never to the input size.
     """
+    validate_tiers(tiers)  # fail fast, before any compute launches
     base_us = min(tiers.values())
 
     def _partial(batch: pa.Table) -> pa.Table:

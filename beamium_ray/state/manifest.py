@@ -82,20 +82,30 @@ def commit_bucket_manifest(
     return m
 
 
-def load_committed(out_dir: str, fingerprint: str, config_hash: str) -> dict[int, dict]:
-    """Buckets already rolled for this exact input+config."""
+def iter_bucket_manifests(out_dir: str):
+    """Yield (path, manifest_dict) for every readable bucket manifest.
+
+    The single place that knows the directory layout and tolerates torn
+    writes (a half-written JSON is skipped = treated as uncommitted).
+    """
     mdir = os.path.join(out_dir, "_manifests")
-    out: dict[int, dict] = {}
     if not os.path.isdir(mdir):
-        return out
-    for name in os.listdir(mdir):
+        return
+    for name in sorted(os.listdir(mdir)):
         if not name.endswith(".json"):
             continue
+        path = os.path.join(mdir, name)
         try:
-            with open(os.path.join(mdir, name)) as f:
-                m = json.load(f)
+            with open(path) as f:
+                yield path, json.load(f)
         except (json.JSONDecodeError, OSError):
-            continue  # torn write → treat as uncommitted (will re-roll)
+            continue
+
+
+def load_committed(out_dir: str, fingerprint: str, config_hash: str) -> dict[int, dict]:
+    """Buckets already rolled for this exact input+config."""
+    out: dict[int, dict] = {}
+    for _, m in iter_bucket_manifests(out_dir):
         if m.get("fingerprint") == fingerprint and m.get("config_hash") == config_hash:
             out[int(m["bucket"])] = m
     return out

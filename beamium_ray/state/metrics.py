@@ -6,6 +6,13 @@ actor with fire-and-forget calls (no backpressure on the hot path);
 the driver reads the totals once at the end and folds them into the
 run manifest. This replaces the separate ``stage_metrics`` counting
 pass when a metrics actor name is configured.
+
+ACCURACY CONTRACT: these are observability counters, like the
+reference's Prometheus series — at-least-once (a retried map task
+flushes twice) and read after a short drain grace, so they can drift
+by a task's worth under failures. The EXACT accounting lives in the
+bucket manifests (``points_rolled`` etc.), which are committed
+exactly-once by construction.
 """
 
 from __future__ import annotations

@@ -68,6 +68,12 @@ def test_config_from_yaml_and_env_labels(tmp_path):
     assert cfg.num_buckets == 32
     with pytest.raises(KeyError):
         EngineConfig.from_dict({"labels": {"h": "env:UNSET_VAR_X"}}, env={})
+    # string-form labels resolve env: too, and malformed items survive
+    cfg2 = EngineConfig.from_dict(
+        {"labels": "host=env:TEST_HOSTNAME,debug,dc=gra"},
+        env={"TEST_HOSTNAME": "n1"},
+    )
+    assert cfg2.labels == "host=n1,debug,dc=gra"
 
 
 def test_route_sinks_multicast_and_write(ray_session, tmp_path):
