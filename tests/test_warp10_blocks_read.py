@@ -82,3 +82,43 @@ def test_read_blocks_dataset_pruning(ray_session, tmp_path):
     ds_none = read_blocks_dataset(out, "1m", min_window=10**15)
     assert sum(b.num_rows for b in ds_none.iter_batches(batch_format="pyarrow")) == 0
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_sensision_lines_to_rollup(ray_session, tmp_path):
+    """Full native-input pipeline: *.metrics Warp10 lines → parse →
+    rollup (the reference's Sensision input feeding the new engine)."""
+    import ray.data
+
+    from beamium_ray.sources.lines import read_metric_lines
+    from beamium_ray.stages.parse import parse_warp10_batch
+    from beamium_ray.stages.rollup import rollup_dataset
+
+    d = tmp_path / "w10"
+    d.mkdir()
+    lines = []
+    for i in range(300):
+        ts = 1_000_000 + i * 20_000
+        lines.append(f"{ts}// cpu.load{{host=h{i % 3}}} {i % 7}.5")
+    (d / "a.metrics").write_text("\n".join(lines[:150]) + "\n")
+    (d / "b.metrics").write_text("\n".join(lines[150:]) + "\n")
+
+    ds = read_metric_lines(str(d))
+    parsed = ds.map_batches(
+        lambda b: parse_warp10_batch(b["line"]).append_column(
+            "series_key",
+            pa.compute.binary_join_element_wise(
+                parse_warp10_batch(b["line"])["class"], "{",
+                parse_warp10_batch(b["line"])["labels"], "}", ""
+            ),
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    rolled = rollup_dataset(
+        parsed, {"1m": 60_000_000}, num_buckets=4, gapfill=False
+    )
+    rows = rolled.take_all()
+    assert sum(r["n"] for r in rows) == 300
+    assert {r["series_key"] for r in rows} == {
+        "cpu.load{host=h0}", "cpu.load{host=h1}", "cpu.load{host=h2}"
+    }
