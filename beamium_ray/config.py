@@ -47,8 +47,18 @@ class EngineConfig:
     output_dir: str = "/tmp/beamium_ray_out"
     target_rows_per_block: int = 500_000
 
+    # fields that change WHAT the rollup computes; operational knobs
+    # (paths, retention, shuffle sizing) must not invalidate prior state
+    SEMANTIC_FIELDS = (
+        "format", "metrics_whitelist", "labels", "filtered_labels",
+        "selector", "tiers", "num_buckets", "gapfill", "gapfill_max_gap",
+    )
+
     def config_hash(self) -> str:
-        blob = json.dumps(asdict(self), sort_keys=True).encode()
+        d = asdict(self)
+        blob = json.dumps(
+            {k: d[k] for k in self.SEMANTIC_FIELDS}, sort_keys=True
+        ).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
 
     @classmethod

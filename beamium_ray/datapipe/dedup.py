@@ -457,8 +457,7 @@ def embedding_neardup(
     """Near-dup pairs by cosine ≥ threshold, LSH-bucketed by random
     hyperplane signs (one groupby on the 12-bit sketch), verified
     exactly (float64) within buckets."""
-    rng = np.random.default_rng(seed)
-    planes_ref = {"planes": None, "rng": rng}
+    planes_ref = {"planes": None}
 
     def sketch(b: pa.Table) -> pa.Table:
         mat = np.stack(b[vec_col].to_numpy(zero_copy_only=False)).astype(

@@ -134,6 +134,10 @@ def ivf_topk(
             vec_col
         ]
     )
+    # spherical k-means: cosine search needs centroids fitted and vectors
+    # assigned in UNIT-NORM space, or mixed-magnitude embeddings land the
+    # true neighbors in unprobed lists
+    S = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-30)
     rng = np.random.default_rng(seed)
     cent = S[rng.choice(len(S), size=min(n_lists, len(S)), replace=False)]
     for _ in range(5):  # few Lloyd rounds on the sample
@@ -162,7 +166,10 @@ def ivf_topk(
             if batch.num_rows == 0:
                 return self._empty()
             M = _mat(batch[self.vec_col])
-            d2 = ((M[:, None, :] - self.cent[None, :, :]) ** 2).sum(-1)
+            Mu = M / np.maximum(
+                np.linalg.norm(M, axis=1, keepdims=True), 1e-30
+            )
+            d2 = ((Mu[:, None, :] - self.cent[None, :, :]) ** 2).sum(-1)
             assign = d2.argmin(1)
             parts = []
             ids = batch[self.id_col]

@@ -34,7 +34,18 @@ def hash64(
     if _HAVE_POLARS:
         s = pl.from_arrow(arr) if isinstance(arr, pa.Array) else pl.Series(arr)
         return s.hash(seed=seed).to_numpy().astype(np.uint64)
-    import pandas as pd  # pragma: no cover - fallback
+    import os  # pragma: no cover - fallback path
+
+    if not os.environ.get("BEAMIUM_ALLOW_PANDAS_HASH"):
+        # the fallback produces DIFFERENT hashes than polars' xxhash64 —
+        # a cluster where only some workers have polars would bucket the
+        # same key differently and silently corrupt aggregates. Opt in
+        # explicitly only on a homogeneous polars-free environment.
+        raise RuntimeError(
+            "polars is unavailable; refusing the pandas hash fallback "
+            "(set BEAMIUM_ALLOW_PANDAS_HASH=1 on a homogeneous cluster)"
+        )
+    import pandas as pd
 
     vals = arr.to_numpy(zero_copy_only=False) if isinstance(arr, pa.Array) else np.asarray(arr)
     key = (f"{seed:016x}" * 2)[:16]

@@ -96,6 +96,14 @@ def _encode_and_commit(
                     prior = json.load(f)
             except (json.JSONDecodeError, OSError):
                 prior = None
+        if prior and prior.get("config_hash") != config_hash:
+            raise ValueError(
+                f"append refused for bucket {bucket}: existing state was "
+                f"rolled with config_hash={prior.get('config_hash')} but "
+                f"this run has {config_hash} — appending would silently "
+                "discard prior history; re-roll from scratch (or to a new "
+                "output dir) after a semantic config change"
+            )
         if prior and prior.get("config_hash") == config_hash:
             prior_applied = prior.get("applied") or [prior.get("fingerprint")]
             if fingerprint in prior_applied:

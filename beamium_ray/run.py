@@ -77,10 +77,14 @@ def main(argv: list[str] | None = None) -> int:
     import glob
 
     paths = (
-        sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+        sorted(
+            glob.glob(
+                os.path.join(args.input, "**", "*.parquet"), recursive=True
+            )
+        )
         if os.path.isdir(args.input)
         else [args.input]
-    )
+    )  # recursive: read_parquet descends, so the fingerprint must too
     if args.append:
         from beamium_ray.pipelines.persist import append_rollup
 

@@ -78,7 +78,9 @@ def derive_fields(batch: pa.Table, now_us: int = DEFAULT_NOW_US) -> dict:
         n_tok = n_tok.combine_chunks()
     value = n_tok.to_numpy().astype(np.float64)
     bad = (splitmix64(i ^ _VAL_SALT) % np.uint64(200)) == 0
-    bad_kind = (splitmix64(i ^ _VAL_SALT) % np.uint64(4)).astype(np.int64)
+    # independent of the `bad` mask: hash%200==0 implies hash%4==0, so
+    # deriving the kind from the same residue would always pick 'NaN'
+    bad_kind = ((splitmix64(i ^ _VAL_SALT) // np.uint64(200)) % np.uint64(4)).astype(np.int64)
 
     shard = (h % np.uint64(16)).astype(np.int64)
     klass = pc.binary_join_element_wise(

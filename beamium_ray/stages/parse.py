@@ -204,15 +204,18 @@ def parse_prometheus_batch(
                     parsed[j] = w - 2**64 if w >= 2**63 else w
         ts[has_ts] = parsed
 
-    # class: before first '{' (or the whole class part), trimmed + encoded
-    class_stop = np.where(has_brace, brace_first, idx + 1)
+    # class: split at the first '{' WITHIN the class part (line[:idx+1]);
+    # a '{' after the last '}' (e.g. 'a} b{c 1') belongs to the value
+    # region, matching the oracle's splitn over class_part only
+    brace_in_class = has_brace & (brace_first <= idx)
+    class_stop = np.where(brace_in_class, brace_first, idx + 1)
     cls_b, cls_off = slice_rows(data, offsets, np.zeros(len(arr), np.int64), class_stop)
     klass = urlencode_array(
         pc.utf8_trim_whitespace(strings_from_bytes(cls_b, cls_off))
     )
 
     # labels: quote-aware machine over text after the first '{'
-    lab_start = np.where(has_brace, brace_first + 1, lens)  # empty when no brace
+    lab_start = np.where(brace_in_class, brace_first + 1, lens)  # else empty
     lab_b, lab_off = slice_rows(data, offsets, lab_start, idx + 1)
     labels = label_machine(strings_from_bytes(lab_b, lab_off))
 
@@ -283,7 +286,17 @@ def parse_warp10_batch(lines: pa.Array | pa.ChunkedArray) -> pa.Table:
     slash = first_index_of(data, offsets, 0x2F)  # '/'
     brace = first_index_of(data, offsets, 0x7B)  # '{'
     rbrace = last_index_of(data, offsets, 0x7D)  # '}'
-    ok = (slash >= 1) & (brace > slash) & (rbrace > brace)
+    # shape check: 'ts// class{...}': a second '/' and a space must
+    # immediately follow the first '/'
+    second = np.where(slash >= 0, np.minimum(slash + 1, lens - 1), 0)
+    space = np.where(slash >= 0, np.minimum(slash + 2, lens - 1), 0)
+    ok = (
+        (slash >= 1)
+        & (brace > slash)
+        & (rbrace > brace)
+        & (data[np.clip(offsets[:-1] + second, 0, len(data) - 1)] == 0x2F)
+        & (data[np.clip(offsets[:-1] + space, 0, len(data) - 1)] == 0x20)
+    )
     if not ok.all():
         arr = arr.filter(pa.array(ok))
         if len(arr) == 0:
@@ -294,9 +307,21 @@ def parse_warp10_batch(lines: pa.Array | pa.ChunkedArray) -> pa.Table:
 
     ts_b, ts_off = slice_rows(data, offsets, np.zeros(len(arr), np.int64), slash)
     ts_str = strings_from_bytes(ts_b, ts_off)
-    valid_ts = pc.match_substring_regex(ts_str, _INT_RE)
-    ts = pc.if_else(valid_ts, ts_str, pa.scalar(None, pa.string()))
-    ts = pc.cast(ts, pa.int64())
+    valid_ts = pc.match_substring_regex(ts_str, _INT_RE).to_numpy(
+        zero_copy_only=False
+    ) & (pc.utf8_length(ts_str).to_numpy(zero_copy_only=False) <= 18)
+    # non-integer timestamps → drop the row (the reference logs+skips
+    # junk; a null ts would crash the rollup downstream)
+    if not valid_ts.all():
+        m = pa.array(valid_ts)
+        arr = arr.filter(m)
+        if len(arr) == 0:
+            return PARSED_SCHEMA.empty_table()
+        data, offsets = string_bytes(arr)
+        lens = np.diff(offsets)
+        slash, brace, rbrace = slash[valid_ts], brace[valid_ts], rbrace[valid_ts]
+        ts_str = ts_str.filter(m)
+    ts = pc.cast(ts_str, pa.int64())
 
     # class between '// ' and '{'
     cls_b, cls_off = slice_rows(data, offsets, slash + 3, brace)

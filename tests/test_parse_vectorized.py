@@ -66,6 +66,9 @@ FIXTURE_LINES = [
     'f{ a = "1" , b = "2" } 7',
     'f{unquoted=raw,q="v"} 8',
     'üñïçødé{å="ø"} 1',
+    "a} b{c 1",  # first '{' AFTER the last '}': brace belongs to the value
+    "x} {y} 2",
+    "p}q r 3",
 ]
 
 

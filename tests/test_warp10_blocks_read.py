@@ -32,6 +32,29 @@ def test_warp10_malformed_dropped():
     w = parse_warp10_batch(pa.array(["garbage", "1// ok{} 2", "no braces// x 1"]))
     assert w["class"].to_pylist() == ["ok"]
     assert w["value"].to_pylist() == [2.0]
+    # single slash, bad ts, missing space: all dropped (never null-ts
+    # rows that would crash the rollup downstream)
+    w2 = parse_warp10_batch(
+        pa.array(
+            [
+                "123/abc{x=y} 4",     # no '// '
+                "xx// m{a=b} 5",      # non-integer ts
+                "12//m{a=b} 6",       # missing space after '//'
+                "7// good{a=b} 8",
+            ]
+        )
+    )
+    assert w2["class"].to_pylist() == ["good"]
+    assert w2["ts"].null_count == 0
+    # malformed lines survive a full lines→rollup path without crashing
+    from beamium_ray.stages.rollup import partial_rollup_batch
+
+    t = w2.append_column(
+        "series_key",
+        pa.compute.binary_join_element_wise(w2["class"], "{", w2["labels"], "}", ""),
+    )
+    p = partial_rollup_batch(t, 60_000_000, num_buckets=2)
+    assert p.num_rows == 1
 
 
 def test_read_blocks_dataset_pruning(ray_session, tmp_path):
