@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import shutil
 
+import pytest
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -130,4 +132,34 @@ def test_append_crash_window_no_double_count(ray_session):
         names = os.listdir(os.path.join(out, "tier=1m", bdir))
         assert "block-deadbeef.bin" not in names
         assert len(names) == 1
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_append_refuses_config_mismatch(ray_session):
+    import ray.data
+
+    out = "/tmp/beamium_ray_incr_cfg"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = EngineConfig(tiers={"1m": 60_000}, num_buckets=4, output_dir=out)
+    a = _points(7, 5000, 0)
+    rollup_to_blocks(ray.data.from_arrow(a).repartition(2), cfg, ["mem://a"], out)
+
+    cfg2 = EngineConfig(
+        tiers={"1m": 60_000}, num_buckets=4, output_dir=out, labels="env=x"
+    )
+    with pytest.raises(Exception, match="append refused"):
+        append_rollup(
+            ray.data.from_arrow(a).repartition(2), cfg2, ["mem://b"], out
+        )
+    # operational knobs do NOT change the semantic hash → append works
+    cfg3 = EngineConfig(
+        tiers={"1m": 60_000}, num_buckets=4, output_dir="/elsewhere",
+        shuffle_blocks=2, max_bytes=10**12,
+    )
+    assert cfg3.config_hash() == cfg.config_hash()
+    b = _points(8, 3000, 5000)
+    run, _ = append_rollup(
+        ray.data.from_arrow(b).repartition(2), cfg3, ["mem://b"], out
+    )
+    assert run["counters"]["points_rolled"] == 8000
     shutil.rmtree(out, ignore_errors=True)
