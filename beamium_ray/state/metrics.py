@@ -75,7 +75,15 @@ def read_and_drop(name: str) -> dict:
         actor = ray.get_actor(name)
     except ValueError:
         return {}
-    time.sleep(0.5)
+    # drain: poll until two consecutive reads agree (bounded) — a fixed
+    # sleep under-counts when the host is throttled and deliveries lag
     totals = ray.get(actor.get.remote())
+    deadline = time.monotonic() + 10.0
+    while time.monotonic() < deadline:
+        time.sleep(0.3)
+        again = ray.get(actor.get.remote())
+        if again == totals:
+            break
+        totals = again
     ray.kill(actor)
     return totals
