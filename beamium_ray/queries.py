@@ -549,9 +549,72 @@ def routed_write_roundtrip_events(sf_dir: str):
         return parse_table(lined, now=0, passthrough=["event_id"])
 
     dp = ds.map_batches(go, batch_format="pyarrow", batch_size=None)
-    paths = write_routed(dp, out, {"clicks": r"evt\.click", "rest": None})
-    back = ray.data.read_parquet(paths["clicks"], columns=["event_id", "class"])
+    # router P9: global labels re-added unconditionally before routing
+    paths = write_routed(
+        dp, out, {"clicks": r"evt\.click", "rest": None},
+        global_labels="dc=gra1",
+    )
+    back = ray.data.read_parquet(
+        paths["clicks"], columns=["event_id", "class", "labels"]
+    )
     return back
+
+
+def sensision_roundtrip_events(sf_dir: str):
+    """P2/P3 + Warp10 parse end-to-end: compose native Warp10 lines,
+    write *.metrics files, re-ingest with format="sensision" (trim
+    passthrough), then parse the Warp10 shape back to columns."""
+    import hashlib
+    import os
+    import shutil
+
+    from beamium_ray.sources.lines import parse_lines_dataset, read_metric_lines
+    from beamium_ray.stages.parse import parse_warp10_batch
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/beamium_gate/sensision_{tag}"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    ds = _read(sf_dir, "events", ["ts", "event_type", "user_id", "value"])
+
+    def compose(b: pa.Table) -> pa.Table:
+        line = pc.binary_join_element_wise(
+            pc.cast(pc.cast(b["ts"], pa.int64()), pa.string()),
+            "// evt.",
+            b["event_type"],
+            "{user=",
+            pc.cast(b["user_id"], pa.string()),
+            "} ",
+            pc.cast(b["value"], pa.string()),
+            "",
+        )
+        return pa.table({"line": line})
+
+    i = 0
+    for b in ds.map_batches(
+        compose, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow"):
+        path = os.path.join(d, f"batch-{i:05d}.metrics")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(b["line"].to_pylist()) + "\n")
+        os.replace(tmp, path)
+        i += 1
+
+    trimmed = parse_lines_dataset(read_metric_lines(d), "sensision")
+
+    def decode(b: pa.Table) -> pa.Table:
+        t = parse_warp10_batch(b["line"])
+        return pa.table(
+            {
+                "ts": t["ts"],
+                "class": t["class"],
+                "labels": t["labels"],
+                "value": t["value"],
+            }
+        )
+
+    return trimmed.map_batches(decode, batch_format="pyarrow", batch_size=None)
 
 
 # ---------- oracle SQL ----------
@@ -637,6 +700,13 @@ SELECT event_id, user_id, epoch_us(ts) AS tu,
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
 FROM events
 """,
+    "sensision_roundtrip_events": """
+SELECT epoch_us(ts) AS ts,
+       'evt.' || event_type AS class,
+       'user=' || CAST(user_id AS VARCHAR) AS labels,
+       value
+FROM events
+""",
     "lines_file_roundtrip_events": """
 SELECT (epoch_us(ts) // 1000) * 1000 AS ts,
        'evt.' || event_type AS class,
@@ -645,7 +715,8 @@ SELECT (epoch_us(ts) // 1000) * 1000 AS ts,
 FROM events
 """,
     "routed_write_roundtrip_events": f"""
-SELECT event_id, 'evt.' || event_type AS class
+SELECT event_id, 'evt.' || event_type AS class,
+       'dc=gra1,user=' || CAST(user_id AS VARCHAR) AS labels
 FROM events
 WHERE regexp_matches({_CLASS_TOKEN}, '^evt\\.click')
 """,
@@ -736,6 +807,7 @@ QUERIES = {
     "session_windows_events": session_windows_events,
     "asof_last_click_events": asof_last_click_events,
     "lines_file_roundtrip_events": lines_file_roundtrip_events,
+    "sensision_roundtrip_events": sensision_roundtrip_events,
     "routed_write_roundtrip_events": routed_write_roundtrip_events,
     "rollup_1h_events": rollup_1h_events,
     "rollup_1d_events": rollup_1d_events,
