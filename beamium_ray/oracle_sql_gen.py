@@ -1,0 +1,154 @@
+"""Generators for DuckDB oracle SQL that exactly recomputes the
+engine's hash-based operators (simhash, fingerprints, splitmix-derived
+synthetic columns) in pure ANSI-ish SQL.
+
+The engine's kernels work in wrapping uint64 arithmetic; DuckDB has no
+wrapping ops, so every +/* is emulated in HUGEINT with explicit
+``% 2^64`` reductions, and 64×64→64 wrapping multiplication is split
+into 32-bit halves (al·bl + ((al·bh + ah·bl) mod 2^32)·2^32 mod 2^64 —
+all intermediates < 2^66 « 2^127). xor/shift/popcount run on UBIGINT
+(DuckDB ``xor``, ``>>``, ``bit_count``).
+
+These oracles intentionally recompute the SAME algorithm from its
+mathematical definition — the point of the gate is that the Ray
+pipeline (shuffles, banding, group merges) reproduces the per-row math
+end-to-end, which a row-at-a-time SQL recomputation checks exactly.
+ASCII corpora only: SQL ``substr``/``ascii`` are codepoint-based while
+the engine shingles UTF-8 bytes (identical on ASCII; the testdata is
+ASCII).
+"""
+
+from __future__ import annotations
+
+M64 = 1 << 64
+_SPLITMIX_C0 = 0x9E3779B97F4A7C15
+_SPLITMIX_C1 = 0xBF58476D1CE4E5B9
+_SPLITMIX_C2 = 0x94D049BB133111EB
+POLY_P = 1099511628211
+
+
+def wmul(a_expr: str, b_const: int) -> str:
+    """SQL for (a * b) mod 2^64 with ``a_expr`` a HUGEINT in [0, 2^64)."""
+    bl, bh = b_const & 0xFFFFFFFF, b_const >> 32
+    return (
+        f"((({a_expr}) % 4294967296) * {bl} + "
+        f"(((({a_expr}) % 4294967296) * {bh} + "
+        f"(({a_expr}) // 4294967296) * {bl}) % 4294967296) * 4294967296"
+        f") % {M64}"
+    )
+
+
+def xorshift(z_expr: str, shift: int) -> str:
+    """SQL for z ^ (z >> shift) with z a HUGEINT in [0, 2^64) → HUGEINT."""
+    return (
+        f"CAST(xor(CAST(({z_expr}) AS UBIGINT), "
+        f"CAST(({z_expr}) AS UBIGINT) >> {shift}) AS HUGEINT)"
+    )
+
+
+def splitmix_cte_steps(src_cte: str, x_col: str, out_col: str,
+                       carry: str, prefix: str) -> tuple[str, str]:
+    """Chained CTEs computing splitmix64(x_col) from ``src_cte``.
+
+    Returns (cte_sql_fragment, final_cte_name); ``carry`` is the
+    comma-joined list of columns to keep alongside."""
+    c = f"{carry}, " if carry else ""
+    p = prefix
+    sql = f"""
+{p}1 AS (SELECT {c}(CAST({x_col} AS HUGEINT) + {_SPLITMIX_C0}) % {M64} AS z FROM {src_cte}),
+{p}2 AS (SELECT {c}{xorshift('z', 30)} AS z FROM {p}1),
+{p}3 AS (SELECT {c}{wmul('z', _SPLITMIX_C1)} AS z FROM {p}2),
+{p}4 AS (SELECT {c}{xorshift('z', 27)} AS z FROM {p}3),
+{p}5 AS (SELECT {c}{wmul('z', _SPLITMIX_C2)} AS z FROM {p}4),
+{p}6 AS (SELECT {c}CAST({xorshift('z', 31)} AS HUGEINT) AS {out_col} FROM {p}5)"""
+    return sql, f"{p}6"
+
+
+def _poly_powers(k: int) -> list[int]:
+    return [pow(POLY_P, k - 1 - i, M64) for i in range(k)]
+
+
+def shingle_hash_expr(text_col: str, pos_col: str, k: int = 5) -> str:
+    """SQL: rolling poly hash of the k-byte shingle at 1-based ``pos``
+    (Σ byte_i · P^(k-1-i) mod 2^64) — matches _char_shingle_hashes
+    before the splitmix mix."""
+    pows = _poly_powers(k)
+    terms = " + ".join(
+        f"CAST(ascii(substr({text_col}, {pos_col}+{i}, 1)) AS HUGEINT) * {pows[i]}"
+        for i in range(k)
+    )
+    return f"(({terms}) % {M64})"
+
+
+def simhash_pairs_sql(max_dist: int = 3, k: int = 5,
+                      table: str = "documents") -> str:
+    """Exact SQL recomputation of simhash_candidates(max_dist): all doc
+    pairs (a < b) whose 64-bit simhash hamming distance ≤ max_dist.
+
+    Recall of the engine's 4×16-bit banding is exact for max_dist ≤ 3
+    (pigeonhole), so the band structure needs no SQL mirror."""
+    smx, final = splitmix_cte_steps("wh", "wh", "mx", "doc_id, n_sh", "sm")
+    return f"""
+WITH sh AS (
+  SELECT doc_id, length(text) - {k - 1} AS n_sh, text,
+         unnest(range(1, greatest(length(text) - {k - 2}, 1))) AS p
+  FROM {table}
+),
+wh AS (
+  SELECT doc_id, n_sh, {shingle_hash_expr('text', 'p', k)} AS wh FROM sh
+),{smx},
+bits AS (
+  SELECT doc_id, n_sh, b.bit,
+         sum(CAST((mx // CAST(pow(2, b.bit) AS HUGEINT)) % 2 AS BIGINT)) AS ones
+  FROM {final} CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) b
+  GROUP BY doc_id, n_sh, b.bit
+),
+simsraw AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN ones * 2 > n_sh
+                       THEN CAST(pow(2, bit) AS HUGEINT)
+                       ELSE CAST(0 AS HUGEINT) END) AS UBIGINT) AS sim
+  FROM bits GROUP BY doc_id
+),
+sims AS (
+  SELECT d.doc_id, coalesce(s.sim, CAST(0 AS UBIGINT)) AS sim
+  FROM {table} d LEFT JOIN simsraw s USING (doc_id)
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+       CAST(bit_count(xor(x.sim, y.sim)) AS BIGINT) AS dist
+FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.sim, y.sim)) <= {max_dist}
+"""
+
+
+def jaccard_clusters_sql(threshold: float = 0.8, k: int = 5,
+                         table: str = "documents") -> str:
+    """Exact SQL for minhash_dedup(verify_threshold=τ): connected
+    components over edges {pairs with exact k-gram-set Jaccard ≥ τ},
+    labels = component-min doc_id. The engine's LSH candidates have
+    recall ~1 at τ=0.8 (miss prob (1-τ⁴)^32 ≈ 5e-8 per pair,
+    deterministic under fixed seeds — validated at gate scales)."""
+    return f"""
+WITH RECURSIVE shng AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length(text) - {k - 2}, 1)),
+                                      x -> substr(text, x, {k}))) AS s
+  FROM {table}
+),
+edges AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM shng x JOIN shng y ON x.doc_id < y.doc_id
+  -- same IEEE comparison as the engine: float64 division then >= τ
+  -- (τ·union would round differently on exact-ratio boundaries)
+  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+        greatest(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)), 1)
+        >= {threshold}
+),
+e2 AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM {table}
+  UNION
+  SELECT reach.doc_id, e2.b FROM reach JOIN e2 ON e2.a = reach.r
+)
+SELECT doc_id, min(r) AS cluster FROM reach GROUP BY doc_id
+"""

@@ -17,6 +17,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import beamium_ray.oracle_sql_gen as _gen
 from beamium_ray.config import EngineConfig
 from beamium_ray.stages.filters import route_batch, whitelist_batch
 from beamium_ray.stages.parse import parse_table
@@ -245,12 +246,20 @@ def fingerprint_docs(sf_dir: str):
 
 
 def dedup_minhash_docs(sf_dir: str):
+    """MinHash-LSH near-dup clusters, candidate edges VERIFIED with
+    exact 5-gram Jaccard ≥ 0.8 (hash-oracled: the SQL recomputes the
+    same Jaccard + connected components from first principles)."""
     from beamium_ray.datapipe.dedup import minhash_dedup
 
-    return minhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return minhash_dedup(
+        _read(sf_dir, "documents", ["doc_id", "text"]), verify_threshold=0.8
+    )
 
 
 def dedup_simhash_docs(sf_dir: str):
+    """All near-dup pairs at simhash hamming ≤ 3. Recall is exact by
+    pigeonhole over the 4×16-bit bands; the oracle recomputes the full
+    simhash (poly shingle hash + splitmix64 + per-bit majority) in SQL."""
     from beamium_ray.datapipe.dedup import simhash_candidates
 
     return simhash_candidates(_read(sf_dir, "documents", ["doc_id", "text"]))
@@ -789,6 +798,8 @@ SELECT doc_id, n_chars, n_punct,
        CAST(n_digit AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS digit_ratio
 FROM c
 """,
+    "dedup_simhash_docs": _gen.simhash_pairs_sql(max_dist=3),
+    "dedup_minhash_docs": _gen.jaccard_clusters_sql(threshold=0.8),
     "simsearch_topk_embeddings": """
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id

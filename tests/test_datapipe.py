@@ -114,20 +114,77 @@ def test_minhash_dedup_ray(ray_session):
     import ray.data
 
     ds = ray.data.from_arrow(DOCS).repartition(2)
-    labels = minhash_dedup(ds, max_iters=2)
+    labels = minhash_dedup(ds)
     got = {r["doc_id"]: r["cluster"] for r in labels.take_all()}
     assert got[1] == 0  # exact dup clustered with 0
     assert got[2] == 0  # near dup clustered with 0
     assert got.get(5, 5) == 5  # unrelated doc stays its own cluster
 
 
+def test_minhash_dedup_verified_ray(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(DOCS).repartition(2)
+    labels = minhash_dedup(ds, verify_threshold=0.7)
+    got = {r["doc_id"]: r["cluster"] for r in labels.take_all()}
+    assert len(got) == DOCS.num_rows  # every doc labelled
+    assert got[1] == 0  # exact dup (J=1) verified and clustered
+    assert got[5] == 5
+    # near dup of 0 has J ≈ 0.73 ≥ 0.7 → merged; French doc stays out
+    assert got[2] == 0
+    assert got[3] == 3
+    # stricter threshold rejects the near dup but keeps the exact dup
+    strict = minhash_dedup(ds, verify_threshold=0.9)
+    got2 = {r["doc_id"]: r["cluster"] for r in strict.take_all()}
+    assert got2[1] == 0 and got2[2] == 2
+
+
+def test_connected_components_star_counterexample(ray_session):
+    """Node connected only through a HIGHER id must still get the
+    component min (the r1 min-label chase stranded it)."""
+    import ray.data
+
+    from beamium_ray.datapipe.dedup import connected_components
+
+    edges = pa.table(
+        {"a": pa.array([2, 3, 7], pa.int64()),
+         "b": pa.array([10, 10, 7], pa.int64())}
+    )
+    for thresh in (10_000_000, 0):  # driver union-find AND distributed
+        out = connected_components(
+            ray.data.from_arrow(edges), driver_threshold=thresh
+        )
+        got = {r["doc_id"]: r["cluster"] for r in out.take_all()}
+        assert got == {2: 2, 3: 2, 10: 2, 7: 7}, (thresh, got)
+
+
+def test_connected_components_long_chain_distributed(ray_session):
+    """Chain a-b-c-…-z (length 9) fully merges via the DISTRIBUTED
+    pointer-jumping path (driver_threshold=0 forces it) — the r1 join
+    path ran one hardcoded round and left long chains unmerged."""
+    import ray.data
+
+    from beamium_ray.datapipe.dedup import connected_components
+
+    n = 10
+    edges = pa.table(
+        {
+            # descending ids so labels must flow the hard direction too
+            "a": pa.array(list(range(n - 1, 0, -1)), pa.int64()),
+            "b": pa.array(list(range(n - 2, -1, -1)), pa.int64()),
+        }
+    )
+    out = connected_components(
+        ray.data.from_arrow(edges), driver_threshold=0, num_partitions=4
+    )
+    got = {r["doc_id"]: r["cluster"] for r in out.take_all()}
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_simhash_candidates_ray(ray_session):
     import ray.data
 
-    # add a truly-near doc (one char changed → hamming ≤ 3 expected)
-    docs = DOCS.append_column(
-        "ignored", pa.array([0] * 8, pa.int64())
-    ).drop_columns(["ignored"])
+    # add a truly-near doc (one char changed)
     near = pa.table(
         {
             "doc_id": pa.array([100], pa.int64()),
@@ -136,13 +193,35 @@ def test_simhash_candidates_ray(ray_session):
             ),
         }
     )
-    docs = pa.concat_tables([docs, near])
+    docs = pa.concat_tables([DOCS, near])
     ds = ray.data.from_arrow(docs).repartition(2)
-    pairs = simhash_candidates(ds)
-    got = {(r["a"], r["b"]): r["min(dist)"] for r in pairs.take_all()}
+    pairs = simhash_candidates(ds, max_dist=6)
+    got = {(r["a"], r["b"]): r["dist"] for r in pairs.take_all()}
     assert got.get((0, 1)) == 0  # identical docs share all bands
     assert (0, 100) in got  # 1-char edit caught by banding
     assert got[(0, 100)] <= 6
+
+
+def test_simhash_hot_bucket_capped(ray_session):
+    """A degenerate bucket (all docs identical ⇒ identical simhash)
+    must not go quadratic: star fallback still finds every doc's pair
+    to the bucket min, in O(n) pairs."""
+    import ray.data
+
+    n = 3000
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["same exact text body here"] * n),
+        }
+    )
+    ds = ray.data.from_arrow(docs).repartition(4)
+    pairs = simhash_candidates(ds, bucket_cap=100)
+    t = pa.concat_tables(list(pairs.iter_batches(batch_format="pyarrow")))
+    # star fallback: exactly n-1 pairs (0, i), not n(n-1)/2
+    assert t.num_rows == n - 1
+    assert pc.min(t["a"]).as_py() == 0 and pc.max(t["a"]).as_py() == 0
+    assert set(t["dist"].to_pylist()) == {0}
 
 
 def test_jaccard_pairs_ray(ray_session):
