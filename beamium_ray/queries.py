@@ -230,9 +230,10 @@ def bpe_token_count_docs(sf_dir: str):
 
 def lang_id_docs(sf_dir: str):
     from beamium_ray.datapipe.textstats import LangId
+    from beamium_ray.functions.cluster import default_actor_pool
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        LangId, batch_format="pyarrow", concurrency=2
+        LangId, batch_format="pyarrow", concurrency=default_actor_pool()
     )
 
 
@@ -413,9 +414,11 @@ def sliding_rollup_events(sf_dir: str):
     def _merge(g: pa.Table) -> pa.Table:
         return merge_cascade_gapfill(g, {"w": WINDOW}, gapfill=False)
 
+    from beamium_ray.functions.cluster import default_partitions
+
     rolled = (
         expanded.map_batches(_partial, batch_format="pyarrow", batch_size=None)
-        .repartition(8)
+        .repartition(default_partitions())
         .groupby("bucket")
         .map_groups(_merge, batch_format="pyarrow")
     )
@@ -437,17 +440,29 @@ def sliding_rollup_events(sf_dir: str):
 
 
 def session_windows_events(sf_dir: str):
-    """Gap-based sessionization per user (30 min inactivity gap):
-    sorted per-group vectorized cumsum of gap breaks."""
-    import pandas as pd
+    """Gap-based sessionization per user (30 min inactivity gap).
+
+    The engine's bucket pattern (same as rollup): hash(user)→bucket,
+    ONE groupby on the bucket, then one vectorized pass per bucket —
+    lexsort by (user, ts, event_id), session breaks = user boundary OR
+    gap, segment aggregation via np.reduceat. Replaces r1's
+    one-pandas-call-per-user ``groupby(user).map_groups`` whose
+    per-group overhead dominates at millions of users (VERDICT r1
+    item 5)."""
+    from beamium_ray.functions.cluster import default_partitions
+    from beamium_ray.functions.hashing import hash64
 
     ds = _read(sf_dir, "events", ["ts", "user_id", "value", "event_id"])
     GAP = 1_800_000_000
+    num_buckets = default_partitions()
 
     def prep(b: pa.Table) -> pa.Table:
         v = np.floor(b["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        uid = b["user_id"].to_numpy()
+        bkt = (hash64(uid) % np.uint64(num_buckets)).astype(np.int32)
         return pa.table(
             {
+                "bucket": pa.array(bkt, pa.int32()),
                 "user_id": b["user_id"],
                 "tu": pc.cast(b["ts"], pa.int64()),
                 "v": pa.array(v, pa.int64()),
@@ -455,36 +470,54 @@ def session_windows_events(sf_dir: str):
             }
         )
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["tu", "event_id"], kind="mergesort")
-        brk = (g["tu"].diff().isna()) | (g["tu"].diff() > GAP)
-        sid = brk.cumsum()
-        out = g.groupby(sid).agg(
-            user_id=("user_id", "first"),
-            session_start=("tu", "min"),
-            session_end=("tu", "max"),
-            n=("tu", "size"),
-            vsum=("v", "sum"),
+    def sessions_bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        tu = g["tu"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((eid, tu, u))
+        u, tu, v = u[o], tu[o], v[o]
+        new_user = np.concatenate(([True], u[1:] != u[:-1]))
+        gap_brk = np.concatenate(([True], (tu[1:] - tu[:-1]) > GAP))
+        brk = new_user | gap_brk
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], len(tu)) - 1
+        return pa.table(
+            {
+                "user_id": pa.array(u[starts], pa.int64()),
+                "session_start": pa.array(tu[starts], pa.int64()),
+                "session_end": pa.array(tu[ends], pa.int64()),
+                "n": pa.array(ends - starts + 1, pa.int64()),
+                "vsum": pa.array(np.add.reduceat(v, starts), pa.int64()),
+            }
         )
-        return out.reset_index(drop=True)
 
     return (
         ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(sessions_bucket, batch_format="pyarrow")
     )
 
 
 def asof_last_click_events(sf_dir: str):
     """As-of join: each event gets the user's latest STRICTLY PRIOR
-    'click' timestamp (sorted per-group shifted running max)."""
+    'click' timestamp. Bucket shuffle + per-bucket vectorized pass
+    (pandas groupby.cummax/shift = C-speed segmented prefix max over
+    the whole bucket — no per-user Python)."""
     import pandas as pd
 
+    from beamium_ray.functions.cluster import default_partitions
+    from beamium_ray.functions.hashing import hash64
+
     ds = _read(sf_dir, "events", ["ts", "user_id", "event_type", "event_id"])
+    num_buckets = default_partitions()
 
     def prep(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy()
+        bkt = (hash64(uid) % np.uint64(num_buckets)).astype(np.int32)
         return pa.table(
             {
+                "bucket": pa.array(bkt, pa.int32()),
                 "user_id": b["user_id"],
                 "tu": pc.cast(b["ts"], pa.int64()),
                 "is_click": pc.equal(b["event_type"], "click"),
@@ -492,27 +525,33 @@ def asof_last_click_events(sf_dir: str):
             }
         )
 
-    def asof(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["tu", "event_id"], kind="mergesort")
-        click_ts = np.where(
-            g["is_click"].to_numpy(), g["tu"].to_numpy(), np.iinfo(np.int64).min
-        )
-        run = np.maximum.accumulate(click_ts)
-        prior = np.concatenate(([np.iinfo(np.int64).min], run[:-1]))
-        none = prior == np.iinfo(np.int64).min
+    def asof_bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        tu = g["tu"].to_numpy(zero_copy_only=False)
+        clk = g["is_click"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((eid, tu, u))
+        u, tu, clk, eid = u[o], tu[o], clk[o], eid[o]
+        lo = np.iinfo(np.int64).min
+        click_ts = np.where(clk, tu, lo)
+        df = pd.DataFrame({"u": u, "ct": click_ts})
+        run = df.groupby("u", sort=False)["ct"].cummax()
+        prior = run.groupby(df["u"], sort=False).shift(1)
+        none = prior.isna().to_numpy() | (prior.to_numpy() == lo)
+        prior_i = np.where(none, lo, prior.to_numpy()).astype(np.int64)
         return pa.table(
             {
-                "event_id": pa.array(g["event_id"].to_numpy(), pa.int64()),
-                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
-                "tu": pa.array(g["tu"].to_numpy(), pa.int64()),
-                "last_click_ts": pa.array(prior, pa.int64(), mask=none),
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "tu": pa.array(tu, pa.int64()),
+                "last_click_ts": pa.array(prior_i, pa.int64(), mask=none),
             }
         )
 
     return (
         ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
-        .groupby("user_id")
-        .map_groups(asof, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(asof_bucket, batch_format="pyarrow")
     )
 
 
