@@ -23,6 +23,9 @@ DEFAULT_TIERS: dict[str, int] = {
 
 @dataclass
 class EngineConfig:
+    # scraper identity (keys the BEAMIUM_<NAME>_LABEL_* env form,
+    # ref src/conf.rs:246-265)
+    name: str = ""
     # parse / relabel (reference scraper config, src/conf.rs:209-265)
     format: str = "prometheus"  # or "sensision"
     metrics_whitelist: list[str] = field(default_factory=list)  # P5 patterns
@@ -67,9 +70,14 @@ class EngineConfig:
         reference's env-injection rules (``src/conf.rs:246-265,588-609``):
 
         - label values of the form ``env:VAR`` resolve from the
-          environment (error if unset, like the reference);
-        - ``BEAMIUM_LABEL_<NAME>=<value>`` env vars append extra labels
-          (name lowercased).
+          environment; an UNSET variable removes that label with a
+          warning (``replace_env`` → ``labels.remove``, conf.rs:595-600
+          — not an error);
+        - ``BEAMIUM_LABEL_<K>=<v>`` env vars insert global labels
+          (key lowercased, overriding a same-key config label);
+        - with ``name`` set, ``BEAMIUM_<NAME>_LABEL_<K>=<v>`` insert
+          scraper-scoped labels (name uppercased, '-'→'_', conf.rs:
+          246-265), applied AFTER the global form so they win.
         """
         import os as _os
 
@@ -78,10 +86,12 @@ class EngineConfig:
         kwargs = {k: v for k, v in raw.items() if k in known}
 
         # labels may be given as a mapping or a "k=v,k=v" string; the
-        # reference's env:VAR values resolve in either form (error if unset)
+        # reference's env:VAR values resolve in either form
         labels = kwargs.get("labels", "")
         if isinstance(labels, dict):
-            pairs = [(k, str(v)) for k, v in labels.items()]
+            pairs: list[tuple[str | None, str]] = [
+                (k, str(v)) for k, v in labels.items()
+            ]
         elif labels:
             # keep malformed (no '=') items verbatim — the reference
             # passes label strings through; we only resolve env: values
@@ -91,27 +101,46 @@ class EngineConfig:
             ]
         else:
             pairs = []
-        if pairs:
-            items = []
-            for k, v in pairs:
-                if k is None:
-                    items.append(v)
-                    continue
-                if v.startswith("env:"):
-                    var = v[4:]
-                    if var not in env:
-                        raise KeyError(f"label {k}: environment variable {var} is unset")
-                    v = env[var]
-                items.append(f"{k}={v}")
-            labels = ",".join(items)
-        extra = [
-            f"{name[len('BEAMIUM_LABEL_'):].lower()}={val}"
-            for name, val in sorted(env.items())
-            if name.startswith("BEAMIUM_LABEL_")
-        ]
-        if extra:
-            labels = ",".join(([labels] if labels else []) + extra)
-        kwargs["labels"] = labels
+        resolved: list[tuple[str | None, str]] = []
+        for k, v in pairs:
+            if k is not None and v.startswith("env:"):
+                var = v[4:]
+                if var not in env:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "could not retrieve environment variable '%s'; "
+                        "label '%s' removed", var, k,
+                    )
+                    continue  # ref conf.rs:598-600: unset → remove label
+                v = env[var]
+            resolved.append((k, v))
+
+        def env_labels(prefix: str) -> dict[str, str]:
+            return {
+                n[len(prefix):].lower(): val
+                for n, val in sorted(env.items())
+                if n.startswith(prefix)
+            }
+
+        def apply(into: list, inserts: dict) -> list:
+            out = []
+            for k, v in into:
+                if k is not None and k in inserts:
+                    out.append((k, inserts.pop(k)))  # override in place
+                else:
+                    out.append((k, v))
+            out.extend((k, inserts[k]) for k in sorted(inserts))
+            return out
+
+        resolved = apply(resolved, env_labels("BEAMIUM_LABEL_"))
+        name = str(kwargs.get("name", raw.get("name", "")) or "")
+        if name:
+            pref = f"BEAMIUM_{name.upper().replace('-', '_')}_LABEL_"
+            resolved = apply(resolved, env_labels(pref))
+        kwargs["labels"] = ",".join(
+            v if k is None else f"{k}={v}" for k, v in resolved
+        )
         return cls(**kwargs)
 
     @classmethod
@@ -126,3 +155,41 @@ class EngineConfig:
             with open(path) as f:
                 raw = json.load(f)
         return cls.from_dict(raw, env)
+
+    @classmethod
+    def from_file(cls, path: str, env: dict | None = None) -> "EngineConfig":
+        """Extension-dispatched loader: YAML/JSON/TOML/INI, mirroring
+        the reference's multi-format config merge
+        (``src/conf.rs:101-184`` via the ``config`` crate)."""
+        ext = path.rsplit(".", 1)[-1].lower()
+        if ext == "toml":
+            import tomllib
+
+            with open(path, "rb") as f:
+                raw = tomllib.load(f)
+            return cls.from_dict(raw, env)
+        if ext in ("ini", "cfg"):
+            import configparser
+            from dataclasses import fields as _fields
+
+            cp = configparser.ConfigParser()
+            cp.read(path)
+            raw: dict = {}
+            for sect in cp.sections():
+                if sect.lower() == "labels":
+                    raw["labels"] = dict(cp[sect])
+                else:
+                    raw.update(dict(cp[sect]))
+            # INI values are strings; coerce to the dataclass field types
+            for f in _fields(cls):
+                if f.name in raw and isinstance(raw[f.name], str):
+                    if f.type in ("int", "int | None"):
+                        raw[f.name] = int(raw[f.name])
+                    elif f.type == "bool":
+                        raw[f.name] = raw[f.name].lower() in ("1", "true", "yes")
+                    elif f.type == "list[str]":
+                        raw[f.name] = [
+                            s.strip() for s in raw[f.name].split(",") if s.strip()
+                        ]
+            return cls.from_dict(raw, env)
+        return cls.from_yaml(path, env)

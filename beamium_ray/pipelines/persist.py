@@ -370,10 +370,13 @@ def read_blocks_dataset(
 
     from beamium_ray.stages.gorilla import decode_block
 
-    from beamium_ray.state.manifest import iter_bucket_manifests
+    from beamium_ray.state.manifest import committed_bucket_manifests
 
     keep_paths = []
-    for _, m in iter_bucket_manifests(out_dir):
+    # only manifests consistent with the committed _run manifest are
+    # visible (stale buckets from a prior run over other input/config
+    # must not leak into query results — ADVICE r1)
+    for _, m in committed_bucket_manifests(out_dir):
         for b in m.get("blocks") or []:
             if b.get("tier") != tier:
                 continue
@@ -408,10 +411,10 @@ def read_blocks(out_dir: str, tier: str) -> pa.Table:
     files the manifests reference are read — orphans from a crash
     window are invisible)."""
     from beamium_ray.stages.gorilla import decode_block
-    from beamium_ray.state.manifest import iter_bucket_manifests
+    from beamium_ray.state.manifest import committed_bucket_manifests
 
     parts = []
-    for _, m in iter_bucket_manifests(out_dir):
+    for _, m in committed_bucket_manifests(out_dir):
         for b in m.get("blocks") or []:
             if b.get("tier") == tier:
                 with open(os.path.join(out_dir, b["path"]), "rb") as f:

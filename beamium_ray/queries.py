@@ -577,7 +577,7 @@ def lines_file_roundtrip_events(sf_dir: str):
     i = 0
     for b in ds.map_batches(
         _events_lines, batch_format="pyarrow", batch_size=None
-    ).iter_batches(batch_format="pyarrow"):
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
         path = os.path.join(d, f"batch-{i:05d}.metrics")
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
@@ -640,14 +640,19 @@ def sensision_roundtrip_events(sf_dir: str):
     import os
     import shutil
 
-    from beamium_ray.sources.lines import parse_lines_dataset, read_metric_lines
+    from beamium_ray.sources.lines import (
+        parse_lines_dataset,
+        read_metric_lines_whole_files,
+    )
     from beamium_ray.stages.parse import parse_warp10_batch
 
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
     d = f"/tmp/beamium_gate/sensision_{tag}"
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
-    ds = _read(sf_dir, "events", ["ts", "event_type", "user_id", "value"])
+    ds = _read(
+        sf_dir, "events", ["ts", "event_type", "user_id", "value", "event_id"]
+    )
 
     def compose(b: pa.Table) -> pa.Table:
         line = pc.binary_join_element_wise(
@@ -660,12 +665,33 @@ def sensision_roundtrip_events(sf_dir: str):
             pc.cast(b["value"], pa.string()),
             "",
         )
-        return pa.table({"line": line})
+        # every 50th event also emits a Warp10 '='-CONTINUATION line
+        # (=ts+1// value) directly after its parent — exercises the
+        # class/labels inheritance path end-to-end (VERDICT r1 item 7)
+        ids = b["event_id"].to_numpy()
+        sel = np.flatnonzero(ids % 50 == 0)
+        tsu = pc.cast(b["ts"], pa.int64()).to_numpy()
+        cont = pc.binary_join_element_wise(
+            "=",
+            pc.cast(pa.array(tsu[sel] + 1, pa.int64()), pa.string()),
+            "// ",
+            pc.cast(b["value"], pa.string()).take(pa.array(sel)),
+            "",
+        )
+        n = b.num_rows
+        key = np.concatenate([2 * np.arange(n, dtype=np.int64), 2 * sel + 1])
+        both = pa.concat_arrays(
+            [line.combine_chunks() if isinstance(line, pa.ChunkedArray) else line,
+             cont.combine_chunks() if isinstance(cont, pa.ChunkedArray) else cont]
+        )
+        order = np.argsort(key, kind="stable")
+        return pa.table({"line": both.take(pa.array(order))})
 
     i = 0
+    # whole-block batches: a file must never START with a continuation
     for b in ds.map_batches(
         compose, batch_format="pyarrow", batch_size=None
-    ).iter_batches(batch_format="pyarrow"):
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
         path = os.path.join(d, f"batch-{i:05d}.metrics")
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
@@ -673,7 +699,8 @@ def sensision_roundtrip_events(sf_dir: str):
         os.replace(tmp, path)
         i += 1
 
-    trimmed = parse_lines_dataset(read_metric_lines(d), "sensision")
+    # whole-file blocks: '='-continuations stay adjacent to their parent
+    trimmed = parse_lines_dataset(read_metric_lines_whole_files(d), "sensision")
 
     def decode(b: pa.Table) -> pa.Table:
         t = parse_warp10_batch(b["line"])
@@ -778,6 +805,13 @@ SELECT epoch_us(ts) AS ts,
        'user=' || CAST(user_id AS VARCHAR) AS labels,
        value
 FROM events
+UNION ALL
+-- '='-continuation lines: ts+1, class/labels inherited from parent
+SELECT epoch_us(ts) + 1 AS ts,
+       'evt.' || event_type AS class,
+       'user=' || CAST(user_id AS VARCHAR) AS labels,
+       value
+FROM events WHERE event_id % 50 = 0
 """,
     "lines_file_roundtrip_events": """
 SELECT (epoch_us(ts) // 1000) * 1000 AS ts,

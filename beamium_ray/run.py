@@ -57,7 +57,7 @@ def main(argv: list[str] | None = None) -> int:
     from beamium_ray.state.retention import apply_retention
 
     cfg = (
-        EngineConfig.from_yaml(args.config) if args.config else EngineConfig()
+        EngineConfig.from_file(args.config) if args.config else EngineConfig()
     )
     cfg.output_dir = args.output
 
@@ -76,15 +76,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     import glob
 
-    paths = (
-        sorted(
+    if os.path.isdir(args.input):
+        paths = sorted(
             glob.glob(
                 os.path.join(args.input, "**", "*.parquet"), recursive=True
             )
         )
-        if os.path.isdir(args.input)
-        else [args.input]
-    )  # recursive: read_parquet descends, so the fingerprint must too
+    elif any(ch in args.input for ch in "*?["):
+        # expand glob inputs to the CONCRETE file list: fingerprinting
+        # the literal glob string would reuse a stale fingerprint when
+        # the glob matches a different file set (ADVICE r1)
+        paths = sorted(glob.glob(args.input, recursive=True))
+    else:
+        paths = [args.input]
+    # recursive: read_parquet descends, so the fingerprint must too
     if args.append:
         from beamium_ray.pipelines.persist import append_rollup
 

@@ -36,6 +36,35 @@ def read_metric_lines(paths: str | list[str], file_extension: str | None = "metr
     )
 
 
+def read_metric_lines_whole_files(
+    paths: str | list[str], file_extension: str | None = "metrics"
+):
+    """Like :func:`read_metric_lines` but NEVER splits a file across
+    blocks: each block holds whole files, so line adjacency within a
+    file is preserved into ``map_batches`` batches. Required for
+    Warp10 '='-continuation inheritance — the reference's writer keeps
+    a continuation glued to its parent within one file
+    (``src/scraper.rs:239``), and this reader keeps that guarantee
+    through ingest (``read_text`` may split a file mid-stream and
+    orphan a continuation at a block boundary)."""
+    import ray.data
+
+    kwargs = {}
+    if file_extension:
+        kwargs["file_extensions"] = [file_extension]
+    ds = ray.data.read_binary_files(paths, **kwargs)
+
+    def split(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        txt = pc.cast(b["bytes"], pa.string())
+        lines = pc.split_pattern(txt, "\n").combine_chunks().flatten()
+        lines = lines.filter(pc.invert(pc.equal(lines, "")))
+        return pa.table({"line": lines})
+
+    return ds.map_batches(split, batch_format="pyarrow", batch_size=None)
+
+
 def parse_lines_dataset(
     ds,
     fmt: str = "prometheus",

@@ -263,23 +263,42 @@ def parse_table(
     return parsed
 
 
-def parse_warp10_batch(lines: pa.Array | pa.ChunkedArray) -> pa.Table:
-    """Parse Warp10/Sensision datapoint lines ``ts// class{labels} value``
-    into the same typed columns as the Prometheus path (so native
-    Sensision input can feed the rollup engine — the reference only
-    passes these through, ``transcompiler.rs:33-35``; parsing them is an
-    engine extension needed because our rollup consumes columns).
+def _warp10_ts_valid(ts_str: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(keep mask, int64 values) for integer-timestamp tokens.
 
-    Rows not matching the shape (no '// ' separator or no '{') are
-    dropped. Position/elevation fields of the full ``ts/lat:lon/elev``
-    triple are not supported (beamium never emits them).
-    """
-    if isinstance(lines, pa.ChunkedArray):
-        lines = lines.combine_chunks()
-    arr = pc.utf8_trim_whitespace(pc.fill_null(lines, ""))
-    arr = arr.filter(pc.invert(pc.equal(arr, "")))
+    ≤18 digits: vectorized cast. 19+ digits: exact slow path keeping
+    in-range i64 values (e.g. 9223372036854775807 is valid — the r1
+    fast path wrongly dropped every 19-digit token, ADVICE r1)."""
+    valid = pc.match_substring_regex(ts_str, _INT_RE).to_numpy(
+        zero_copy_only=False
+    )
+    tlen = pc.utf8_length(ts_str).to_numpy(zero_copy_only=False)
+    out = np.zeros(len(valid), dtype=np.int64)
+    fast = valid & (tlen <= 18)
+    if fast.any():
+        toks = pc.replace_substring_regex(
+            ts_str.filter(pa.array(fast)), r"^\+", ""
+        )
+        out[fast] = pc.cast(toks, pa.int64()).to_numpy()
+    slow = valid & (tlen > 18)
+    keep = fast.copy()
+    if slow.any():  # rare: exact-parse, keep only in-range i64
+        for j in np.flatnonzero(slow):
+            v = int(ts_str[j].as_py())
+            if -(2**63) <= v < 2**63:
+                out[j] = v
+                keep[j] = True
+    return keep, out
+
+
+def _parse_warp10_full(
+    arr: pa.Array,
+) -> tuple[pa.Table, np.ndarray]:
+    """Parse full ``ts// class{labels} value`` lines; returns (table,
+    surviving row indices into ``arr``)."""
+    idx = np.arange(len(arr), dtype=np.int64)
     if len(arr) == 0:
-        return PARSED_SCHEMA.empty_table()
+        return PARSED_SCHEMA.empty_table(), idx
     data, offsets = string_bytes(arr)
     lens = np.diff(offsets)
 
@@ -299,29 +318,29 @@ def parse_warp10_batch(lines: pa.Array | pa.ChunkedArray) -> pa.Table:
     )
     if not ok.all():
         arr = arr.filter(pa.array(ok))
+        idx = idx[ok]
         if len(arr) == 0:
-            return PARSED_SCHEMA.empty_table()
+            return PARSED_SCHEMA.empty_table(), idx
         data, offsets = string_bytes(arr)
         lens = np.diff(offsets)
         slash, brace, rbrace = slash[ok], brace[ok], rbrace[ok]
 
     ts_b, ts_off = slice_rows(data, offsets, np.zeros(len(arr), np.int64), slash)
     ts_str = strings_from_bytes(ts_b, ts_off)
-    valid_ts = pc.match_substring_regex(ts_str, _INT_RE).to_numpy(
-        zero_copy_only=False
-    ) & (pc.utf8_length(ts_str).to_numpy(zero_copy_only=False) <= 18)
-    # non-integer timestamps → drop the row (the reference logs+skips
-    # junk; a null ts would crash the rollup downstream)
+    valid_ts, ts_vals = _warp10_ts_valid(ts_str)
+    # non-integer / out-of-range timestamps → drop the row (the
+    # reference logs+skips junk; a null ts would crash the rollup)
     if not valid_ts.all():
         m = pa.array(valid_ts)
         arr = arr.filter(m)
+        idx = idx[valid_ts]
         if len(arr) == 0:
-            return PARSED_SCHEMA.empty_table()
+            return PARSED_SCHEMA.empty_table(), idx
         data, offsets = string_bytes(arr)
         lens = np.diff(offsets)
         slash, brace, rbrace = slash[valid_ts], brace[valid_ts], rbrace[valid_ts]
-        ts_str = ts_str.filter(m)
-    ts = pc.cast(ts_str, pa.int64())
+        ts_vals = ts_vals[valid_ts]
+    ts = pa.array(ts_vals, pa.int64())
 
     # class between '// ' and '{'
     cls_b, cls_off = slice_rows(data, offsets, slash + 3, brace)
@@ -341,7 +360,7 @@ def parse_warp10_batch(lines: pa.Array | pa.ChunkedArray) -> pa.Table:
         pa.float64(),
     )
     line = _compose_line(ts, klass, labels, value_str)
-    return pa.table(
+    out = pa.table(
         {
             "ts": ts,
             "class": klass,
@@ -351,6 +370,144 @@ def parse_warp10_batch(lines: pa.Array | pa.ChunkedArray) -> pa.Table:
             "line": line,
         }
     )
+    return out, idx
+
+
+def _parse_warp10_cont(arr: pa.Array) -> tuple[pa.Table, np.ndarray]:
+    """Parse continuation bodies ``ts// value`` (leading '=' already
+    stripped); returns ((ts, value_str, value), surviving indices)."""
+    idx = np.arange(len(arr), dtype=np.int64)
+    if len(arr) == 0:
+        return pa.table(
+            {"ts": pa.array([], pa.int64()),
+             "value_str": pa.array([], pa.string()),
+             "value": pa.array([], pa.float64())}
+        ), idx
+    data, offsets = string_bytes(arr)
+    lens = np.diff(offsets)
+    slash = first_index_of(data, offsets, 0x2F)
+    second = np.where(slash >= 0, np.minimum(slash + 1, lens - 1), 0)
+    space = np.where(slash >= 0, np.minimum(slash + 2, lens - 1), 0)
+    ok = (
+        (slash >= 1)
+        & (lens > slash + 3)  # at least one value char
+        & (data[np.clip(offsets[:-1] + second, 0, len(data) - 1)] == 0x2F)
+        & (data[np.clip(offsets[:-1] + space, 0, len(data) - 1)] == 0x20)
+    )
+    if not ok.all():
+        arr = arr.filter(pa.array(ok))
+        idx = idx[ok]
+        if len(arr) == 0:
+            return pa.table(
+                {"ts": pa.array([], pa.int64()),
+                 "value_str": pa.array([], pa.string()),
+                 "value": pa.array([], pa.float64())}
+            ), idx
+        data, offsets = string_bytes(arr)
+        lens = np.diff(offsets)
+        slash = slash[ok]
+    ts_b, ts_off = slice_rows(data, offsets, np.zeros(len(arr), np.int64), slash)
+    ts_str = strings_from_bytes(ts_b, ts_off)
+    valid_ts, ts_vals = _warp10_ts_valid(ts_str)
+    if not valid_ts.all():
+        m = pa.array(valid_ts)
+        arr = arr.filter(m)
+        idx = idx[valid_ts]
+        if len(arr) == 0:
+            return pa.table(
+                {"ts": pa.array([], pa.int64()),
+                 "value_str": pa.array([], pa.string()),
+                 "value": pa.array([], pa.float64())}
+            ), idx
+        data, offsets = string_bytes(arr)
+        lens = np.diff(offsets)
+        slash = slash[valid_ts]
+        ts_vals = ts_vals[valid_ts]
+    val_b, val_off = slice_rows(data, offsets, slash + 3, lens)
+    value_str = strings_from_bytes(val_b, val_off)
+    value = pc.cast(
+        pc.if_else(
+            pc.match_substring_regex(
+                value_str, r"^[+-]?([0-9]*\.?[0-9]+([eE][+-]?[0-9]+)?)$"
+            ),
+            value_str,
+            pa.scalar(None, pa.string()),
+        ),
+        pa.float64(),
+    )
+    return pa.table(
+        {"ts": pa.array(ts_vals, pa.int64()), "value_str": value_str,
+         "value": value}
+    ), idx
+
+
+def parse_warp10_batch(
+    lines: pa.Array | pa.ChunkedArray, counters: dict | None = None
+) -> pa.Table:
+    """Parse Warp10/Sensision datapoint lines ``ts// class{labels} value``
+    into the same typed columns as the Prometheus path (so native
+    Sensision input can feed the rollup engine — the reference only
+    passes these through, ``transcompiler.rs:33-35``; parsing them is an
+    engine extension needed because our rollup consumes columns).
+
+    '='-CONTINUATION lines (``=ts// value``) inherit class+labels from
+    the nearest PRECEDING successfully-parsed full line in the batch —
+    mirroring Warp10 semantics; the reference keeps such lines glued to
+    their predecessor through batching (``src/scraper.rs:210,239``), so
+    whole-block batches preserve the adjacency this relies on. A
+    continuation with no surviving predecessor in the batch is dropped
+    and counted (``orphan_continuation``).
+
+    Rows not matching either shape are dropped. Position/elevation
+    fields of the full ``ts/lat:lon/elev`` triple are not supported
+    (beamium never emits them).
+    """
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    arr = pc.utf8_trim_whitespace(pc.fill_null(lines, ""))
+    arr = arr.filter(pc.invert(pc.equal(arr, "")))
+    if len(arr) == 0:
+        return PARSED_SCHEMA.empty_table()
+    cont = pc.starts_with(arr, pattern="=").to_numpy(zero_copy_only=False)
+    pos = np.arange(len(arr), dtype=np.int64)
+    full_tbl, keep_full = _parse_warp10_full(arr.filter(pa.array(~cont)))
+    if not cont.any():
+        return full_tbl
+    surv_full_orig = pos[~cont][keep_full]
+
+    bodies = pc.utf8_slice_codeunits(
+        arr.filter(pa.array(cont)), 1, np.iinfo(np.int32).max
+    )
+    cont_tbl, keep_cont = _parse_warp10_cont(bodies)
+    cont_orig = pos[cont][keep_cont]
+    j = np.searchsorted(surv_full_orig, cont_orig) - 1
+    has_parent = j >= 0
+    if counters is not None:
+        counters["orphan_continuation"] = counters.get(
+            "orphan_continuation", 0
+        ) + int((~has_parent).sum())
+    cont_tbl = cont_tbl.filter(pa.array(has_parent))
+    cont_orig = cont_orig[has_parent]
+    parent = pa.array(j[has_parent])
+    klass = full_tbl["class"].take(parent)
+    labels = full_tbl["labels"].take(parent)
+    cont_full = pa.table(
+        {
+            "ts": cont_tbl["ts"],
+            "class": klass,
+            "labels": labels,
+            "value_str": cont_tbl["value_str"],
+            "value": cont_tbl["value"],
+            "line": _compose_line(
+                cont_tbl["ts"], klass, labels, cont_tbl["value_str"]
+            ),
+        }
+    )
+    merged = pa.concat_tables([full_tbl, cont_full])
+    order = np.argsort(
+        np.concatenate([surv_full_orig, cont_orig]), kind="stable"
+    )
+    return merged.take(pa.array(order))
 
 
 class ParsePrometheus:

@@ -32,12 +32,19 @@ import time
 
 
 def input_fingerprint(paths: list[str], extra: str = "") -> str:
-    """Stable fingerprint of the input file list (+ sizes when local)."""
+    """Stable fingerprint of the input file list (+ size and mtime when
+    local). mtime is included so an in-place same-size content rewrite
+    changes the fingerprint and resume does NOT wrongly skip committed
+    buckets (ADVICE r1); callers must expand globs to the concrete file
+    list first (run.py does) so a glob matching a different file set
+    fingerprints differently."""
     h = hashlib.sha256()
     for p in sorted(paths):
         h.update(p.encode())
         try:
-            h.update(str(os.path.getsize(p)).encode())
+            st = os.stat(p)
+            h.update(str(st.st_size).encode())
+            h.update(str(st.st_mtime_ns).encode())
         except OSError:
             pass
     h.update(extra.encode())
@@ -100,6 +107,32 @@ def iter_bucket_manifests(out_dir: str):
                 yield path, json.load(f)
         except (json.JSONDecodeError, OSError):
             continue
+
+
+def committed_bucket_manifests(out_dir: str):
+    """Yield (path, m) for bucket manifests CONSISTENT with the
+    committed ``_run/manifest.json`` — the read-side filter (ADVICE r1):
+    a reused output dir can hold stale bucket manifests from a previous
+    run over different input/config; only buckets matching the run
+    manifest's config_hash (and its fingerprint, when the run was
+    non-append and thus carries one) are visible to readers. No
+    readable run manifest ⇒ the run never committed ⇒ nothing is
+    visible (the run manifest is the atomic publish point).
+    """
+    p = os.path.join(out_dir, "_run", "manifest.json")
+    try:
+        with open(p) as f:
+            run = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return
+    ch = run.get("config_hash")
+    fp = run.get("fingerprint")  # absent on --append runs
+    for path, m in iter_bucket_manifests(out_dir):
+        if m.get("config_hash") != ch:
+            continue
+        if fp is not None and m.get("fingerprint") != fp:
+            continue
+        yield path, m
 
 
 def load_committed(out_dir: str, fingerprint: str, config_hash: str) -> dict[int, dict]:

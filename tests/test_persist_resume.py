@@ -123,3 +123,34 @@ def test_manifest_is_crash_safe(cfg):
     with open(os.path.join(OUT, "_manifests", "bucket=00000.json"), "w") as f:
         f.write('{"bucket": 0, "finger')
     assert load_committed(OUT, "x", "y") == {}
+
+
+def test_stale_manifests_invisible_to_readers(ray_session, cfg):
+    """Reusing an output dir for a FRESH run over different input must
+    not leak the previous run's buckets into reads (ADVICE r1): readers
+    filter bucket manifests through the committed _run manifest's
+    config_hash + fingerprint."""
+    import ray.data
+
+    from beamium_ray.pipelines.persist import read_blocks_dataset
+
+    _fresh()
+    ds_a = ray.data.from_arrow(_mk_dp(seed=3)).repartition(4)
+    rollup_to_blocks(ds_a, cfg, ["memory://a"], OUT)
+
+    # fresh run, SAME dir, different (smaller) input: only 5 series so
+    # several buckets own no data and keep their stale manifests
+    small = _mk_dp(n=500, seed=4)
+    small = small.set_column(
+        0, "series_key",
+        pa.array(["only-s0"] * small.num_rows, pa.string()),
+    )
+    ds_b = ray.data.from_arrow(small).repartition(2)
+    run_b, _ = rollup_to_blocks(ds_b, cfg, ["memory://b"], OUT)
+
+    got = read_blocks(OUT, "1m")
+    # every decoded row belongs to run B's single series — nothing stale
+    assert set(got["series_key"].to_pylist()) == {"only-s0"}
+    assert int(pc.sum(got["n"]).as_py()) == small.num_rows
+    ds_rows = read_blocks_dataset(OUT, "1m").take_all()
+    assert {r["series_key"] for r in ds_rows} == {"only-s0"}

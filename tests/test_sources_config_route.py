@@ -66,14 +66,43 @@ def test_config_from_yaml_and_env_labels(tmp_path):
     assert cfg.labels == "host=node-7,dc=gra,rack=r12"
     assert cfg.filtered_labels == ["secret"]
     assert cfg.num_buckets == 32
-    with pytest.raises(KeyError):
-        EngineConfig.from_dict({"labels": {"h": "env:UNSET_VAR_X"}}, env={})
+    # ref conf.rs:595-600: unset env:VAR removes the label (warn, not error)
+    gone = EngineConfig.from_dict(
+        {"labels": {"h": "env:UNSET_VAR_X", "keep": "1"}}, env={}
+    )
+    assert gone.labels == "keep=1"
     # string-form labels resolve env: too, and malformed items survive
     cfg2 = EngineConfig.from_dict(
         {"labels": "host=env:TEST_HOSTNAME,debug,dc=gra"},
         env={"TEST_HOSTNAME": "n1"},
     )
     assert cfg2.labels == "host=n1,debug,dc=gra"
+
+
+def test_config_per_scraper_env_labels():
+    """BEAMIUM_<NAME>_LABEL_* (name uppercased, '-'→'_') applies only to
+    the named scraper, AFTER the global form, overriding same keys
+    (ref src/conf.rs:246-265)."""
+    env = {
+        "BEAMIUM_LABEL_DC": "global-dc",
+        "BEAMIUM_WEB_FRONT_LABEL_DC": "scraper-dc",
+        "BEAMIUM_WEB_FRONT_LABEL_TEAM": "web",
+        "BEAMIUM_OTHER_LABEL_TEAM": "other",
+    }
+    scoped = EngineConfig.from_dict(
+        {"name": "web-front", "labels": {"env": "prod"}}, env=env
+    )
+    # global dc applied then overridden by the scraper-scoped value;
+    # other scrapers' vars ignored
+    assert scoped.labels == "env=prod,dc=scraper-dc,team=web"
+    unscoped = EngineConfig.from_dict({"labels": {"env": "prod"}}, env=env)
+    assert unscoped.labels == "env=prod,dc=global-dc"
+    # env-label overriding a config-file label happens in place
+    override = EngineConfig.from_dict(
+        {"name": "web-front", "labels": {"dc": "from-file", "env": "prod"}},
+        env=env,
+    )
+    assert override.labels == "dc=scraper-dc,env=prod,team=web"
 
 
 def test_route_sinks_multicast_and_write(ray_session, tmp_path):
@@ -188,3 +217,26 @@ def test_sigkill_resume(tmp_path):
     for col in ["series_key", "window_start", "vmin", "vmax", "n", "last"]:
         assert a[col].to_pylist() == b[col].to_pylist(), col
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_config_toml_and_ini(tmp_path):
+    """TOML and INI configs load with typed fields (ref conf.rs:101-184
+    accepts YAML/JSON/TOML/INI through the config crate)."""
+    t = tmp_path / "c.toml"
+    t.write_text(
+        'name = "web"\nnum_buckets = 16\ngapfill = false\n'
+        'filtered_labels = ["secret"]\n[labels]\ndc = "gra"\n'
+    )
+    cfg = EngineConfig.from_file(str(t), env={})
+    assert (cfg.name, cfg.num_buckets, cfg.gapfill) == ("web", 16, False)
+    assert cfg.labels == "dc=gra" and cfg.filtered_labels == ["secret"]
+
+    i = tmp_path / "c.ini"
+    i.write_text(
+        "[scraper]\nname = web\nnum_buckets = 16\ngapfill = false\n"
+        "filtered_labels = secret, internal\n[labels]\ndc = gra\n"
+    )
+    cfg2 = EngineConfig.from_file(str(i), env={})
+    assert (cfg2.name, cfg2.num_buckets, cfg2.gapfill) == ("web", 16, False)
+    assert cfg2.labels == "dc=gra"
+    assert cfg2.filtered_labels == ["secret", "internal"]

@@ -145,3 +145,62 @@ def test_sensision_lines_to_rollup(ray_session, tmp_path):
     assert {r["series_key"] for r in rows} == {
         "cpu.load{host=h0}", "cpu.load{host=h1}", "cpu.load{host=h2}"
     }
+
+
+def test_warp10_continuation_inheritance():
+    """'=ts// value' inherits class+labels from the nearest preceding
+    surviving full line (Warp10 semantics; ref src/scraper.rs:210,239
+    keeps continuations glued to their predecessor through batching)."""
+    cnt: dict = {}
+    w = parse_warp10_batch(
+        pa.array(
+            [
+                "=5// 1.5",            # orphan: no predecessor → dropped
+                "10// m.one{a=b} 1",
+                "=11// 2",             # inherits m.one{a=b}
+                "=12// 3",             # still m.one{a=b}
+                "20// m.two{c=d} 4",
+                "xx// junk{e=f} 9",    # full line dropped (bad ts)
+                "=21// 5",             # inherits m.two (junk didn't survive)
+                "=bogus// 6",          # malformed continuation → dropped
+            ]
+        ),
+        counters=cnt,
+    )
+    rows = list(
+        zip(
+            w["ts"].to_pylist(),
+            w["class"].to_pylist(),
+            w["labels"].to_pylist(),
+            w["value"].to_pylist(),
+        )
+    )
+    assert rows == [
+        (10, "m.one", "a=b", 1.0),
+        (11, "m.one", "a=b", 2.0),
+        (12, "m.one", "a=b", 3.0),
+        (20, "m.two", "c=d", 4.0),
+        (21, "m.two", "c=d", 5.0),
+    ]
+    assert cnt["orphan_continuation"] == 1
+
+
+def test_warp10_19_digit_timestamps():
+    """19-digit in-range i64 timestamps are kept exactly; out-of-range
+    ones are dropped (ADVICE r1: the old fast path dropped ALL 19-digit
+    tokens although up to 9223372036854775807 is a valid i64)."""
+    w = parse_warp10_batch(
+        pa.array(
+            [
+                "9223372036854775807// m{a=b} 1",   # i64::MAX → kept
+                "9223372036854775808// m{a=b} 2",   # overflow → dropped
+                "-9223372036854775808// m{a=b} 3",  # i64::MIN → kept
+                "123// m{a=b} 4",
+            ]
+        )
+    )
+    assert w["ts"].to_pylist() == [
+        9223372036854775807,
+        -9223372036854775808,
+        123,
+    ]
