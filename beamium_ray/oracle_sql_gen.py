@@ -121,6 +121,101 @@ WHERE bit_count(xor(x.sim, y.sim)) <= {max_dist}
 """
 
 
+def _splitmix_chain(
+    salts: list[tuple[str, int]], src: str = "base", i_col: str = "i"
+) -> tuple[str, str, list[str]]:
+    """Chained CTEs computing ``out = splitmix64(i ^ salt)`` for every
+    (out_name, salt), carrying previous outputs along. Returns
+    (cte_fragment, final_cte, output column names)."""
+    frags: list[str] = []
+    carry = [i_col]
+    prev = src
+    for name, salt in salts:
+        xin = f"{name}_in"
+        carry_sql = ", ".join(carry)
+        frags.append(
+            f"""
+{xin} AS (SELECT {carry_sql},
+  CAST(xor(CAST({i_col} AS UBIGINT), CAST({salt} AS UBIGINT)) AS HUGEINT) AS x
+  FROM {prev})"""
+        )
+        sm, final = splitmix_cte_steps(xin, "x", name, carry_sql, f"sm_{name}")
+        frags.append(sm)
+        carry = carry + [name]
+        prev = final
+    return ",".join(frags), prev, carry
+
+
+def flagship_rollup_sql(
+    table: str = "documents",
+    t0: int = 1_700_000_000_000_000,
+    step: int = 50_000,
+    now: int = 1_700_100_000_000_000,
+    tier: int = 60_000_000,
+    labels_prefix: str = "env=prod,",
+) -> str:
+    """Exact SQL recomputation of the FLAGSHIP pipeline over the
+    synthetic sequence table derived from ``documents.doc_id``:
+    splitmix64-derived n_tok/source/ts-missing/bad-value/jitter+shard
+    (stages/derive.py + sources/tokens.py rules), the NaN/Inf drop, the
+    env=prod relabel prepend, series_key composition, and the gap-filled
+    1m rollup with ``last`` = value at max (ts, order)."""
+    chain, final, _ = _splitmix_chain(
+        [
+            ("ntok_h", 0x5EED_0001),
+            ("src_h", 0x5EED_0002),
+            ("tsn_h", 0x7A57_0001),
+            ("val_h", 0x7A57_0002),
+            ("jit_h", 0x7A57_0003),
+        ]
+    )
+    return f"""
+WITH base AS (SELECT CAST(doc_id AS HUGEINT) AS i FROM {table}),
+{chain},
+derived AS (
+  SELECT CAST(i AS BIGINT) AS ord,
+         CAST(16 + (ntok_h % 497) AS BIGINT) AS n_tok,
+         CAST(src_h % 100 AS BIGINT) AS pct,
+         (tsn_h % 50 = 0) AS ts_missing,
+         (val_h % 200 = 0) AS bad,
+         CAST(jit_h % 1000 AS BIGINT) AS jitter_ms,
+         CAST(jit_h % 16 AS BIGINT) AS shard
+  FROM {final}),
+pts AS (
+  SELECT CASE WHEN pct < 70 THEN 'web' WHEN pct < 85 THEN 'books'
+              WHEN pct < 95 THEN 'code' ELSE 'wiki' END AS src,
+         CASE WHEN ts_missing THEN {now}
+              ELSE {t0} + ord * {step} + jitter_ms * 1000 END AS ts,
+         CAST(n_tok AS DOUBLE) AS v, ord, shard
+  FROM derived WHERE NOT bad),
+keyed AS (
+  SELECT 'seq.' || src || '.ntok{{{labels_prefix}source=' || src ||
+         ',shard=' || shard || '}}' AS series_key, ts, v, ord
+  FROM pts),
+w AS (
+  SELECT series_key, ts - (ts % {tier}) AS window_start, v,
+         row_number() OVER (
+           PARTITION BY series_key, ts - (ts % {tier})
+           ORDER BY ts DESC, ord DESC) AS rn
+  FROM keyed),
+agg AS (
+  SELECT series_key, window_start,
+         min(v) AS vmin, max(v) AS vmax, sum(v) AS vsum,
+         count(*) AS n, max(CASE WHEN rn = 1 THEN v END) AS last
+  FROM w GROUP BY 1, 2),
+bounds AS (SELECT series_key, min(window_start) lo, max(window_start) hi
+           FROM agg GROUP BY 1),
+dense AS (
+  SELECT b.series_key,
+         unnest(generate_series(b.lo, b.hi, {tier})) AS window_start
+  FROM bounds b)
+SELECT d.series_key, d.window_start, a.vmin, a.vmax, a.vsum,
+       coalesce(a.n, 0) AS n, a.last
+FROM dense d LEFT JOIN agg a
+  ON d.series_key = a.series_key AND d.window_start = a.window_start
+"""
+
+
 def jaccard_clusters_sql(threshold: float = 0.8, k: int = 5,
                          table: str = "documents") -> str:
     """Exact SQL for minhash_dedup(verify_threshold=τ): connected

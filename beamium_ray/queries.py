@@ -895,6 +895,8 @@ SELECT doc_id, n_chars, n_punct,
        CAST(n_digit AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS digit_ratio
 FROM c
 """,
+    # the FLAGSHIP: full derive→relabel→rollup(gapfill) recomputed in SQL
+    "flagship_rollup_1m": _gen.flagship_rollup_sql(),
     "embedding_neardup_embeddings": """
 WITH aug AS (
   SELECT vec_id, embedding FROM embeddings

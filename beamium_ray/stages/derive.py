@@ -4,12 +4,12 @@ The engine's first ``map_batches`` stage. From each input row
 ``(doc_id, tokens, n_tok, source)`` it deterministically derives the
 datapoint fields the rollup consumes:
 
-    ts       T0 + i*STEP + (hash(doc_id) % 1000) µs; a seeded 1/50
-             fraction get NO timestamp → stamped with the partition's
-             ``now`` (the reference's scrape-time default,
+    ts       T0 + i*STEP + (splitmix64(i^J) % 1000) ms-aligned µs; a
+             seeded 1/50 fraction get NO timestamp → stamped with the
+             partition's ``now`` (the reference's scrape-time default,
              ref src/lib/transcompiler.rs:62-66)
     class    "seq.<source>.ntok"
-    labels   "source=<source>,shard=<hash(doc_id)%16>"
+    labels   "source=<source>,shard=<splitmix64(i^J)%16>"
     value    float(n_tok); a seeded 1/200 fraction synthesized as
              NaN/±Inf text to exercise the drop rule (ref :55-60)
     order    global row index (deterministic `last` tie-break)
@@ -30,7 +30,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from beamium_ray.functions.hashing import hash64, splitmix64
+from beamium_ray.functions.hashing import splitmix64
 
 T0_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z
 # 20 datapoints per second across the stream → with ~64 series a 1m
@@ -40,6 +40,11 @@ T0_US = 1_700_000_000_000_000  # 2023-11-14T22:13:20Z
 STEP_US = 50_000
 _TS_NULL_SALT = np.uint64(0x7A57_0001)
 _VAL_SALT = np.uint64(0x7A57_0002)
+# jitter/shard come from splitmix64(i ^ salt), NOT hash64(doc_id):
+# splitmix is exactly reproducible in the DuckDB oracle (HUGEINT wrap
+# arithmetic), making the WHOLE flagship rollup hash-verifiable;
+# polars' string hash is version-dependent and not SQL-expressible
+_JITTER_SALT = np.uint64(0x7A57_0003)
 DEFAULT_NOW_US = 1_700_100_000_000_000  # deterministic per-run "scrape now"
 
 _BAD_VALUES = np.array(["NaN", "+Inf", "-Inf", "nan"])
@@ -60,7 +65,7 @@ def derive_fields(batch: pa.Table, now_us: int = DEFAULT_NOW_US) -> dict:
     if isinstance(source, pa.ChunkedArray):
         source = source.combine_chunks()
     i = _row_index(doc_id)
-    h = hash64(doc_id)
+    h = splitmix64(i ^ _JITTER_SALT)
     # jitter is ms-aligned so the text-line path (ms-granularity
     # Prometheus timestamps, parser multiplies by 1000) and the columnar
     # path produce IDENTICAL µs timestamps
@@ -150,7 +155,9 @@ def derive_lines_batch(batch: pa.Table, now_us: int = DEFAULT_NOW_US) -> pa.Tabl
     if isinstance(src, pa.ChunkedArray):
         src = src.combine_chunks()
     shard_str = pc.cast(
-        pa.array((hash64(batch["doc_id"]) % np.uint64(16)).astype(np.int64)),
+        pa.array(
+            (splitmix64(i ^ _JITTER_SALT) % np.uint64(16)).astype(np.int64)
+        ),
         pa.string(),
     )
     line = pc.binary_join_element_wise(
