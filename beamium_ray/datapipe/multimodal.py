@@ -85,10 +85,17 @@ class DecodeImage:
         hs = batch["height"].to_numpy()
         t = self.thumb
         means, stds, thumbs = [], [], []
+        sums, sqsums, npx = [], [], []
         for p, w, h in zip(payloads, ws, hs):
             img = self._decode(p, int(w), int(h))
             means.append(float(img.mean()))
             stds.append(float(img.std()))
+            # exact integer pixel stats (pixels < 256, counts < 2^23 →
+            # float32 sums stay exact; the oracle recomputes these)
+            i64 = img.astype(np.int64)
+            sums.append(int(i64.sum()))
+            sqsums.append(int((i64 * i64).sum()))
+            npx.append(int(img.size))
             # box-resample thumbnail (the "resize" op)
             ty = np.linspace(0, h, t + 1).astype(int)
             tx = np.linspace(0, w, t + 1).astype(int)
@@ -103,20 +110,26 @@ class DecodeImage:
                 "media_id": batch["media_id"],
                 "pix_mean": pa.array(means, pa.float64()),
                 "pix_std": pa.array(stds, pa.float64()),
+                "px_sum": pa.array(sums, pa.int64()),
+                "px_sqsum": pa.array(sqsums, pa.int64()),
+                "n_px": pa.array(npx, pa.int64()),
                 "thumb": pa.array(thumbs, pa.list_(pa.float32())),
             }
         )
 
 
 def decode_dataset(ds, decoder: str = "fake", batch_size: int = 256,
-                   concurrency=2):
-    """Attach the decode actor pool with payload-aware batch sizing."""
+                   concurrency=None):
+    """Attach the decode actor pool with payload-aware batch sizing;
+    pool size derives from cluster resources unless overridden."""
+    from beamium_ray.functions.cluster import default_actor_pool
+
     return ds.map_batches(
         DecodeImage,
         fn_constructor_kwargs={"decoder": decoder},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or default_actor_pool(),
     )
 
 

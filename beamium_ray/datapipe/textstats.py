@@ -161,8 +161,8 @@ def fingerprint_batch(
 
     # k-gram rolling hashes: hash every k-byte window, keep those ≡0 (mod m)
     lens = np.diff(offsets)
+    n_rows = len(lens)
     n_grams = np.maximum(lens - k + 1, 0)
-    sketches: list[list[int]] = []
     if len(data) >= k and n_grams.sum() > 0:
         P = np.uint64(1099511628211)
         with np.errstate(over="ignore"):
@@ -177,20 +177,39 @@ def fingerprint_batch(
             wh = (win * powk[None, :]).sum(axis=1, dtype=np.uint64)
         mixed = splitmix64(wh)
         keep = (mixed % np.uint64(sample_mod)) == 0
-        rid_start = offsets[:-1]
-        for r in range(len(lens)):
-            if n_grams[r] <= 0:
-                sketches.append([])
-                continue
-            s = slice(rid_start[r], rid_start[r] + n_grams[r])
-            sel = mixed[s][keep[s]]
-            sketches.append(np.unique(sel).astype(np.int64).tolist())
+        # fully vectorized per-row unique assembly (no Python row loop):
+        # gather each row's kept window hashes, lexsort by (row, value),
+        # drop adjacent duplicates, build the ListArray from offsets
+        new_off = np.concatenate(([0], np.cumsum(n_grams)))
+        rid = np.repeat(np.arange(n_rows, dtype=np.int64), n_grams)
+        pos = (
+            np.arange(int(n_grams.sum()), dtype=np.int64)
+            - new_off[rid]
+            + offsets[:-1][rid]
+        )
+        kept = keep[pos]
+        rk, rv = rid[kept], mixed[pos][kept]
+        o = np.lexsort((rv, rk))
+        rk, rv = rk[o], rv[o]
+        dup = np.concatenate(
+            ([False], (rk[1:] == rk[:-1]) & (rv[1:] == rv[:-1]))
+        )
+        rk, rv = rk[~dup], rv[~dup]
+        counts = np.bincount(rk, minlength=n_rows)
+        off2 = np.concatenate(([0], np.cumsum(counts)))
+        sketch = pa.ListArray.from_arrays(
+            pa.array(off2, pa.int32()),
+            pa.array(rv.astype(np.int64), pa.int64()),
+        )
     else:
-        sketches = [[] for _ in range(len(lens))]
+        sketch = pa.ListArray.from_arrays(
+            pa.array(np.zeros(n_rows + 1, np.int32), pa.int32()),
+            pa.array([], pa.int64()),
+        )
     return pa.table(
         {
             "doc_id": batch["doc_id"],
             "fingerprint": pa.array(full.astype(np.int64), pa.int64()),
-            "sketch": pa.array(sketches, pa.list_(pa.int64())),
+            "sketch": sketch,
         }
     )

@@ -216,6 +216,105 @@ FROM dense d LEFT JOIN agg a
 """
 
 
+def fingerprint_sql(table: str = "documents") -> str:
+    """Exact SQL for the whole-text polynomial rolling hash
+    fingerprint (Σ byte_i · P^(len-1-i) mod 2^64): Horner's rule as a
+    recursive CTE (h ← h·P + byte per position), wrapping multiply in
+    HUGEINT. uint64 → the engine's int64 view at the end."""
+    step = wmul("acc", POLY_P)
+    return f"""
+WITH RECURSIVE horner(doc_id, j, len, acc) AS (
+  SELECT doc_id, 0, length(text), CAST(0 AS HUGEINT) FROM {table}
+  UNION ALL
+  SELECT h.doc_id, h.j + 1, h.len,
+         CAST((({step}) + ascii(substr(d.text, h.j + 1, 1))) % {M64}
+              AS HUGEINT)
+  FROM horner h JOIN {table} d USING (doc_id)
+  WHERE h.j < h.len)
+SELECT doc_id,
+       CAST(CASE WHEN acc >= {1 << 63} THEN acc - {M64} ELSE acc END
+            AS BIGINT) AS fingerprint
+FROM horner WHERE j = len
+"""
+
+
+def lang_id_sql(table: str = "documents") -> str:
+    """Exact SQL for the LangId stopword-profile guesser: lowercase,
+    split on [^a-z]+, per-language lexicon hit counts, argmax over
+    langs in sorted order (first max wins, = np.argmax), 'und' when no
+    words or zero best score. Scores are hits/total with a shared
+    denominator, so comparing raw counts is equivalent."""
+    profiles = {
+        "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+        "fr": ["le", "la", "les", "de", "des", "et", "est", "que", "une", "pour"],
+        "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+        "es": ["el", "la", "los", "de", "y", "es", "que", "una", "por", "con"],
+    }
+    langs = sorted(profiles)  # np.argmax tie-break order
+    hit_cols = ",\n         ".join(
+        "sum(CASE WHEN w IN ({}) THEN 1 ELSE 0 END) AS {}".format(
+            ", ".join(f"'{x}'" for x in profiles[lang]), lang
+        )
+        for lang in langs
+    )
+    # argmax with first-max-wins over sorted langs: lang_k wins iff its
+    # count >= every later lang's count and > every... no — np.argmax
+    # returns the FIRST index attaining the max, so lang_k wins iff
+    # count_k >= count_j for all j > k and count_k > count_j is not
+    # required for earlier j (earlier j must be strictly smaller).
+    cases = []
+    for i, lang in enumerate(langs):
+        conds = [f"{lang} >= {lj}" for lj in langs[i + 1:]]
+        conds += [f"{lang} > {lj}" for lj in langs[:i]]
+        cases.append(
+            "WHEN {} THEN '{}'".format(" AND ".join(conds) or "TRUE", lang)
+        )
+    case_sql = "\n           ".join(cases)
+    greatest = ", ".join(langs)
+    return f"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z]+')) AS w
+  FROM {table}),
+vw AS (SELECT doc_id, w FROM words WHERE w <> ''),
+scores AS (
+  SELECT doc_id, count(*) AS total,
+         {hit_cols}
+  FROM vw GROUP BY doc_id)
+SELECT d.doc_id,
+       CASE WHEN s.doc_id IS NULL OR s.total = 0
+                 OR greatest({greatest}) = 0 THEN 'und'
+           {case_sql}
+       END AS lang_pred
+FROM {table} d LEFT JOIN scores s USING (doc_id)
+"""
+
+
+def multimodal_decode_sql(n: int = 512, payload_bytes: int = 4096,
+                          w: int = 32, h: int = 32) -> str:
+    """Exact SQL for the fake-codec decode stats: payload = sha256 of
+    str(media_id) repeated; the w×h image is the first w·h bytes =
+    (w·h/32) repetitions of the 32-byte digest, so integer pixel sums
+    are digest-byte sums scaled by the repetition count."""
+    reps = (w * h) // 32
+    assert (w * h) % 32 == 0
+    return f"""
+WITH m AS (SELECT unnest(range(0, {n})) AS media_id),
+hx AS (SELECT media_id, sha256(CAST(media_id AS VARCHAR)) AS hh FROM m),
+b AS (SELECT media_id, hh, unnest(range(0, 32)) AS k FROM hx),
+vals AS (
+  SELECT media_id,
+         (strpos('0123456789abcdef', substr(hh, 2*k + 1, 1)) - 1) * 16 +
+         (strpos('0123456789abcdef', substr(hh, 2*k + 2, 1)) - 1) AS byte
+  FROM b)
+SELECT media_id,
+       CAST({reps} * sum(byte) AS BIGINT) AS px_sum,
+       CAST({reps} * sum(byte * byte) AS BIGINT) AS px_sqsum,
+       CAST({w * h} AS BIGINT) AS n_px
+FROM vals GROUP BY media_id
+"""
+
+
 def jaccard_clusters_sql(threshold: float = 0.8, k: int = 5,
                          table: str = "documents") -> str:
     """Exact SQL for minhash_dedup(verify_threshold=τ): connected

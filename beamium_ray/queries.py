@@ -365,8 +365,10 @@ def multimodal_decode(sf_dir: str):
     from beamium_ray.datapipe.multimodal import decode_dataset, synth_media_batch
 
     media = ray.data.from_arrow(synth_media_batch(0, 512))
-    return decode_dataset(media, batch_size=64, concurrency=2).select_columns(
-        ["media_id", "pix_mean", "pix_std"]
+    # integer pixel sums: exact under any batch/actor split, so the
+    # decode plumbing is value-verifiable against the sha256 oracle
+    return decode_dataset(media, batch_size=64).select_columns(
+        ["media_id", "px_sum", "px_sqsum", "n_px"]
     )
 
 
@@ -897,6 +899,9 @@ FROM c
 """,
     # the FLAGSHIP: full derive→relabel→rollup(gapfill) recomputed in SQL
     "flagship_rollup_1m": _gen.flagship_rollup_sql(),
+    "fingerprint_docs": _gen.fingerprint_sql(),
+    "lang_id_docs": _gen.lang_id_sql(),
+    "multimodal_decode": _gen.multimodal_decode_sql(),
     "embedding_neardup_embeddings": """
 WITH aug AS (
   SELECT vec_id, embedding FROM embeddings
