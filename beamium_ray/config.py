@@ -49,6 +49,10 @@ class EngineConfig:
     # io
     output_dir: str = "/tmp/beamium_ray_out"
     target_rows_per_block: int = 500_000
+    # block float codec: "bytes" (byte-granular suppression, default) or
+    # "bits" (paper-granularity, ~10-30% smaller float streams); blocks
+    # self-describe, so mixed-codec outputs read fine
+    float_codec: str = "bytes"
 
     # fields that change WHAT the rollup computes; operational knobs
     # (paths, retention, shuffle sizing) must not invalidate prior state

@@ -178,6 +178,67 @@ def minhash_signatures(
     return sigs
 
 
+def _band_hashes(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n, num_perm) signatures → (n, bands) uint64 band hashes."""
+    n, p = sigs.shape
+    r = p // bands
+    band_vals = sigs.reshape(n, bands, r)
+    bh = np.zeros((n, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(r):  # loop over r (4), not rows
+            bh = splitmix64(bh ^ band_vals[:, :, i])
+    return bh
+
+
+def minhash_sig_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    k: int = 5,
+) -> pa.Table:
+    """(doc_id, sig list<int64>) — the narrow signature table (1 KB/doc
+    at 128 perms). Computed ONCE; band rows and the verification
+    prefilter both derive from it instead of re-shingling the text."""
+    sigs = minhash_signatures(batch[text_col], num_perm, k)
+    n = sigs.shape[0]
+    off = pa.array(np.arange(n + 1, dtype=np.int32) * num_perm, pa.int32())
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table(
+        {
+            "doc_id": ids,
+            "sig": pa.ListArray.from_arrays(
+                off, pa.array(sigs.astype(np.int64).ravel(), pa.int64())
+            ),
+        }
+    )
+
+
+def bands_from_sigs_batch(batch: pa.Table, bands: int, num_perm: int) -> pa.Table:
+    """(doc_id, sig) rows → (band, band_hash, doc_id) LSH index rows."""
+    n = batch.num_rows
+    sl = batch["sig"].combine_chunks() if isinstance(
+        batch["sig"], pa.ChunkedArray) else batch["sig"]
+    sigs = sl.values.to_numpy().astype(np.uint64).reshape(n, num_perm)
+    bh = _band_hashes(sigs, bands)
+    ids = batch["doc_id"]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table(
+        {
+            "band": pa.array(
+                np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()
+            ),
+            "band_hash": pa.array(bh.ravel().astype(np.int64), pa.int64()),
+            "doc_id": ids.take(
+                pa.array(np.repeat(np.arange(n), bands), pa.int64())
+            ),
+        }
+    )
+
+
 def minhash_bands_batch(
     batch: pa.Table,
     text_col: str = "text",
@@ -188,14 +249,8 @@ def minhash_bands_batch(
 ) -> pa.Table:
     """Emit (band, band_hash, doc_id) rows — the LSH index entries."""
     sigs = minhash_signatures(batch[text_col], num_perm, k)
-    n, p = sigs.shape
-    r = p // bands
-    # hash each band of r signature values into one uint64
-    band_vals = sigs.reshape(n, bands, r)
-    bh = np.zeros((n, bands), dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for i in range(r):  # loop over r (4), not rows
-            bh = splitmix64(bh ^ band_vals[:, :, i])
+    n = sigs.shape[0]
+    bh = _band_hashes(sigs, bands)
     ids = batch[id_col]
     if isinstance(ids, pa.ChunkedArray):
         ids = ids.combine_chunks()
@@ -223,28 +278,135 @@ def lsh_star_edges(group: pa.Table) -> pa.Table:
     )
 
 
-def lsh_pair_edges(group: pa.Table, bucket_cap: int = 256) -> pa.Table:
-    """Per (band, band_hash) bucket: ALL distinct pairs (a < b), capped.
+def _segment_pair_indices(
+    key: np.ndarray, ids: np.ndarray, cap: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized all-pairs within equal-key segments (many LSH buckets
+    at once — NO per-bucket Python). Returns (order, ai, bi): indices
+    into ``order``-sorted arrays; a < b holds because ids sort ascending
+    within each segment. Segments larger than ``cap`` fall back to star
+    pairs against the segment min (degenerate-content guard).
 
-    All-pairs (not star) is required when edges are Jaccard-verified
-    downstream — a star edge a–min failing verification must not hide a
-    real a–b edge. Buckets above ``bucket_cap`` fall back to star edges
-    against the bucket min (degenerate-content guard, bounds the bucket
-    at O(cap²) pairs)."""
-    n = group.num_rows
-    if n < 2:
-        return pa.table(
-            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
-        )
-    ids = np.sort(group["doc_id"].to_numpy(zero_copy_only=False))
-    if n <= bucket_cap:
-        ai, bi = np.triu_indices(n, 1)
-    else:
-        ai = np.zeros(n - 1, dtype=np.int64)
-        bi = np.arange(1, n, dtype=np.int64)
-    return pa.table(
-        {"a": pa.array(ids[ai], pa.int64()), "b": pa.array(ids[bi], pa.int64())}
+    All-pairs (not star) matters when edges are verified downstream — a
+    star edge a–min failing verification must not hide a real a–b edge.
+    """
+    order = np.lexsort((ids, key))
+    k = key[order]
+    n = len(k)
+    if n == 0:
+        e = np.zeros(0, dtype=np.int64)
+        return order, e, e
+    seg_start = np.concatenate(([True], k[1:] != k[:-1]))
+    seg_id = np.cumsum(seg_start) - 1
+    starts = np.flatnonzero(seg_start)
+    sizes = np.diff(np.append(starts, n))
+    size_of = sizes[seg_id]
+    start_of = starts[seg_id]
+    pos = np.arange(n, dtype=np.int64) - start_of
+    capped = size_of > cap
+    ai_parts: list[np.ndarray] = []
+    bi_parts: list[np.ndarray] = []
+    star = capped & (pos > 0)
+    if star.any():
+        bi_parts.append(np.flatnonzero(star))
+        ai_parts.append(start_of[star])
+    small_sizes = sizes[sizes <= cap]
+    max_small = int(small_sizes.max()) if len(small_sizes) else 0
+    rows = np.arange(n, dtype=np.int64)
+    for d in range(1, max_small):  # loop over pair distance ≤ cap, not rows
+        m = (~capped) & (pos + d < size_of)
+        if not m.any():
+            break
+        ai_parts.append(rows[m])
+        bi_parts.append(rows[m] + d)
+    if not ai_parts:
+        e = np.zeros(0, dtype=np.int64)
+        return order, e, e
+    return order, np.concatenate(ai_parts), np.concatenate(bi_parts)
+
+
+def candidate_pairs(
+    index_rows,
+    key_cols: list[str],
+    id_col: str = "doc_id",
+    payload_col: str | None = None,
+    bucket_cap: int = 256,
+    num_partitions: int | None = None,
+    max_pairs: int = 8_000_000,
+) -> pa.Table:
+    """LSH candidate pairs from narrow index rows (key…, doc_id).
+
+    ONE hash-bucketed groupby (partitions sized from cluster CPUs) with
+    fully-vectorized within-bucket pair generation — r1 ran map_groups
+    per LSH bucket (tens of thousands of Python calls) plus a second
+    dedupe shuffle; the dedupe now happens driver-side with np.unique
+    on the collected narrow pairs (≤ ``max_pairs`` rows — the same
+    driver-memory contract the verify step already has).
+
+    Returns a deduped driver Table (a, b[, pa, pb payload values]).
+    """
+    from beamium_ray.functions.cluster import default_partitions
+
+    P = num_partitions or default_partitions()
+
+    def tag(b: pa.Table) -> pa.Table:
+        key = np.zeros(b.num_rows, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c in key_cols:
+                key = splitmix64(
+                    key ^ b[c].to_numpy(zero_copy_only=False).astype(np.uint64)
+                )
+        cols = {
+            "bkt": pa.array((key % np.uint64(P)).astype(np.int32), pa.int32()),
+            "k": pa.array(key.astype(np.int64), pa.int64()),
+            "doc_id": b[id_col],
+        }
+        if payload_col is not None:
+            cols["pl"] = b[payload_col]
+        return pa.table(cols)
+
+    def gen(g: pa.Table) -> pa.Table:
+        key = g["k"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order, ai, bi = _segment_pair_indices(key, ids, bucket_cap)
+        v = ids[order]
+        cols = {
+            "a": pa.array(v[ai], pa.int64()),
+            "b": pa.array(v[bi], pa.int64()),
+        }
+        if payload_col is not None:
+            pl = g["pl"].to_numpy(zero_copy_only=False)[order]
+            cols["pa"] = pa.array(pl[ai])
+            cols["pb"] = pa.array(pl[bi])
+        return pa.table(cols)
+
+    pairs = (
+        index_rows.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("bkt")
+        .map_groups(gen, batch_format="pyarrow")
     )
+    batches = list(pairs.iter_batches(batch_format="pyarrow"))
+    empty_cols = {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    if payload_col is not None:
+        empty_cols["pa"] = pa.array([], pa.int64())
+        empty_cols["pb"] = pa.array([], pa.int64())
+    if not batches:
+        return pa.table(empty_cols)
+    t = pa.concat_tables(batches)
+    if t.num_rows == 0:
+        return pa.table(empty_cols)
+    if t.num_rows > max_pairs:
+        raise ValueError(
+            f"{t.num_rows} raw candidate pairs exceed max_pairs={max_pairs}; "
+            "tighten the sketch or raise the cap knowingly"
+        )
+    # driver-side dedupe (a pair can collide in several bands; payload
+    # is a pure function of the doc, so keeping the first copy is safe)
+    ab = np.stack(
+        [t["a"].to_numpy(), t["b"].to_numpy()], axis=1
+    )
+    _, first_idx = np.unique(ab, axis=0, return_index=True)
+    return t.take(pa.array(np.sort(first_idx)))
 
 
 def _jaccard_for_pairs(
@@ -260,6 +422,33 @@ def _jaccard_for_pairs(
         inter = len(np.intersect1d(sa, sb, assume_unique=True))
         out[i] = inter / max(1, len(sa) + len(sb) - inter)
     return out
+
+
+def sigs_from_sig_ds(
+    sig_ds, ids: np.ndarray, num_perm: int = 128
+) -> tuple[dict[int, int], np.ndarray]:
+    """Fetch the requested rows of a (doc_id, sig) signature Dataset
+    via one filtered scan. Returns (id → row, (n, num_perm) uint64)."""
+    need = pa.array(np.unique(ids))
+
+    def grab(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["doc_id"], value_set=need))
+
+    got: list[int] = []
+    mats: list[np.ndarray] = []
+    for b in sig_ds.map_batches(
+        grab, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_rows == 0:
+            continue
+        got.extend(b["doc_id"].to_pylist())
+        sl = b["sig"].combine_chunks()
+        mats.append(
+            sl.values.to_numpy().astype(np.uint64).reshape(b.num_rows, num_perm)
+        )
+    if not mats:
+        return {}, np.zeros((0, num_perm), np.uint64)
+    return {g: i for i, g in enumerate(got)}, np.concatenate(mats, axis=0)
 
 
 def shingle_sets_for(
@@ -505,11 +694,6 @@ def minhash_dedup(
     touched docs' hash sets); larger pair sets raise — at that scale
     run verify=None or raise the cap knowingly.
     """
-    band_rows = ds.map_batches(
-        lambda b: minhash_bands_batch(b, text_col, id_col, num_perm, bands, k),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
     import ray.data
 
     def self_edges(b: pa.Table) -> pa.Table:
@@ -519,6 +703,13 @@ def minhash_dedup(
     singles = ds.map_batches(self_edges, batch_format="pyarrow", batch_size=None)
 
     if verify_threshold is None:
+        band_rows = ds.map_batches(
+            lambda b: minhash_bands_batch(
+                b, text_col, id_col, num_perm, bands, k
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
         star = band_rows.groupby(["band", "band_hash"]).map_groups(
             lsh_star_edges, batch_format="pyarrow"
         )
@@ -531,30 +722,68 @@ def minhash_dedup(
             edges.union(singles), num_partitions, driver_threshold
         )
 
-    cand = (
-        band_rows.groupby(["band", "band_hash"])
-        .map_groups(
-            lambda g: lsh_pair_edges(g, bucket_cap), batch_format="pyarrow"
-        )
-        .groupby(["a", "b"])
-        .count()  # distinct pairs (narrow dedupe shuffle)
-        .select_columns(["a", "b"])
+    # signatures computed ONCE into a narrow materialized table
+    # (1 KB/doc); band rows AND the verify prefilter both derive from
+    # it — no second shingling pass over the corpus
+    sig_ds = ds.map_batches(
+        lambda b: minhash_sig_batch(b, text_col, id_col, num_perm, k),
+        batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()
+    band_rows = sig_ds.map_batches(
+        lambda b: bands_from_sigs_batch(b, bands, num_perm),
+        batch_format="pyarrow",
+        batch_size=None,
     )
-    pt = pa.concat_tables(list(cand.iter_batches(batch_format="pyarrow")))
+    pt = candidate_pairs(
+        band_rows,
+        ["band", "band_hash"],
+        bucket_cap=bucket_cap,
+        num_partitions=num_partitions,
+        max_pairs=max_broadcast_pairs * 4,  # ≤4 band collisions per pair
+    )
     if pt.num_rows > max_broadcast_pairs:
         raise ValueError(
             f"{pt.num_rows} candidate pairs exceed max_broadcast_pairs="
             f"{max_broadcast_pairs}; use verify_threshold=None or raise the cap"
         )
-    pairs = list(zip(pt["a"].to_pylist(), pt["b"].to_pylist()))
+    ea_all = pt["a"].to_numpy()
+    eb_all = pt["b"].to_numpy()
+    # 1) cheap vectorized PREFILTER: MinHash signature agreement is an
+    # unbiased Jaccard estimate (σ ≈ 0.035 at 128 perms); pairs whose
+    # estimate falls τ-0.2 below the threshold are rejected without
+    # touching shingles (at τ=0.8 a true J≥0.8 pair fails with p≈1e-8,
+    # deterministic under fixed seeds — validated at gate scales). This
+    # keeps exact verification O(true dups), not O(candidates).
+    prefilter = max(0.0, verify_threshold - 0.2)
+    touched = np.concatenate([ea_all, eb_all]) if len(ea_all) else np.array(
+        [0], dtype=np.int64
+    )
+    sidx, sigs = sigs_from_sig_ds(sig_ds, touched, num_perm)
+    got_ids = np.fromiter(sidx.keys(), dtype=np.int64, count=len(sidx))
+    got_rows = np.fromiter(sidx.values(), dtype=np.int64, count=len(sidx))
+    o = np.argsort(got_ids)
+    sorted_ids, sorted_rows = got_ids[o], got_rows[o]
+    ia = sorted_rows[np.searchsorted(sorted_ids, ea_all)]
+    ib = sorted_rows[np.searchsorted(sorted_ids, eb_all)]
+    est = np.zeros(len(ea_all))
+    CH = 32768  # chunked gather+compare: ~20× faster than one
+    for s in range(0, len(ea_all), CH):  # giant gather (cache locality)
+        est[s: s + CH] = (
+            sigs[ia[s: s + CH]] == sigs[ib[s: s + CH]]
+        ).sum(axis=1)
+    est /= num_perm
+    cand_keep = est >= prefilter
+    # 2) exact verify the survivors only
+    pairs = list(zip(ea_all[cand_keep], eb_all[cand_keep]))
     touched = np.array([i for p in pairs for i in p] or [0], dtype=np.int64)
     sets = shingle_sets_for(ds, touched, text_col, id_col, k)
     jac = _jaccard_for_pairs(pairs, sets)
     keep = jac >= verify_threshold
     edge_tbl = pa.table(
         {
-            "a": pa.array(pt["a"].to_numpy()[keep], pa.int64()),
-            "b": pa.array(pt["b"].to_numpy()[keep], pa.int64()),
+            "a": pa.array(ea_all[cand_keep][keep], pa.int64()),
+            "b": pa.array(eb_all[cand_keep][keep], pa.int64()),
         }
     )
     return connected_components(
@@ -642,58 +871,40 @@ def simhash_candidates(
     k: int = 5,
     max_dist: int = 3,
     bucket_cap: int = 4096,
-):
-    """Near-dup pairs: (a, b, dist) with hamming(simhash) ≤ ``max_dist``.
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Near-dup pairs: driver Table (a, b, dist) with hamming ≤ max_dist.
 
     Recall is EXACT for max_dist ≤ 3: any pair within hamming 3 differs
     in at most 3 of the 4 16-bit bands, so by pigeonhole it shares at
-    least one band key and lands in a common bucket. Buckets larger
-    than ``bucket_cap`` (degenerate content — e.g. all-empty docs
-    sharing simhash 0) fall back to star comparison against the
-    bucket-min doc instead of all-pairs, bounding work at O(cap²) +
-    O(n) per bucket; below the cap the comparison is exact all-pairs.
+    least one band key and lands in a common bucket. Candidate
+    generation runs through ``candidate_pairs`` (one hash-bucketed
+    groupby, vectorized segment pairs, ``bucket_cap`` star fallback for
+    degenerate buckets, driver-side dedupe); distances come from the
+    simhash payload carried per pair.
     """
-
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        empty = pa.table(
-            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-             "dist": pa.array([], pa.int64())}
-        )
-        if n < 2:
-            return empty
-        ids = group["doc_id"].to_numpy(zero_copy_only=False)
-        sh = group["simhash"].to_numpy().astype(np.uint64)
-        o = np.argsort(ids)
-        ids, sh = ids[o], sh[o]
-        if n <= bucket_cap:
-            a_idx, b_idx = np.triu_indices(n, 1)
-        else:  # degenerate bucket: star edges only (documented recall cap)
-            a_idx = np.zeros(n - 1, dtype=np.int64)
-            b_idx = np.arange(1, n, dtype=np.int64)
-        dist = _popcount64(sh[a_idx] ^ sh[b_idx])
-        m = dist <= max_dist  # filter BEFORE the dedupe shuffle
-        return pa.table(
-            {
-                "a": pa.array(ids[a_idx[m]], pa.int64()),
-                "b": pa.array(ids[b_idx[m]], pa.int64()),
-                "dist": pa.array(dist[m], pa.int64()),
-            }
-        )
-
-    pairs = (
-        ds.map_batches(
-            lambda b: simhash_index_batch(b, text_col, id_col, k),
-            batch_format="pyarrow",
-            batch_size=None,
-        )
-        .groupby(["band", "key"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+    idx = ds.map_batches(
+        lambda b: simhash_index_batch(b, text_col, id_col, k),
+        batch_format="pyarrow",
+        batch_size=None,
     )
-    # a pair can match in up to 4 bands — dedupe on the narrow pair table
-    dedup = pairs.groupby(["a", "b"]).min("dist")
-    return dedup.map_batches(
-        lambda t: t.rename_columns(["a", "b", "dist"]), batch_format="pyarrow"
+    t = candidate_pairs(
+        idx,
+        ["band", "key"],
+        payload_col="simhash",
+        bucket_cap=bucket_cap,
+        num_partitions=num_partitions,
+    )
+    pa_v = t["pa"].to_numpy().astype(np.uint64)
+    pb_v = t["pb"].to_numpy().astype(np.uint64)
+    dist = _popcount64(pa_v ^ pb_v)
+    m = dist <= max_dist
+    return pa.table(
+        {
+            "a": pa.array(t["a"].to_numpy()[m], pa.int64()),
+            "b": pa.array(t["b"].to_numpy()[m], pa.int64()),
+            "dist": pa.array(dist[m], pa.int64()),
+        }
     )
 
 
@@ -842,23 +1053,16 @@ def embedding_neardup(
         batch_format="pyarrow",
         batch_size=None,
     )
-    cand = (
-        band_rows.groupby(["band", "key"])
-        .map_groups(
-            lambda g: lsh_pair_edges(g, bucket_cap), batch_format="pyarrow"
-        )
-        .groupby(["a", "b"])
-        .count()
-        .select_columns(["a", "b"])
+    pt = candidate_pairs(
+        band_rows,
+        ["band", "key"],
+        bucket_cap=bucket_cap,
+        max_pairs=max_broadcast_pairs * max(1, bands),
     )
-    batches = list(cand.iter_batches(batch_format="pyarrow"))
     empty = pa.table(
         {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
          "cosine": pa.array([], pa.float64())}
     )
-    if not batches:
-        return empty
-    pt = pa.concat_tables(batches)
     if pt.num_rows == 0:
         return empty
     if pt.num_rows > max_broadcast_pairs:

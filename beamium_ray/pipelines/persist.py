@@ -64,6 +64,7 @@ def _encode_and_commit(
     config_hash: str,
     incremental: bool = False,
     gapfill_max_gap: int | None = None,
+    float_codec: str = "bytes",
 ) -> pa.Table:
     """Per-bucket merge → encode per tier → atomic block write → manifest.
 
@@ -137,7 +138,7 @@ def _encode_and_commit(
         tt = rolled.filter(pc.equal(rolled["tier"], tier)).drop_columns(["tier"])
         if tt.num_rows == 0:
             continue
-        buf = encode_block(tt)
+        buf = encode_block(tt, float_codec=float_codec)
         # VERSIONED block path: the manifest commit is the only pointer
         # switch. A crash after the block write but before the manifest
         # rename leaves an orphan file the old manifest never references,
@@ -209,6 +210,7 @@ def rollup_to_blocks(
     base_us = min(cfg.tiers.values())
     tiers, gapfill, nb = dict(cfg.tiers), cfg.gapfill, cfg.num_buckets
     max_gap = cfg.gapfill_max_gap
+    codec = getattr(cfg, "float_codec", "bytes")
 
     def _partial(batch: pa.Table) -> pa.Table:
         t = partial_rollup_batch(
@@ -226,7 +228,8 @@ def rollup_to_blocks(
 
     def _merge(group: pa.Table) -> pa.Table:
         return _encode_and_commit(
-            group, out_dir, tiers, gapfill, fp, ch, gapfill_max_gap=max_gap
+            group, out_dir, tiers, gapfill, fp, ch, gapfill_max_gap=max_gap,
+            float_codec=codec,
         )
 
     narrow = dp_ds.select_columns(
@@ -281,6 +284,7 @@ def append_rollup(
     base_us = min(cfg.tiers.values())
     tiers, gapfill, nb = dict(cfg.tiers), cfg.gapfill, cfg.num_buckets
     max_gap = cfg.gapfill_max_gap
+    codec = getattr(cfg, "float_codec", "bytes")
 
     def _partial(batch: pa.Table) -> pa.Table:
         t = partial_rollup_batch(
@@ -299,7 +303,7 @@ def append_rollup(
     def _merge(group: pa.Table) -> pa.Table:
         return _encode_and_commit(
             group, out_dir, tiers, gapfill, new_fp, ch, incremental=True,
-            gapfill_max_gap=max_gap,
+            gapfill_max_gap=max_gap, float_codec=codec,
         )
 
     narrow = dp_ds.select_columns(

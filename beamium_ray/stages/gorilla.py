@@ -150,6 +150,104 @@ def decode_floats(blob: dict) -> np.ndarray:
     return u.view(np.float64)
 
 
+def _pack6(a: np.ndarray) -> bytes:
+    """Pack 6-bit values (0..63) into a dense bit stream."""
+    if len(a) == 0:
+        return b""
+    bits = np.unpackbits(a.astype(np.uint8)[:, None], axis=1)[:, 2:]  # low 6
+    return np.packbits(bits.ravel()).tobytes()
+
+
+def _unpack6(b: bytes, n: int) -> np.ndarray:
+    if n == 0:
+        return np.zeros(0, dtype=np.uint8)
+    bits = np.unpackbits(np.frombuffer(b, dtype=np.uint8))[: n * 6]
+    out = bits.reshape(n, 6)
+    return (
+        out[:, 0] * 32 + out[:, 1] * 16 + out[:, 2] * 8
+        + out[:, 3] * 4 + out[:, 4] * 2 + out[:, 5]
+    ).astype(np.uint8)
+
+
+def encode_floats_bits(arr: np.ndarray) -> dict:
+    """XOR-previous + BIT-granular zero suppression (the paper's
+    granularity, vectorized).
+
+    Per value: 1 control bit (xor==0); nonzero values add 6-bit leading
+    -zero count + 6-bit (meaningful length - 1) in side streams and
+    their meaningful BITS in a dense bit payload. Unlike the paper
+    there is no '10 reuse previous window' mode — that control flow is
+    sequential per point; three parallel streams keep encode AND decode
+    pure-numpy (unpackbits → masked gather/scatter → packbits) at
+    ~10-30%% better ratio than the byte-granular default.
+    """
+    u = np.ascontiguousarray(arr, dtype=np.float64).view(np.uint64)
+    x = u.copy()
+    x[1:] ^= u[:-1]
+    n = len(x)
+    if n == 0:
+        return {"codec": "bits", "n": 0, "nz": b"", "lead": b"",
+                "mlen": b"", "payload": b""}
+    bits = np.unpackbits(
+        x.astype(">u8").view(np.uint8).reshape(n, 8), axis=1
+    )  # (n, 64) MSB-first
+    any_nz = bits.any(axis=1)
+    first = np.where(any_nz, bits.argmax(axis=1), 0).astype(np.int64)
+    last = np.where(any_nz, 63 - bits[:, ::-1].argmax(axis=1), -1).astype(
+        np.int64
+    )
+    mlen = (last - first + 1).clip(min=0)
+    col = np.broadcast_to(np.arange(64, dtype=np.int64), (n, 64))
+    mask = (col >= first[:, None]) & (col <= last[:, None])
+    payload = np.packbits(bits[mask]).tobytes()
+    return {
+        "codec": "bits",
+        "n": n,
+        "nz": np.packbits(any_nz).tobytes(),
+        "lead": _pack6(first[any_nz].astype(np.uint8)),
+        "mlen": _pack6((mlen[any_nz] - 1).astype(np.uint8)),
+        "payload": payload,
+    }
+
+
+def decode_floats_bits(blob: dict) -> np.ndarray:
+    n = blob["n"]
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    any_nz = np.unpackbits(
+        np.frombuffer(blob["nz"], dtype=np.uint8), count=n
+    ).astype(bool)
+    k = int(any_nz.sum())
+    lead = np.zeros(n, dtype=np.int64)
+    mlen = np.zeros(n, dtype=np.int64)
+    lead[any_nz] = _unpack6(blob["lead"], k)
+    mlen[any_nz] = _unpack6(blob["mlen"], k).astype(np.int64) + 1
+    mlen[~any_nz] = 0
+    col = np.broadcast_to(np.arange(64, dtype=np.int64), (n, 64))
+    mask = (col >= lead[:, None]) & (col < (lead + mlen)[:, None])
+    total = int(mlen.sum())
+    pbits = np.unpackbits(np.frombuffer(blob["payload"], dtype=np.uint8))[
+        :total
+    ]
+    grid = np.zeros((n, 64), dtype=np.uint8)
+    grid[mask] = pbits
+    x = np.packbits(grid, axis=1).view(">u8").ravel().astype(np.uint64)
+    u = np.bitwise_xor.accumulate(x)
+    return u.view(np.float64)
+
+
+def encode_floats_any(arr: np.ndarray, codec: str = "bytes") -> dict:
+    if codec == "bits":
+        return encode_floats_bits(arr)
+    return encode_floats(arr)
+
+
+def decode_floats_any(blob: dict) -> np.ndarray:
+    if blob.get("codec") == "bits":
+        return decode_floats_bits(blob)
+    return decode_floats(blob)
+
+
 # ---------- whole-block serialization ----------
 
 _FLOAT_COLS = ["vmin", "vmax", "vsum", "last"]
@@ -163,11 +261,14 @@ def _col_np(t: pa.Table, name: str):
     return vals, mask
 
 
-def encode_block(t: pa.Table) -> bytes:
+def encode_block(t: pa.Table, float_codec: str = "bytes") -> bytes:
     """Serialize one rolled-tier table (sorted by series_key, window_start).
 
     Layout: MAGIC, version, json header (blob directory + row count +
     dictionary of series keys + run lengths), then raw blobs.
+    ``float_codec``: "bytes" (default, byte-granular suppression) or
+    "bits" (paper-granularity, ~10-30% smaller float streams); blocks
+    self-describe, so readers decode either transparently.
     """
     n = t.num_rows
     keys = t["series_key"].combine_chunks().dictionary_encode()
@@ -201,7 +302,7 @@ def encode_block(t: pa.Table) -> bytes:
             continue
         vals, mask = _col_np(t, name)
         vals = np.where(mask, vals, 0.0).astype(np.float64)
-        enc = encode_floats(vals)
+        enc = encode_floats_any(vals, float_codec)
         enc["valid"] = np.packbits(mask).tobytes()
         meta["cols"][name] = enc
 
@@ -266,7 +367,7 @@ def decode_block(buf: bytes) -> pa.Table:
             vals = decode_ints(enc)
             cols[name] = pa.array(vals, pa.int64(), mask=~mask)
         else:
-            vals = decode_floats(enc)
+            vals = decode_floats_any(enc)
             cols[name] = pa.array(vals, pa.float64(), mask=~mask)
     order = ["series_key", "window_start"] + [
         c for c in ["vmin", "vmax", "vsum", "n", "last", "last_ts", "last_order"]

@@ -115,11 +115,15 @@ QUERY_NAMES = [
     "rollup_1h_events",
     "gapfill_1m_events",
     "parse_prometheus_events",
+    "asof_last_click_events",
     "dedup_exact_docs",
     "dedup_minhash_docs",
+    "dedup_simhash_docs",
+    "embedding_neardup_embeddings",
     "token_count_docs",
     "quality_score_docs",
     "simsearch_topk_embeddings",
+    "simsearch_ivf_embeddings",
 ]
 
 

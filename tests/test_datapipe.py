@@ -196,7 +196,7 @@ def test_simhash_candidates_ray(ray_session):
     docs = pa.concat_tables([DOCS, near])
     ds = ray.data.from_arrow(docs).repartition(2)
     pairs = simhash_candidates(ds, max_dist=6)
-    got = {(r["a"], r["b"]): r["dist"] for r in pairs.take_all()}
+    got = {(r["a"], r["b"]): r["dist"] for r in pairs.to_pylist()}
     assert got.get((0, 1)) == 0  # identical docs share all bands
     assert (0, 100) in got  # 1-char edit caught by banding
     assert got[(0, 100)] <= 6
@@ -216,8 +216,7 @@ def test_simhash_hot_bucket_capped(ray_session):
         }
     )
     ds = ray.data.from_arrow(docs).repartition(4)
-    pairs = simhash_candidates(ds, bucket_cap=100)
-    t = pa.concat_tables(list(pairs.iter_batches(batch_format="pyarrow")))
+    t = simhash_candidates(ds, bucket_cap=100)
     # star fallback: exactly n-1 pairs (0, i), not n(n-1)/2
     assert t.num_rows == n - 1
     assert pc.min(t["a"]).as_py() == 0 and pc.max(t["a"]).as_py() == 0

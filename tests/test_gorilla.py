@@ -99,3 +99,68 @@ def test_block_roundtrip():
     # honest compression vs raw parquet-ish layout
     raw = t.nbytes
     assert len(buf) < raw
+
+
+def test_bit_codec_roundtrip_fuzz():
+    """Bit-granular float codec: exact round-trip (incl. NaN payloads,
+    ±Inf, -0.0, repeats) and smaller-or-equal size on compressible data."""
+    import numpy as np
+
+    from beamium_ray.stages.gorilla import (
+        decode_floats_bits,
+        encode_floats,
+        encode_floats_bits,
+    )
+
+    rng = np.random.default_rng(7)
+    cases = [
+        rng.normal(size=5000),
+        np.repeat(rng.normal(size=50), 100),
+        np.zeros(301),
+        np.array([np.nan, np.inf, -np.inf, 0.0, -0.0, 1.5, 1.5, -2.25]),
+        rng.integers(0, 500, 4000).astype(float),
+        np.array([]),
+    ]
+    for arr in cases:
+        back = decode_floats_bits(encode_floats_bits(arr))
+        assert (
+            np.asarray(arr, float).view(np.uint64).tolist()
+            == back.view(np.uint64).tolist()
+        )
+    # rollup-shaped data (integer-valued, repeated): bit codec wins
+    arr = np.repeat(rng.integers(16, 512, 64).astype(float), 50)
+    eb = encode_floats_bits(arr)
+    eB = encode_floats(arr)
+    sz_bits = sum(len(eb[k]) for k in ("payload", "lead", "mlen", "nz"))
+    sz_bytes = len(eB["payload"]) + len(eB["tags"])
+    assert sz_bits < sz_bytes
+
+
+def test_block_roundtrip_with_bit_codec(ray_session):
+    """encode_block(float_codec='bits') round-trips and self-describes
+    (decoder needs no flag)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from beamium_ray.stages.gorilla import decode_block, encode_block
+
+    rng = np.random.default_rng(3)
+    n = 500
+    t = pa.table(
+        {
+            "series_key": pa.array(
+                np.sort(rng.choice([f"s{i}" for i in range(5)], n)).tolist()
+            ),
+            "window_start": pa.array(np.sort(rng.integers(0, 10**6, n)), pa.int64()),
+            "vmin": pa.array(rng.normal(size=n), pa.float64()),
+            "vmax": pa.array(rng.normal(size=n), pa.float64()),
+            "vsum": pa.array(rng.normal(size=n), pa.float64()),
+            "n": pa.array(rng.integers(0, 50, n), pa.int64()),
+            "last": pa.array(rng.normal(size=n), pa.float64()),
+        }
+    )
+    for codec in ("bytes", "bits"):
+        back = decode_block(encode_block(t, float_codec=codec))
+        assert back.num_rows == n
+        for c in ["vmin", "vmax", "vsum", "last"]:
+            assert back[c].to_pylist() == t[c].to_pylist(), (codec, c)
