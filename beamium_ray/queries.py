@@ -358,6 +358,83 @@ def flagship_rollup_1m(sf_dir: str):
     return rolled.map_batches(pick, batch_format="pyarrow", batch_size=None)
 
 
+def _flagship_seq(sf_dir: str, parity: int | None = None):
+    """Sequence Dataset derived from documents.doc_id (optionally only
+    ids with doc_id % 2 == parity — the SQL-predictable append split)."""
+    from beamium_ray.pipelines.rollup_pipeline import (
+        sequences_from_documents_batch,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    if parity is not None:
+        ds = ds.map_batches(
+            lambda b, p=parity: b.filter(
+                pa.array(b["doc_id"].to_numpy() % 2 == p)
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    return ds.map_batches(
+        sequences_from_documents_batch, batch_format="pyarrow"
+    )
+
+
+def _read_1m_blocks(out: str) -> pa.Table:
+    from beamium_ray.pipelines.persist import read_blocks
+
+    t = read_blocks(out, "1m")
+    return t.select(
+        ["series_key", "window_start", "vmin", "vmax", "vsum", "n", "last"]
+    )
+
+
+def flagship_blocks_roundtrip(sf_dir: str):
+    """The full PERSIST path under the flagship value oracle: derive →
+    rollup → Gorilla-encoded versioned blocks + manifests → decode →
+    rows must hash-match the same SQL recomputation as
+    flagship_rollup_1m (closes the S4/S6/S8 'untested by gate' rows:
+    block encode/decode, atomic commit, manifest-driven read)."""
+    import hashlib
+    import shutil
+
+    from beamium_ray.pipelines.persist import rollup_to_blocks
+    from beamium_ray.pipelines.rollup_pipeline import datapoints
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/beamium_gate/flagblocks_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = EngineConfig(
+        labels="env=prod", num_buckets=16, tiers={"1m": US_1M},
+        float_codec="bits",  # exercise the paper-granularity codec
+    )
+    dp = datapoints(_flagship_seq(sf_dir), cfg)
+    rollup_to_blocks(dp, cfg, [f"{sf_dir}/documents.parquet"], out)
+    return _read_1m_blocks(out)
+
+
+def flagship_incremental_append(sf_dir: str):
+    """Continuous aggregates under the flagship value oracle: roll up
+    the even doc_ids, then --append the odd doc_ids; the merged blocks
+    must equal the one-shot full run (same SQL oracle). Hash-verifies
+    the incremental merge path (partial-state blocks re-merged, gap
+    rows regenerated, lineage manifests applied)."""
+    import hashlib
+    import shutil
+
+    from beamium_ray.pipelines.persist import append_rollup, rollup_to_blocks
+    from beamium_ray.pipelines.rollup_pipeline import datapoints
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/beamium_gate/flagappend_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = EngineConfig(labels="env=prod", num_buckets=16, tiers={"1m": US_1M})
+    dp_even = datapoints(_flagship_seq(sf_dir, parity=0), cfg)
+    rollup_to_blocks(dp_even, cfg, [f"{sf_dir}/documents.parquet#even"], out)
+    dp_odd = datapoints(_flagship_seq(sf_dir, parity=1), cfg)
+    append_rollup(dp_odd, cfg, [f"{sf_dir}/documents.parquet#odd"], out)
+    return _read_1m_blocks(out)
+
+
 def multimodal_decode(sf_dir: str):
     """Actor-pool decode over synthetic media (rows-only check)."""
     import ray.data
@@ -899,6 +976,9 @@ FROM c
 """,
     # the FLAGSHIP: full derive→relabel→rollup(gapfill) recomputed in SQL
     "flagship_rollup_1m": _gen.flagship_rollup_sql(),
+    # persist path + incremental append under the SAME flagship oracle
+    "flagship_blocks_roundtrip": _gen.flagship_rollup_sql(),
+    "flagship_incremental_append": _gen.flagship_rollup_sql(),
     "fingerprint_docs": _gen.fingerprint_sql(),
     "lang_id_docs": _gen.lang_id_sql(),
     "multimodal_decode": _gen.multimodal_decode_sql(),
@@ -967,5 +1047,7 @@ QUERIES = {
     "simsearch_ivf_embeddings": simsearch_ivf_embeddings,
     "embedding_neardup_embeddings": embedding_neardup_embeddings,
     "flagship_rollup_1m": flagship_rollup_1m,
+    "flagship_blocks_roundtrip": flagship_blocks_roundtrip,
+    "flagship_incremental_append": flagship_incremental_append,
     "multimodal_decode": multimodal_decode,
 }
