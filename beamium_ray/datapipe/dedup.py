@@ -786,8 +786,15 @@ def minhash_dedup(
             "b": pa.array(eb_all[cand_keep][keep], pa.int64()),
         }
     )
+    # self edges from the already-materialized sig table (no extra
+    # corpus scan)
+    singles_sig = sig_ds.map_batches(
+        lambda b: pa.table({"a": b["doc_id"], "b": b["doc_id"]}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
     return connected_components(
-        singles.union(ray.data.from_arrow(edge_tbl)),
+        singles_sig.union(ray.data.from_arrow(edge_tbl)),
         num_partitions,
         driver_threshold,
     )

@@ -315,6 +315,52 @@ FROM vals GROUP BY media_id
 """
 
 
+def tokens_payload_sql(table: str = "documents", vocab: int = 50257) -> str:
+    """Exact SQL for the token PAYLOAD invariant: regenerate every
+    token of every surviving sequence row from first principles —
+    token[j] = splitmix64((i<<20) ^ j) % vocab, rows with a synthetic
+    bad value dropped (derive rule). Output (ord, pos, token) unnested.
+    """
+    chain, final, _ = _splitmix_chain(
+        [("ntok_h", 0x5EED_0001), ("val_h", 0x7A57_0002)]
+    )
+    tok_chain, tok_final = splitmix_cte_steps(
+        "positions", "x", "tok_h", "ord, pos", "sm_tok"
+    )
+    return f"""
+WITH base AS (SELECT CAST(doc_id AS HUGEINT) AS i FROM {table}),
+{chain},
+surviving AS (
+  SELECT CAST(i AS BIGINT) AS ord,
+         CAST(16 + (ntok_h % 497) AS BIGINT) AS n_tok
+  FROM {final} WHERE NOT (val_h % 200 = 0)),
+positions0 AS (
+  SELECT ord, unnest(range(0, n_tok)) AS pos FROM surviving),
+positions AS (
+  SELECT ord, pos,
+         CAST(xor(CAST(ord AS UBIGINT) * 1048576, CAST(pos AS UBIGINT))
+              AS HUGEINT) AS x
+  FROM positions0),
+{tok_chain}
+SELECT ord, pos, CAST(tok_h % {vocab} AS BIGINT) AS token FROM {tok_final}
+"""
+
+
+def stage_metrics_sql(table: str = "documents") -> str:
+    """Exact SQL for the T5 self-metrics counters over the flagship
+    derive: rows_in / rows_out / inf_nan from the bad-value rule."""
+    chain, final, _ = _splitmix_chain([("val_h", 0x7A57_0002)])
+    return f"""
+WITH base AS (SELECT CAST(doc_id AS HUGEINT) AS i FROM {table}),
+{chain}
+SELECT CAST(count(*) AS BIGINT) AS rows_in,
+       CAST(count(*) FILTER (WHERE NOT (val_h % 200 = 0)) AS BIGINT)
+         AS rows_out,
+       CAST(count(*) FILTER (WHERE val_h % 200 = 0) AS BIGINT) AS inf_nan
+FROM {final}
+"""
+
+
 def jaccard_clusters_sql(threshold: float = 0.8, k: int = 5,
                          table: str = "documents") -> str:
     """Exact SQL for minhash_dedup(verify_threshold=τ): connected

@@ -435,6 +435,60 @@ def flagship_incremental_append(sf_dir: str):
     return _read_1m_blocks(out)
 
 
+def tokens_payload_roundtrip(sf_dir: str):
+    """The per-row token-array equality invariant (BASELINE.json
+    input_hint), value-verified: sequences → full derive/parse/relabel
+    pipeline with the tokens payload riding along → surviving rows'
+    token arrays unnested to (ord, pos, token) and hash-matched against
+    an independent SQL regeneration of every token."""
+    cfg = EngineConfig(labels="env=prod", num_buckets=16)
+    from beamium_ray.pipelines.rollup_pipeline import datapoints
+
+    dp = datapoints(_flagship_seq(sf_dir), cfg)
+
+    def unnest(b: pa.Table) -> pa.Table:
+        toks = b["tokens"].combine_chunks() if isinstance(
+            b["tokens"], pa.ChunkedArray) else b["tokens"]
+        off = toks.offsets.to_numpy().astype(np.int64)
+        vals = toks.values.to_numpy().astype(np.int64)
+        counts = np.diff(off)
+        ords = b["order"].to_numpy()
+        rep = np.repeat(ords, counts)
+        pos = np.arange(len(vals), dtype=np.int64) - np.repeat(
+            off[:-1], counts
+        )
+        return pa.table(
+            {
+                "ord": pa.array(rep, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "token": pa.array(vals, pa.int64()),
+            }
+        )
+
+    return dp.select_columns(["order", "tokens"]).map_batches(
+        unnest, batch_format="pyarrow", batch_size=None
+    )
+
+
+def flagship_stage_metrics(sf_dir: str):
+    """T5 self-metrics as a value-verified 1-row result: the flagship
+    parse-stage counters (rows_in / rows_out / inf_nan) recomputed in
+    SQL from the derive rules."""
+    import ray.data
+
+    from beamium_ray.pipelines.rollup_pipeline import stage_metrics
+
+    cfg = EngineConfig(labels="env=prod", num_buckets=16)
+    m = stage_metrics(_flagship_seq(sf_dir), cfg)
+    return pa.table(
+        {
+            "rows_in": pa.array([m["rows_in"]], pa.int64()),
+            "rows_out": pa.array([m["rows_out"]], pa.int64()),
+            "inf_nan": pa.array([m["inf_nan"]], pa.int64()),
+        }
+    )
+
+
 def multimodal_decode(sf_dir: str):
     """Actor-pool decode over synthetic media (rows-only check)."""
     import ray.data
@@ -979,6 +1033,8 @@ FROM c
     # persist path + incremental append under the SAME flagship oracle
     "flagship_blocks_roundtrip": _gen.flagship_rollup_sql(),
     "flagship_incremental_append": _gen.flagship_rollup_sql(),
+    "tokens_payload_roundtrip": _gen.tokens_payload_sql(),
+    "flagship_stage_metrics": _gen.stage_metrics_sql(),
     "fingerprint_docs": _gen.fingerprint_sql(),
     "lang_id_docs": _gen.lang_id_sql(),
     "multimodal_decode": _gen.multimodal_decode_sql(),
@@ -1049,5 +1105,7 @@ QUERIES = {
     "flagship_rollup_1m": flagship_rollup_1m,
     "flagship_blocks_roundtrip": flagship_blocks_roundtrip,
     "flagship_incremental_append": flagship_incremental_append,
+    "tokens_payload_roundtrip": tokens_payload_roundtrip,
+    "flagship_stage_metrics": flagship_stage_metrics,
     "multimodal_decode": multimodal_decode,
 }
