@@ -51,6 +51,81 @@ def format_warp10(line: str) -> str:
     return line.strip()
 
 
+def parse_warp10_lines(lines: list[str]) -> list[dict]:
+    """Pure-Python SPEC for the engine's Warp10/Sensision columnar
+    ingest (``stages/parse.py:parse_warp10_batch``) — row-at-a-time,
+    mirrored byte-for-byte by the vectorized kernels (property-tested).
+
+    Full lines: ``ts// class{labels} value`` (integer i64 ts, '{'
+    after the first '/', matching '}' = LAST '}' in the line, value
+    after '} '). Continuations: ``=ts// value`` inherit class+labels
+    from the nearest PRECEDING full line that parsed successfully;
+    orphans (no such predecessor) are dropped. Junk rows are dropped.
+    """
+    import re
+
+    out: list[dict] = []
+    prev: dict | None = None
+    int_re = re.compile(r"^[+-]?[0-9]+$")
+    val_re = re.compile(r"^[+-]?([0-9]*\.?[0-9]+([eE][+-]?[0-9]+)?)$")
+
+    def parse_ts(tok: str) -> int | None:
+        if not int_re.match(tok):
+            return None
+        v = int(tok)
+        if not (-(2**63) <= v < 2**63):
+            return None
+        return v
+
+    for raw in lines:
+        line = (raw or "").strip()
+        if not line:
+            continue
+        if line.startswith("="):
+            body = line[1:]
+            slash = body.find("/")
+            if slash < 1 or body[slash: slash + 3] != "// " or len(body) <= slash + 3:
+                continue
+            ts = parse_ts(body[:slash])
+            if ts is None or prev is None:
+                continue
+            vs = body[slash + 3:]
+            out.append(
+                {
+                    "ts": ts,
+                    "class": prev["class"],
+                    "labels": prev["labels"],
+                    "value_str": vs,
+                    "value": float(vs) if val_re.match(vs) else None,
+                }
+            )
+            continue
+        slash = line.find("/")
+        brace = line.find("{")
+        rbrace = line.rfind("}")
+        if (
+            slash < 1
+            or brace <= slash
+            or rbrace <= brace
+            or line[slash: slash + 3] != "// "
+        ):
+            continue
+        ts = parse_ts(line[:slash])
+        if ts is None:
+            continue
+        vs = line[rbrace + 2:] if rbrace + 2 <= len(line) else ""
+        row = {
+            "ts": ts,
+            "class": line[slash + 3: brace],
+            "labels": line[brace + 1: rbrace],
+            "value_str": vs,
+            "value": float(vs) if val_re.match(vs) else None,
+        }
+        out.append(row)
+        prev = row
+    return out
+
+
 def format_prometheus(line: str, now: int) -> str:
     """One Prometheus text line -> one Warp10 line ``ts// class{labels} value``.
 

@@ -204,6 +204,17 @@ def dedup_exact_docs(sf_dir: str):
     return exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def dedup_exact_hash128_docs(sf_dir: str):
+    """The 100 TB exact-dedup path: only (h1, h2, id, count) travel
+    through the shuffle (text never leaves the mappers). Same output
+    contract — and the same SQL oracle — as the full-text mode."""
+    from beamium_ray.datapipe.dedup import exact_dedup
+
+    return exact_dedup(
+        _read(sf_dir, "documents", ["doc_id", "text"]), mode="hash128"
+    )
+
+
 def token_count_docs(sf_dir: str):
     from beamium_ray.datapipe.textstats import token_count_batch
 
@@ -998,6 +1009,9 @@ ORDER BY vsum DESC, user_id LIMIT 10
     "dedup_exact_docs": """
 SELECT min(doc_id) AS doc_id, count(*) AS n FROM documents GROUP BY text
 """,
+    "dedup_exact_hash128_docs": """
+SELECT min(doc_id) AS doc_id, count(*) AS n FROM documents GROUP BY text
+""",
     "bpe_token_count_docs": r"""
 SELECT doc_id,
        CAST(len(regexp_extract_all(text,
@@ -1092,6 +1106,7 @@ QUERIES = {
     "topk_users_events": topk_users_events,
     "distinct_users_events": distinct_users_events,
     "dedup_exact_docs": dedup_exact_docs,
+    "dedup_exact_hash128_docs": dedup_exact_hash128_docs,
     "token_count_docs": token_count_docs,
     "bpe_token_count_docs": bpe_token_count_docs,
     "quality_score_docs": quality_score_docs,

@@ -377,6 +377,12 @@ def _parse_warp10_cont(arr: pa.Array) -> tuple[pa.Table, np.ndarray]:
     """Parse continuation bodies ``ts// value`` (leading '=' already
     stripped); returns ((ts, value_str, value), surviving indices)."""
     idx = np.arange(len(arr), dtype=np.int64)
+    # a bare '=' line leaves an EMPTY body — drop before shape checks
+    # (indexing an empty byte buffer would fault)
+    nz = pc.greater(pc.utf8_length(arr), 0).to_numpy(zero_copy_only=False)
+    if not nz.all():
+        arr = arr.filter(pa.array(nz))
+        idx = idx[nz]
     if len(arr) == 0:
         return pa.table(
             {"ts": pa.array([], pa.int64()),

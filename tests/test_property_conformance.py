@@ -86,3 +86,101 @@ def test_warp10_roundtrip(lines):
     p = parse_prometheus_batch(pa.array(lines, pa.string()), NOW)
     w = parse_warp10_batch(p["line"])
     assert w["line"].to_pylist() == p["line"].to_pylist()
+
+
+# ---- Warp10 ingest (full lines + '='-continuations) vs oracle spec ----
+
+w10_class = st.text(alphabet="abcdef.:_0123456789", min_size=1, max_size=10)
+w10_labels = st.text(alphabet="abc=,%20 ", max_size=12)
+w10_value = st.sampled_from(
+    ["1", "-2.5", "1e9", "3.14", "abc", "", "+0.5", "NaN"]
+)
+w10_ts = st.sampled_from(
+    ["0", "123", "-1", "9223372036854775807", "9223372036854775808",
+     "99999999999999999999", "xx", "+7", ""]
+)
+
+
+@st.composite
+def warp10_line(draw):
+    kind = draw(st.integers(0, 9))
+    ts = draw(w10_ts)
+    v = draw(w10_value)
+    if kind <= 5:  # full line
+        klass = draw(w10_class)
+        lab = draw(w10_labels)
+        return f"{ts}// {klass}{{{lab}}} {v}"
+    if kind <= 7:  # continuation
+        return f"={ts}// {v}"
+    if kind == 8:  # junk shapes
+        return draw(
+            st.sampled_from(
+                ["garbage", "1/x{y} 2", "5//missing{space} 1 "[:-1],
+                 "  ", "=", "=5//", "=bogus// 3", "1// noclose{ 2"]
+            )
+        )
+    return ""
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(warp10_line(), max_size=25))
+def test_warp10_parse_matches_oracle_spec(lines):
+    got = parse_warp10_batch(pa.array(lines, pa.string()))
+    want = oracle.parse_warp10_lines(lines)
+    assert got.num_rows == len(want), (lines, got.to_pylist(), want)
+    for col in ["ts", "class", "labels", "value_str", "value"]:
+        g = got[col].to_pylist()
+        w = [r[col] for r in want]
+        assert g == w, (col, lines)
+
+
+# ---- connected components vs brute-force BFS on random graphs ----
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from([10_000_000, 0]),  # driver union-find AND distributed
+)
+def test_connected_components_matches_bfs(edge_list, thresh):
+    import ray.data
+
+    from beamium_ray.datapipe.dedup import connected_components
+
+    # brute force: BFS components over the undirected edge list
+    adj: dict[int, set[int]] = {}
+    for a, b in edge_list:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want: dict[int, int] = {}
+    for start in sorted(adj):
+        if start in want:
+            continue
+        comp, stack = [], [start]
+        seen = {start}
+        while stack:
+            x = stack.pop()
+            comp.append(x)
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        m = min(comp)
+        for x in comp:
+            want[x] = m
+
+    edges = pa.table(
+        {
+            "a": pa.array([a for a, _ in edge_list], pa.int64()),
+            "b": pa.array([b for _, b in edge_list], pa.int64()),
+        }
+    )
+    out = connected_components(
+        ray.data.from_arrow(edges), driver_threshold=thresh, num_partitions=4
+    )
+    got = {r["doc_id"]: r["cluster"] for r in out.take_all()}
+    assert got == want
