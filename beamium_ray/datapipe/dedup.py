@@ -280,7 +280,7 @@ def lsh_star_edges(group: pa.Table) -> pa.Table:
 
 def _segment_pair_indices(
     key: np.ndarray, ids: np.ndarray, cap: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Vectorized all-pairs within equal-key segments (many LSH buckets
     at once — NO per-bucket Python). Returns (order, ai, bi): indices
     into ``order``-sorted arrays; a < b holds because ids sort ascending
@@ -295,7 +295,7 @@ def _segment_pair_indices(
     n = len(k)
     if n == 0:
         e = np.zeros(0, dtype=np.int64)
-        return order, e, e
+        return order, e, e, np.zeros(0, dtype=bool)
     seg_start = np.concatenate(([True], k[1:] != k[:-1]))
     seg_id = np.cumsum(seg_start) - 1
     starts = np.flatnonzero(seg_start)
@@ -307,6 +307,7 @@ def _segment_pair_indices(
     ai_parts: list[np.ndarray] = []
     bi_parts: list[np.ndarray] = []
     star = capped & (pos > 0)
+    n_star = int(star.sum())
     if star.any():
         bi_parts.append(np.flatnonzero(star))
         ai_parts.append(start_of[star])
@@ -321,8 +322,12 @@ def _segment_pair_indices(
         bi_parts.append(rows[m] + d)
     if not ai_parts:
         e = np.zeros(0, dtype=np.int64)
-        return order, e, e
-    return order, np.concatenate(ai_parts), np.concatenate(bi_parts)
+        return order, e, e, np.zeros(0, dtype=bool)
+    ai = np.concatenate(ai_parts)
+    bi = np.concatenate(bi_parts)
+    star_flag = np.zeros(len(ai), dtype=bool)
+    star_flag[:n_star] = True  # star pairs are emitted first
+    return order, ai, bi, star_flag
 
 
 def candidate_pairs(
@@ -343,7 +348,11 @@ def candidate_pairs(
     on the collected narrow pairs (≤ ``max_pairs`` rows — the same
     driver-memory contract the verify step already has).
 
-    Returns a deduped driver Table (a, b[, pa, pb payload values]).
+    Returns a deduped driver Table (a, b, star[, pa, pb payload
+    values]); ``star`` marks pairs from CAPPED (degenerate) buckets,
+    where only segment-min star edges were emitted — callers that
+    verify edges must surface this as a recall boundary (a real a–b
+    edge inside a capped bucket may be missing).
     """
     from beamium_ray.functions.cluster import default_partitions
 
@@ -368,11 +377,12 @@ def candidate_pairs(
     def gen(g: pa.Table) -> pa.Table:
         key = g["k"].to_numpy(zero_copy_only=False).astype(np.uint64)
         ids = g["doc_id"].to_numpy(zero_copy_only=False)
-        order, ai, bi = _segment_pair_indices(key, ids, bucket_cap)
+        order, ai, bi, star_flag = _segment_pair_indices(key, ids, bucket_cap)
         v = ids[order]
         cols = {
             "a": pa.array(v[ai], pa.int64()),
             "b": pa.array(v[bi], pa.int64()),
+            "star": pa.array(star_flag, pa.bool_()),
         }
         if payload_col is not None:
             pl = g["pl"].to_numpy(zero_copy_only=False)[order]
@@ -385,8 +395,21 @@ def candidate_pairs(
         .groupby("bkt")
         .map_groups(gen, batch_format="pyarrow")
     )
-    batches = list(pairs.iter_batches(batch_format="pyarrow"))
-    empty_cols = {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    # STREAMING collection: abort as soon as the running count exceeds
+    # the cap — the cap must bound driver memory, not be checked after
+    # everything already landed on the driver
+    batches = []
+    total = 0
+    for b in pairs.iter_batches(batch_format="pyarrow", batch_size=None):
+        total += b.num_rows
+        if total > max_pairs:
+            raise ValueError(
+                f">{max_pairs} raw candidate pairs (cap max_pairs="
+                f"{max_pairs}); tighten the sketch or raise the cap knowingly"
+            )
+        batches.append(b)
+    empty_cols = {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                  "star": pa.array([], pa.bool_())}
     if payload_col is not None:
         empty_cols["pa"] = pa.array([], pa.int64())
         empty_cols["pb"] = pa.array([], pa.int64())
@@ -395,11 +418,6 @@ def candidate_pairs(
     t = pa.concat_tables(batches)
     if t.num_rows == 0:
         return pa.table(empty_cols)
-    if t.num_rows > max_pairs:
-        raise ValueError(
-            f"{t.num_rows} raw candidate pairs exceed max_pairs={max_pairs}; "
-            "tighten the sketch or raise the cap knowingly"
-        )
     # driver-side dedupe (a pair can collide in several bands; payload
     # is a pure function of the doc, so keeping the first copy is safe)
     ab = np.stack(
@@ -408,6 +426,21 @@ def candidate_pairs(
     _, first_idx = np.unique(ab, axis=0, return_index=True)
     return t.take(pa.array(np.sort(first_idx)))
 
+
+def _warn_capped(t: pa.Table, what: str) -> None:
+    """Surface the capped-bucket recall boundary: star pairs mean some
+    within-bucket pairs were never generated (degenerate content)."""
+    if "star" in t.column_names and t.num_rows:
+        n = int(pc.sum(pc.cast(t["star"], pa.int64())).as_py() or 0)
+        if n:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "%s: %d candidate pairs came from CAPPED buckets — "
+                "all-pairs coverage inside those buckets is incomplete "
+                "(raise bucket_cap for exact semantics on this corpus)",
+                what, n,
+            )
 
 def _jaccard_for_pairs(
     pairs: list[tuple], shingle_sets: dict[int, np.ndarray]
@@ -429,18 +462,11 @@ def sigs_from_sig_ds(
 ) -> tuple[dict[int, int], np.ndarray]:
     """Fetch the requested rows of a (doc_id, sig) signature Dataset
     via one filtered scan. Returns (id → row, (n, num_perm) uint64)."""
-    need = pa.array(np.unique(ids))
-
-    def grab(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_in(b["doc_id"], value_set=need))
+    from beamium_ray.functions.fetch import iter_rows_by_ids
 
     got: list[int] = []
     mats: list[np.ndarray] = []
-    for b in sig_ds.map_batches(
-        grab, batch_format="pyarrow", batch_size=None
-    ).iter_batches(batch_format="pyarrow", batch_size=None):
-        if b.num_rows == 0:
-            continue
+    for b in iter_rows_by_ids(sig_ds, "doc_id", ids):
         got.extend(b["doc_id"].to_pylist())
         sl = b["sig"].combine_chunks()
         mats.append(
@@ -456,31 +482,19 @@ def shingle_sets_for(
     k: int = 5,
 ) -> dict[int, np.ndarray]:
     """Fetch the unique-shingle-hash set of each requested doc via ONE
-    filtered streaming pass (ships only (id, hashes) to the driver)."""
-    need = pa.array(np.unique(ids))
-
-    def grab(b: pa.Table) -> pa.Table:
-        t = b.filter(pc.is_in(b[id_col], value_set=need))
-        h, off = _char_shingle_hashes(t[text_col].combine_chunks()
-                                      if isinstance(t[text_col], pa.ChunkedArray)
-                                      else t[text_col], k)
-        sets = [
-            np.unique(h[off[i]: off[i + 1]]).astype(np.int64)
-            for i in range(t.num_rows)
-        ]
-        return pa.table(
-            {"doc_id": t[id_col], "s": pa.array(sets, pa.list_(pa.int64()))}
-        )
+    filtered streaming pass (ships only (id, text) to the driver side
+    of the iterator; shingling happens here per batch)."""
+    from beamium_ray.functions.fetch import iter_rows_by_ids
 
     out: dict[int, np.ndarray] = {}
-    for b in ds.map_batches(
-        grab, batch_format="pyarrow", batch_size=None
-    ).iter_batches(batch_format="pyarrow"):
-        ids_b = b["doc_id"].to_pylist()
-        off = b["s"].combine_chunks().offsets.to_numpy()
-        vals = b["s"].combine_chunks().values.to_numpy().astype(np.uint64)
-        for i, d in enumerate(ids_b):
-            out[d] = vals[off[i]: off[i + 1]]
+    for b in iter_rows_by_ids(ds, id_col, ids, columns=[id_col, text_col]):
+        h, off = _char_shingle_hashes(
+            b[text_col].combine_chunks()
+            if isinstance(b[text_col], pa.ChunkedArray) else b[text_col],
+            k,
+        )
+        for i, d in enumerate(b[id_col].to_pylist()):
+            out[d] = np.unique(h[off[i]: off[i + 1]])
     return out
 
 
@@ -512,7 +526,12 @@ def connected_components(
     """
     import ray.data
 
+    empty_labels = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+    )
     edges = edges.materialize()
+    if edges.count() == 0:  # empty corpus/shard: empty labelling
+        return ray.data.from_arrow(empty_labels)
     if edges.count() <= driver_threshold:
         t = pa.concat_tables(list(edges.iter_batches(batch_format="pyarrow")))
         ea = t["a"].to_pylist()
@@ -740,13 +759,15 @@ def minhash_dedup(
         ["band", "band_hash"],
         bucket_cap=bucket_cap,
         num_partitions=num_partitions,
-        max_pairs=max_broadcast_pairs * 4,  # ≤4 band collisions per pair
+        max_pairs=max_broadcast_pairs * max(1, bands),  # a pair can
+        # collide in EVERY band (exact dups do)
     )
     if pt.num_rows > max_broadcast_pairs:
         raise ValueError(
             f"{pt.num_rows} candidate pairs exceed max_broadcast_pairs="
             f"{max_broadcast_pairs}; use verify_threshold=None or raise the cap"
         )
+    _warn_capped(pt, "minhash_dedup(verified)")
     ea_all = pt["a"].to_numpy()
     eb_all = pt["b"].to_numpy()
     # 1) cheap vectorized PREFILTER: MinHash signature agreement is an
@@ -902,6 +923,7 @@ def simhash_candidates(
         bucket_cap=bucket_cap,
         num_partitions=num_partitions,
     )
+    _warn_capped(t, "simhash_candidates")
     pa_v = t["pa"].to_numpy().astype(np.uint64)
     pb_v = t["pb"].to_numpy().astype(np.uint64)
     dist = _popcount64(pa_v ^ pb_v)
@@ -1010,27 +1032,20 @@ def _vectors_for(
 ) -> tuple[dict[int, int], np.ndarray]:
     """Fetch the requested vectors via ONE filtered streaming pass.
     Returns (id → row index, matrix)."""
-    need = pa.array(np.unique(ids))
-
-    def grab(b: pa.Table) -> pa.Table:
-        t = b.filter(pc.is_in(b[id_col], value_set=need))
-        return pa.table({"vec_id": t[id_col], "vec": t[vec_col]})
+    from beamium_ray.functions.fetch import iter_rows_by_ids
 
     got_ids: list[int] = []
     mats: list[np.ndarray] = []
-    for b in ds.map_batches(
-        grab, batch_format="pyarrow", batch_size=None
-    ).iter_batches(batch_format="pyarrow"):
-        if b.num_rows == 0:
-            continue
-        got_ids.extend(b["vec_id"].to_pylist())
+    for b in iter_rows_by_ids(ds, id_col, ids, columns=[id_col, vec_col]):
+        got_ids.extend(b[id_col].to_pylist())
         mats.append(
-            np.stack(b["vec"].to_numpy(zero_copy_only=False)).astype(np.float64)
+            np.stack(b[vec_col].to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
         )
     if not mats:
         return {}, np.zeros((0, 0))
-    M = np.concatenate(mats, axis=0)
-    return {g: i for i, g in enumerate(got_ids)}, M
+    return {g: i for i, g in enumerate(got_ids)}, np.concatenate(mats, axis=0)
 
 
 def embedding_neardup(
@@ -1077,6 +1092,7 @@ def embedding_neardup(
             f"{pt.num_rows} candidate pairs exceed max_broadcast_pairs="
             f"{max_broadcast_pairs}; raise the cap or tighten the sketch"
         )
+    _warn_capped(pt, "embedding_neardup")
     ea = pt["a"].to_numpy()
     eb = pt["b"].to_numpy()
     idx, M = _vectors_for(ds, np.concatenate([ea, eb]), vec_col, id_col)

@@ -54,19 +54,17 @@ def string_bytes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 def strings_from_bytes(data: np.ndarray, offsets: np.ndarray) -> pa.Array:
     """Build a pa.StringArray from a uint8 buffer + int offsets (copies once).
 
-    Emits large_string → string when total bytes exceed INT32_MAX: with
-    whole-block batches URL-encoding can expand 3×, and silently
-    wrapping the int32 offsets would corrupt output (ADVICE r1)."""
+    Raises when total bytes exceed INT32_MAX: with whole-block batches
+    URL-encoding can expand 3×, and silently wrapping the int32 offsets
+    would corrupt output (ADVICE r1). Failing loudly (instead of
+    building a >2 GiB large_string only for the string cast to raise
+    anyway) costs no transient copies at the worst memory moment."""
     if len(offsets) and int(offsets[-1]) > np.iinfo(np.int32).max:
-        off64 = offsets.astype(np.int64)
-        big = pa.LargeStringArray.from_buffers(
-            len(offsets) - 1,
-            pa.py_buffer(off64.tobytes()),
-            pa.py_buffer(data.tobytes()),
+        raise ValueError(
+            f"strings_from_bytes: {int(offsets[-1])} total bytes exceed the "
+            "2 GiB string-offset limit for one batch — reduce the block/"
+            "batch size (DataContext.target_max_block_size) for this stage"
         )
-        # downstream kernels expect string; cast raises if > 2 GiB per
-        # chunk rather than corrupting (callers then reduce batch size)
-        return big.cast(pa.string())
     off32 = offsets.astype(np.int32)
     return pa.StringArray.from_buffers(
         len(offsets) - 1,

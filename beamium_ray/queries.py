@@ -847,7 +847,10 @@ def sensision_roundtrip_events(sf_dir: str):
     trimmed = parse_lines_dataset(read_metric_lines_whole_files(d), "sensision")
 
     def decode(b: pa.Table) -> pa.Table:
-        t = parse_warp10_batch(b["line"])
+        groups = (
+            b["file_id"].to_numpy() if "file_id" in b.column_names else None
+        )
+        t = parse_warp10_batch(b["line"], groups=groups)
         return pa.table(
             {
                 "ts": t["ts"],

@@ -40,16 +40,20 @@ def read_metric_lines_whole_files(
     paths: str | list[str], file_extension: str | None = "metrics"
 ):
     """Like :func:`read_metric_lines` but NEVER splits a file across
-    blocks: each block holds whole files, so line adjacency within a
-    file is preserved into ``map_batches`` batches. Required for
-    Warp10 '='-continuation inheritance — the reference's writer keeps
-    a continuation glued to its parent within one file
-    (``src/scraper.rs:239``), and this reader keeps that guarantee
-    through ingest (``read_text`` may split a file mid-stream and
-    orphan a continuation at a block boundary)."""
+    blocks AND tags every line with its file (``file_id`` column).
+    Required for Warp10 '='-continuation inheritance: the reference's
+    writer keeps a continuation glued to its parent within one file
+    (``src/scraper.rs:239``); ``read_text`` may split a file mid-stream
+    and orphan a continuation, while whole-file blocks can JOIN several
+    files — pass ``file_id`` as ``parse_warp10_batch(groups=…)`` so
+    inheritance never crosses a file boundary either way."""
     import ray.data
 
-    kwargs = {}
+    import numpy as np
+
+    from beamium_ray.functions.hashing import hash64
+
+    kwargs = {"include_paths": True}
     if file_extension:
         kwargs["file_extensions"] = [file_extension]
     ds = ray.data.read_binary_files(paths, **kwargs)
@@ -58,9 +62,26 @@ def read_metric_lines_whole_files(
         import pyarrow.compute as pc
 
         txt = pc.cast(b["bytes"], pa.string())
-        lines = pc.split_pattern(txt, "\n").combine_chunks().flatten()
-        lines = lines.filter(pc.invert(pc.equal(lines, "")))
-        return pa.table({"line": lines})
+        ll = pc.split_pattern(txt, "\n").combine_chunks()
+        counts = np.diff(ll.offsets.to_numpy().astype(np.int64))
+        lines = ll.flatten()
+        # file_id per LINE (path hash): a block can hold several whole
+        # files, and '='-continuation inheritance must not cross a file
+        # boundary — a continuation at the start of one file would
+        # otherwise inherit the PREVIOUS file's last series
+        fid = np.repeat(
+            hash64(b["path"].combine_chunks()
+                   if isinstance(b["path"], pa.ChunkedArray)
+                   else b["path"]).astype(np.int64),
+            counts,
+        )
+        keep = pc.invert(pc.equal(lines, "")).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "line": lines.filter(pa.array(keep)),
+                "file_id": pa.array(fid[keep], pa.int64()),
+            }
+        )
 
     return ds.map_batches(split, batch_format="pyarrow", batch_size=None)
 

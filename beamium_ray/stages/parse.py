@@ -448,7 +448,9 @@ def _parse_warp10_cont(arr: pa.Array) -> tuple[pa.Table, np.ndarray]:
 
 
 def parse_warp10_batch(
-    lines: pa.Array | pa.ChunkedArray, counters: dict | None = None
+    lines: pa.Array | pa.ChunkedArray,
+    counters: dict | None = None,
+    groups: "np.ndarray | None" = None,
 ) -> pa.Table:
     """Parse Warp10/Sensision datapoint lines ``ts// class{labels} value``
     into the same typed columns as the Prometheus path (so native
@@ -464,6 +466,11 @@ def parse_warp10_batch(
     continuation with no surviving predecessor in the batch is dropped
     and counted (``orphan_continuation``).
 
+    ``groups`` (optional, aligned to ``lines``): a per-line group id
+    (e.g. the source file) — inheritance never crosses a group
+    boundary, so a continuation at the start of one file cannot adopt
+    the previous file's series when several whole files share a block.
+
     Rows not matching either shape are dropped. Position/elevation
     fields of the full ``ts/lat:lon/elev`` triple are not supported
     (beamium never emits them).
@@ -471,7 +478,9 @@ def parse_warp10_batch(
     if isinstance(lines, pa.ChunkedArray):
         lines = lines.combine_chunks()
     arr = pc.utf8_trim_whitespace(pc.fill_null(lines, ""))
-    arr = arr.filter(pc.invert(pc.equal(arr, "")))
+    keep0 = pc.invert(pc.equal(arr, "")).to_numpy(zero_copy_only=False)
+    arr = arr.filter(pa.array(keep0))
+    grp = np.asarray(groups)[keep0] if groups is not None else None
     if len(arr) == 0:
         return PARSED_SCHEMA.empty_table()
     cont = pc.starts_with(arr, pattern="=").to_numpy(zero_copy_only=False)
@@ -488,6 +497,10 @@ def parse_warp10_batch(
     cont_orig = pos[cont][keep_cont]
     j = np.searchsorted(surv_full_orig, cont_orig) - 1
     has_parent = j >= 0
+    if grp is not None and has_parent.any():
+        jj = np.clip(j, 0, None)
+        same_group = grp[surv_full_orig[jj]] == grp[cont_orig]
+        has_parent &= same_group
     if counters is not None:
         counters["orphan_continuation"] = counters.get(
             "orphan_continuation", 0

@@ -204,3 +204,68 @@ def test_warp10_19_digit_timestamps():
         -9223372036854775808,
         123,
     ]
+
+
+def test_warp10_continuation_never_crosses_files(ray_session, tmp_path):
+    """A continuation at the START of a file must be dropped as an
+    orphan even when several whole files share one block — inheritance
+    is scoped per file via the file_id groups column."""
+    from beamium_ray.sources.lines import read_metric_lines_whole_files
+
+    d = tmp_path / "src"
+    d.mkdir()
+    (d / "a-1.metrics").write_text("10// m.a{x=1} 1\n=11// 2\n")
+    (d / "b-2.metrics").write_text("=99// 42\n20// m.b{y=2} 3\n=21// 4\n")
+    ds = read_metric_lines_whole_files(str(d))
+
+    def decode(b):
+        return parse_warp10_batch(b["line"], groups=b["file_id"].to_numpy())
+
+    rows = sorted(
+        (
+            (r["ts"], r["class"], r["labels"], r["value"])
+            for r in ds.map_batches(
+                decode, batch_format="pyarrow", batch_size=None
+            ).take_all()
+        )
+    )
+    # '=99// 42' is file b's first line: NO parent in ITS file → dropped
+    assert rows == [
+        (10, "m.a", "x=1", 1.0),
+        (11, "m.a", "x=1", 2.0),
+        (20, "m.b", "y=2", 3.0),
+        (21, "m.b", "y=2", 4.0),
+    ]
+
+
+def test_minhash_dedup_many_exact_dups_cap(ray_session):
+    """60 identical docs: a pair collides in ALL 32 bands — the raw-pair
+    cap must scale with bands, not assume 4 (code-review finding)."""
+    import ray.data
+
+    from beamium_ray.datapipe.dedup import minhash_dedup
+
+    n = 60
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(["identical content body here"] * n),
+        }
+    )
+    ds = ray.data.from_arrow(docs).repartition(2)
+    labels = minhash_dedup(ds, verify_threshold=0.8, max_broadcast_pairs=2000)
+    got = {r["doc_id"]: r["cluster"] for r in labels.take_all()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_minhash_dedup_empty_input(ray_session):
+    import ray.data
+
+    from beamium_ray.datapipe.dedup import minhash_dedup
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+    )
+    for vt in (None, 0.8):
+        out = minhash_dedup(ray.data.from_arrow(empty), verify_threshold=vt)
+        assert out.count() == 0
