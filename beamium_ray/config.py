@@ -162,38 +162,107 @@ class EngineConfig:
 
     @classmethod
     def from_file(cls, path: str, env: dict | None = None) -> "EngineConfig":
-        """Extension-dispatched loader: YAML/JSON/TOML/INI, mirroring
-        the reference's multi-format config merge
-        (``src/conf.rs:101-184`` via the ``config`` crate)."""
-        ext = path.rsplit(".", 1)[-1].lower()
-        if ext == "toml":
-            import tomllib
+        return _load_config_file(cls, path, env)
 
-            with open(path, "rb") as f:
-                raw = tomllib.load(f)
-            return cls.from_dict(raw, env)
-        if ext in ("ini", "cfg"):
-            import configparser
-            from dataclasses import fields as _fields
 
-            cp = configparser.ConfigParser()
-            cp.read(path)
-            raw: dict = {}
-            for sect in cp.sections():
-                if sect.lower() == "labels":
-                    raw["labels"] = dict(cp[sect])
-                else:
-                    raw.update(dict(cp[sect]))
-            # INI values are strings; coerce to the dataclass field types
-            for f in _fields(cls):
-                if f.name in raw and isinstance(raw[f.name], str):
-                    if f.type in ("int", "int | None"):
-                        raw[f.name] = int(raw[f.name])
-                    elif f.type == "bool":
-                        raw[f.name] = raw[f.name].lower() in ("1", "true", "yes")
-                    elif f.type == "list[str]":
-                        raw[f.name] = [
-                            s.strip() for s in raw[f.name].split(",") if s.strip()
-                        ]
-            return cls.from_dict(raw, env)
-        return cls.from_yaml(path, env)
+@dataclass
+class SinkConfig:
+    """One routed output (reference Sink, ``src/conf.rs:300-420``):
+    ``selector`` (anchored-^ class-token regex, None = all), with the
+    DFO bounds re-expressed as retention knobs."""
+
+    name: str = ""
+    selector: str | None = None
+    dir: str = ""  # output dir (the sink 'url' analog)
+    ttl_us: int | None = None  # DFO age bound (sink.ttl, default 1h)
+    max_bytes: int | None = None  # DFO size bound (sink.size, default 1GB)
+
+
+@dataclass
+class BeamiumConfig:
+    """The reference's FULL config shape (``src/conf.rs`` RawConf):
+    named scrapers + named sinks + global labels + parameters.
+
+    Per-scraper env labels (``BEAMIUM_<NAME>_LABEL_*``) apply through
+    each scraper's own :class:`EngineConfig` (whose ``name`` is the map
+    key); global ``labels`` feed the router relabel (P9)."""
+
+    scrapers: dict[str, EngineConfig] = field(default_factory=dict)
+    sinks: dict[str, SinkConfig] = field(default_factory=dict)
+    labels: str = ""  # router global labels (P9)
+    parameters: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, raw: dict, env: dict | None = None) -> "BeamiumConfig":
+        scrapers = {}
+        for name, sub in (raw.get("scrapers") or {}).items():
+            sub = dict(sub or {})
+            sub["name"] = name
+            scrapers[name] = EngineConfig.from_dict(sub, env)
+        sinks = {}
+        for name, sub in (raw.get("sinks") or {}).items():
+            sub = dict(sub or {})
+            known = {f.name for f in __import__("dataclasses").fields(SinkConfig)}
+            sinks[name] = SinkConfig(
+                name=name, **{k: v for k, v in sub.items() if k in known and k != "name"}
+            )
+        # global labels resolve env:/BEAMIUM_LABEL_* via a scratch
+        # EngineConfig (same rules, conf.rs:588-609)
+        glob = EngineConfig.from_dict({"labels": raw.get("labels", "")}, env)
+        return cls(
+            scrapers=scrapers,
+            sinks=sinks,
+            labels=glob.labels,
+            parameters=dict(raw.get("parameters") or {}),
+        )
+
+    @classmethod
+    def from_file(cls, path: str, env: dict | None = None) -> "BeamiumConfig":
+        return _load_config_file(cls, path, env)
+
+
+def _load_config_file(cls, path: str, env: dict | None):
+    """Extension-dispatched loader: YAML/JSON/TOML/INI, mirroring the
+    reference's multi-format config merge (``src/conf.rs:101-184`` via
+    the ``config`` crate). ``cls`` is EngineConfig (single scraper) or
+    BeamiumConfig (full scrapers+sinks surface)."""
+    ext = path.rsplit(".", 1)[-1].lower()
+    if ext == "toml":
+        import tomllib
+
+        with open(path, "rb") as f:
+            raw = tomllib.load(f)
+        return cls.from_dict(raw, env)
+    if ext in ("ini", "cfg"):
+        import configparser
+        from dataclasses import fields as _fields
+
+        cp = configparser.ConfigParser()
+        cp.read(path)
+        raw: dict = {}
+        for sect in cp.sections():
+            if sect.lower() == "labels":
+                raw["labels"] = dict(cp[sect])
+            else:
+                raw.update(dict(cp[sect]))
+        # INI values are strings; coerce to the dataclass field types
+        for f in _fields(cls):
+            if f.name in raw and isinstance(raw[f.name], str):
+                if f.type in ("int", "int | None"):
+                    raw[f.name] = int(raw[f.name])
+                elif f.type == "bool":
+                    raw[f.name] = raw[f.name].lower() in ("1", "true", "yes")
+                elif f.type == "list[str]":
+                    raw[f.name] = [
+                        s.strip() for s in raw[f.name].split(",") if s.strip()
+                    ]
+        return cls.from_dict(raw, env)
+    try:
+        import yaml
+
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+    except ImportError:  # no PyYAML in env: accept JSON configs
+        with open(path) as f:
+            raw = json.load(f)
+    return cls.from_dict(raw, env)

@@ -240,3 +240,74 @@ def test_config_toml_and_ini(tmp_path):
     assert (cfg2.name, cfg2.num_buckets, cfg2.gapfill) == ("web", 16, False)
     assert cfg2.labels == "dc=gra"
     assert cfg2.filtered_labels == ["secret", "internal"]
+
+
+def test_multi_scraper_multi_sink_topology(ray_session, tmp_path):
+    """The reference's full wiring: two named scrapers (one Prometheus,
+    one Sensision) with scraper-SCOPED env labels, one router with
+    global labels, two sinks with selectors (multicast)."""
+    import ray.data
+
+    from beamium_ray.config import BeamiumConfig
+    from beamium_ray.pipelines.multi import run_beamium_config
+
+    cfg = BeamiumConfig.from_dict(
+        {
+            "scrapers": {
+                "web-front": {
+                    "format": "prometheus",
+                    "labels": {"tier": "front"},
+                },
+                "warp-agent": {"format": "sensision"},
+            },
+            "sinks": {
+                "clicks": {"selector": r"evt\.click"},
+                "all": {},
+            },
+            "labels": {"dc": "gra1"},
+        },
+        env={"BEAMIUM_WEB_FRONT_LABEL_POOL": "p1"},
+    )
+    # scraper-scoped env label landed only on web-front
+    assert cfg.scrapers["web-front"].labels == "tier=front,pool=p1"
+    assert cfg.scrapers["warp-agent"].labels == ""
+    assert cfg.labels == "dc=gra1"
+
+    prom = ray.data.from_arrow(
+        pa.table(
+            {
+                "line": pa.array(
+                    [
+                        'evt.click{user="1"} 5 1000',
+                        'evt.view{user="2"} 6 2000',
+                    ]
+                )
+            }
+        )
+    )
+    sens = ray.data.from_arrow(
+        pa.table(
+            {
+                "line": pa.array(
+                    ["3000000// evt.click{user=3} 7", "=3000001// 8"]
+                )
+            }
+        )
+    )
+    out = tmp_path / "sinks"
+    paths = run_beamium_config(
+        cfg, {"web-front": prom, "warp-agent": sens}, str(out)
+    )
+    clicks = pq.read_table(paths["clicks"])
+    everything = pq.read_table(paths["all"])
+    # clicks sink: the prometheus click + the sensision click + its
+    # continuation (inherited class) = 3 rows; 'all' gets all 4
+    assert clicks.num_rows == 3
+    assert everything.num_rows == 4
+    # global label prepended everywhere; scraper label only on web-front
+    labs = sorted(clicks["labels"].to_pylist())
+    assert labs == [
+        "dc=gra1,tier=front,pool=p1,user=1",
+        "dc=gra1,user=3",
+        "dc=gra1,user=3",
+    ]
