@@ -1,0 +1,101 @@
+"""Multi-scraper batch-job entry point (the reference's `beamium -c
+config.yaml` analog for the full scrapers→router→sinks topology).
+
+    python -m beamium_ray.run_multi --config conf.yaml --output /out \
+        [--num-cpus N]
+
+The config is a full :class:`BeamiumConfig` file; each scraper entry
+additionally carries ``input`` (a directory of ``*.metrics`` line
+files — the scrape spool). Prints one JSON line: per-sink output dir
+and row count.
+
+Owns its Ray session (guarded init — safe under `ray job submit`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="beamium_ray.run_multi")
+    ap.add_argument("--config", required=True,
+                    help="BeamiumConfig file (YAML/JSON/TOML/INI)")
+    ap.add_argument("--output", required=True, help="sink output root")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    from beamium_ray.config import BeamiumConfig
+    from beamium_ray.pipelines.multi import run_beamium_config
+    from beamium_ray.sources.lines import read_metric_lines_whole_files
+
+    # raw dict read once more for the per-scraper `input` keys (not an
+    # EngineConfig field)
+    cfg = BeamiumConfig.from_file(args.config)
+    raw_inputs: dict[str, str] = {}
+    import configparser
+    import json as _json
+
+    ext = args.config.rsplit(".", 1)[-1].lower()
+    if ext == "toml":
+        import tomllib
+
+        with open(args.config, "rb") as f:
+            raw = tomllib.load(f)
+    elif ext in ("ini", "cfg"):
+        cp = configparser.ConfigParser()
+        cp.read(args.config)
+        raw = {"scrapers": {}}
+    else:
+        try:
+            import yaml
+
+            with open(args.config) as f:
+                raw = yaml.safe_load(f) or {}
+        except ImportError:
+            with open(args.config) as f:
+                raw = _json.load(f)
+    for name, sub in (raw.get("scrapers") or {}).items():
+        if isinstance(sub, dict) and sub.get("input"):
+            raw_inputs[name] = str(sub["input"])
+    missing = set(cfg.scrapers) - set(raw_inputs)
+    if missing:
+        raise SystemExit(f"scrapers without an 'input' dir: {sorted(missing)}")
+
+    inputs = {
+        name: read_metric_lines_whole_files(path)
+        for name, path in raw_inputs.items()
+    }
+    paths = run_beamium_config(cfg, inputs, args.output)
+    summary = {}
+    for sink, path in paths.items():
+        try:
+            n = pq.read_table(path, columns=["ts"]).num_rows
+        except Exception:
+            n = 0
+        summary[sink] = {"path": path, "rows": n}
+    print(json.dumps({"sinks": summary}))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
