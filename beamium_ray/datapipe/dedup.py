@@ -657,7 +657,14 @@ def connected_components(
         )
 
     def _fold(cand):
-        """labels ← min(labels ∪ candidate (doc_id, cluster) rows)."""
+        """labels ← min(labels ∪ candidate (doc_id, cluster) rows).
+
+        The trailing repartition is load-bearing: hash-shuffle groupby
+        emits ~one (often EMPTY) block per input-block×partition, and
+        unioning grows the block list every round — without coalescing,
+        block count explodes geometrically across rounds and the
+        executor grinds to a halt scheduling thousands of empty-block
+        tasks (observed: 19 → 57 → 118 → 600+ blocks by round 3)."""
         return (
             labels.union(cand)
             .groupby("doc_id")
@@ -666,6 +673,7 @@ def connected_components(
                 lambda t: t.rename_columns(["doc_id", "cluster"]),
                 batch_format="pyarrow",
             )
+            .repartition(num_partitions)
             .materialize()
         )
 

@@ -423,6 +423,38 @@ def flagship_blocks_roundtrip(sf_dir: str):
     return _read_1m_blocks(out)
 
 
+def flagship_window_query(sf_dir: str):
+    """The retention-engine READ path under the flagship oracle: build
+    blocks, then query a window range through read_blocks_dataset —
+    block-level pruning from manifests + row-level predicates after
+    decode. Oracle = the flagship SQL restricted to the same range."""
+    import hashlib
+    import shutil
+
+    from beamium_ray.pipelines.persist import (
+        read_blocks_dataset,
+        rollup_to_blocks,
+    )
+    from beamium_ray.pipelines.rollup_pipeline import datapoints
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/beamium_gate/flagquery_{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = EngineConfig(labels="env=prod", num_buckets=16, tiers={"1m": US_1M})
+    dp = datapoints(_flagship_seq(sf_dir), cfg)
+    rollup_to_blocks(dp, cfg, [f"{sf_dir}/documents.parquet"], out)
+    lo = 1_700_000_000_000_000 + 100 * US_1M
+    hi = 1_700_000_000_000_000 + 300 * US_1M
+    ds = read_blocks_dataset(out, "1m", min_window=lo, max_window=hi)
+    return ds.map_batches(
+        lambda t: t.select(
+            ["series_key", "window_start", "vmin", "vmax", "vsum", "n", "last"]
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
 def flagship_incremental_append(sf_dir: str):
     """Continuous aggregates under the flagship value oracle: roll up
     the even doc_ids, then --append the odd doc_ids; the merged blocks
@@ -1050,6 +1082,11 @@ FROM c
     # persist path + incremental append under the SAME flagship oracle
     "flagship_blocks_roundtrip": _gen.flagship_rollup_sql(),
     "flagship_incremental_append": _gen.flagship_rollup_sql(),
+    "flagship_window_query": f"""
+SELECT * FROM ({_gen.flagship_rollup_sql()})
+WHERE window_start BETWEEN {1_700_000_000_000_000 + 100 * US_1M}
+                       AND {1_700_000_000_000_000 + 300 * US_1M}
+""",
     "tokens_payload_roundtrip": _gen.tokens_payload_sql(),
     "flagship_stage_metrics": _gen.stage_metrics_sql(),
     "fingerprint_docs": _gen.fingerprint_sql(),
@@ -1123,6 +1160,7 @@ QUERIES = {
     "flagship_rollup_1m": flagship_rollup_1m,
     "flagship_blocks_roundtrip": flagship_blocks_roundtrip,
     "flagship_incremental_append": flagship_incremental_append,
+    "flagship_window_query": flagship_window_query,
     "tokens_payload_roundtrip": tokens_payload_roundtrip,
     "flagship_stage_metrics": flagship_stage_metrics,
     "multimodal_decode": multimodal_decode,

@@ -137,21 +137,8 @@ def test_warp10_parse_matches_oracle_spec(lines):
 # ---- connected components vs brute-force BFS on random graphs ----
 
 
-@settings(max_examples=25, deadline=None)
-@given(
-    st.lists(
-        st.tuples(st.integers(0, 30), st.integers(0, 30)),
-        min_size=1,
-        max_size=40,
-    ),
-    st.sampled_from([10_000_000, 0]),  # driver union-find AND distributed
-)
-def test_connected_components_matches_bfs(edge_list, thresh):
-    import ray.data
-
-    from beamium_ray.datapipe.dedup import connected_components
-
-    # brute force: BFS components over the undirected edge list
+def _bfs_components(edge_list):
+    """Brute force: BFS components over the undirected edge list."""
     adj: dict[int, set[int]] = {}
     for a, b in edge_list:
         adj.setdefault(a, set()).add(b)
@@ -172,6 +159,13 @@ def test_connected_components_matches_bfs(edge_list, thresh):
         m = min(comp)
         for x in comp:
             want[x] = m
+    return want
+
+
+def _cc_check(edge_list, thresh, ray_np=4):
+    import ray.data
+
+    from beamium_ray.datapipe.dedup import connected_components
 
     edges = pa.table(
         {
@@ -180,7 +174,37 @@ def test_connected_components_matches_bfs(edge_list, thresh):
         }
     )
     out = connected_components(
-        ray.data.from_arrow(edges), driver_threshold=thresh, num_partitions=4
+        ray.data.from_arrow(edges), driver_threshold=thresh,
+        num_partitions=ray_np,
     )
     got = {r["doc_id"]: r["cluster"] for r in out.take_all()}
-    assert got == want
+    assert got == _bfs_components(edge_list), (edge_list, thresh)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    ),
+)
+def test_connected_components_matches_bfs_driver(edge_list):
+    """Property coverage on the DRIVER union-find (cheap per example —
+    one tiny Ray materialize + pure-Python union-find)."""
+    _cc_check(edge_list, thresh=10_000_000)
+
+
+def test_connected_components_matches_bfs_distributed(ray_session):
+    """The distributed edge-relax + pointer-jump path costs ~15 Ray
+    executions per graph, so it gets a FIXED seeded battery instead of
+    a hypothesis sweep (shrinking would replay it hundreds of times)."""
+    import random
+
+    rng = random.Random(7)
+    for _ in range(3):
+        n_edges = rng.randint(3, 30)
+        edge_list = [
+            (rng.randint(0, 25), rng.randint(0, 25)) for _ in range(n_edges)
+        ]
+        _cc_check(edge_list, thresh=0)
