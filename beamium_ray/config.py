@@ -150,15 +150,7 @@ class EngineConfig:
     @classmethod
     def from_yaml(cls, path: str, env: dict | None = None) -> "EngineConfig":
         """Load from a YAML (or JSON — YAML superset) config file."""
-        try:
-            import yaml
-
-            with open(path) as f:
-                raw = yaml.safe_load(f) or {}
-        except ImportError:  # no PyYAML in env: accept JSON configs
-            with open(path) as f:
-                raw = json.load(f)
-        return cls.from_dict(raw, env)
+        return cls.from_dict(read_yaml_or_json(path), env)
 
     @classmethod
     def from_file(cls, path: str, env: dict | None = None) -> "EngineConfig":
@@ -194,11 +186,32 @@ class BeamiumConfig:
 
     @classmethod
     def from_dict(cls, raw: dict, env: dict | None = None) -> "BeamiumConfig":
+        import os as _os
+
+        env = dict(_os.environ if env is None else env)
+        # GLOBAL BEAMIUM_LABEL_* env labels belong to the ROUTER
+        # relabel (cfg.labels) ONLY — the reference injects them into
+        # conf.labels, not every scraper (conf.rs:588-609). Leaving
+        # them in each scraper's env would apply them twice (scraper
+        # relabel + router prepend → duplicate label keys).
+        scraper_env = {
+            k: v
+            for k, v in env.items()
+            if not (
+                k.startswith("BEAMIUM_LABEL_")
+                # …unless it is some scraper's own scoped prefix
+                # (a scraper literally named 'label')
+                and not any(
+                    k.startswith(f"BEAMIUM_{str(n).upper().replace('-', '_')}_LABEL_")
+                    for n in (raw.get("scrapers") or {})
+                )
+            )
+        }
         scrapers = {}
         for name, sub in (raw.get("scrapers") or {}).items():
             sub = dict(sub or {})
             sub["name"] = name
-            scrapers[name] = EngineConfig.from_dict(sub, env)
+            scrapers[name] = EngineConfig.from_dict(sub, scraper_env)
         sinks = {}
         for name, sub in (raw.get("sinks") or {}).items():
             sub = dict(sub or {})
@@ -218,7 +231,7 @@ class BeamiumConfig:
 
     @classmethod
     def from_file(cls, path: str, env: dict | None = None) -> "BeamiumConfig":
-        return _load_config_file(cls, path, env)
+        return cls.from_dict(load_raw_config(path), env)
 
 
 def _load_config_file(cls, path: str, env: dict | None):
@@ -257,12 +270,34 @@ def _load_config_file(cls, path: str, env: dict | None):
                         s.strip() for s in raw[f.name].split(",") if s.strip()
                     ]
         return cls.from_dict(raw, env)
+    return cls.from_dict(read_yaml_or_json(path), env)
+
+
+def read_yaml_or_json(path: str) -> dict:
+    """Raw dict from a YAML (or JSON — YAML superset) file."""
     try:
         import yaml
 
         with open(path) as f:
-            raw = yaml.safe_load(f) or {}
+            return yaml.safe_load(f) or {}
     except ImportError:  # no PyYAML in env: accept JSON configs
         with open(path) as f:
-            raw = json.load(f)
-    return cls.from_dict(raw, env)
+            return json.load(f)
+
+
+def load_raw_config(path: str) -> dict:
+    """Raw config dict with extension dispatch (YAML/JSON/TOML). INI is
+    EngineConfig-only — its flat sections cannot express the nested
+    scrapers/sinks maps — so multi-topology callers reject it."""
+    ext = path.rsplit(".", 1)[-1].lower()
+    if ext == "toml":
+        import tomllib
+
+        with open(path, "rb") as f:
+            return tomllib.load(f)
+    if ext in ("ini", "cfg"):
+        raise ValueError(
+            "INI configs cannot express the scrapers/sinks maps — use "
+            "YAML, JSON or TOML for the multi topology"
+        )
+    return read_yaml_or_json(path)

@@ -22,7 +22,7 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="beamium_ray.run_multi")
     ap.add_argument("--config", required=True,
-                    help="BeamiumConfig file (YAML/JSON/TOML/INI)")
+                    help="BeamiumConfig file (YAML/JSON/TOML)")
     ap.add_argument("--output", required=True, help="sink output root")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
@@ -47,32 +47,15 @@ def main(argv: list[str] | None = None) -> int:
     from beamium_ray.pipelines.multi import run_beamium_config
     from beamium_ray.sources.lines import read_metric_lines_whole_files
 
-    # raw dict read once more for the per-scraper `input` keys (not an
-    # EngineConfig field)
-    cfg = BeamiumConfig.from_file(args.config)
+    # ONE parse of the config file: the typed BeamiumConfig plus the
+    # raw dict for the per-scraper `input` keys (not an EngineConfig
+    # field). load_raw_config rejects INI (its flat sections cannot
+    # express the scrapers/sinks maps) with a clear error.
+    from beamium_ray.config import load_raw_config
+
+    raw = load_raw_config(args.config)
+    cfg = BeamiumConfig.from_dict(raw)
     raw_inputs: dict[str, str] = {}
-    import configparser
-    import json as _json
-
-    ext = args.config.rsplit(".", 1)[-1].lower()
-    if ext == "toml":
-        import tomllib
-
-        with open(args.config, "rb") as f:
-            raw = tomllib.load(f)
-    elif ext in ("ini", "cfg"):
-        cp = configparser.ConfigParser()
-        cp.read(args.config)
-        raw = {"scrapers": {}}
-    else:
-        try:
-            import yaml
-
-            with open(args.config) as f:
-                raw = yaml.safe_load(f) or {}
-        except ImportError:
-            with open(args.config) as f:
-                raw = _json.load(f)
     for name, sub in (raw.get("scrapers") or {}).items():
         if isinstance(sub, dict) and sub.get("input"):
             raw_inputs[name] = str(sub["input"])
@@ -89,8 +72,12 @@ def main(argv: list[str] | None = None) -> int:
     for sink, path in paths.items():
         try:
             n = pq.read_table(path, columns=["ts"]).num_rows
-        except Exception:
-            n = 0
+        except FileNotFoundError:
+            n = 0  # selector matched nothing → no directory written
+        except Exception as ex:  # corrupt/unreadable output is an ERROR
+            summary[sink] = {"path": path, "rows": None,
+                             "error": f"{type(ex).__name__}: {ex}"}
+            continue
         summary[sink] = {"path": path, "rows": n}
     print(json.dumps({"sinks": summary}))
     ray.shutdown()

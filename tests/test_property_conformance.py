@@ -189,9 +189,11 @@ def _cc_check(edge_list, thresh, ray_np=4):
         max_size=40,
     ),
 )
-def test_connected_components_matches_bfs_driver(edge_list):
+def test_connected_components_matches_bfs_driver(ray_session, edge_list):
     """Property coverage on the DRIVER union-find (cheap per example —
-    one tiny Ray materialize + pure-Python union-find)."""
+    one tiny Ray materialize + pure-Python union-find). ray_session is
+    the conftest SESSION-scoped fixture (hypothesis only forbids
+    function-scoped fixtures in @given tests)."""
     _cc_check(edge_list, thresh=10_000_000)
 
 

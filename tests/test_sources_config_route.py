@@ -311,3 +311,55 @@ def test_multi_scraper_multi_sink_topology(ray_session, tmp_path):
         "dc=gra1,user=3",
         "dc=gra1,user=3",
     ]
+
+
+def test_multi_sink_dir_and_ttl(ray_session, tmp_path):
+    """Per-sink knobs: `dir` overrides the output path; `ttl_us` drops
+    datapoints older than max-ts − ttl (the DFO age bound analog);
+    `max_bytes` is rejected (no batch analog). Global BEAMIUM_LABEL_*
+    env labels land on the ROUTER only — never doubled per scraper."""
+    import ray.data
+
+    from beamium_ray.config import BeamiumConfig
+    from beamium_ray.pipelines.multi import run_beamium_config
+
+    cfg = BeamiumConfig.from_dict(
+        {
+            "scrapers": {"s1": {"format": "prometheus"}},
+            "sinks": {
+                "fresh": {"ttl_us": 1_000_000},
+                "archive": {"dir": str(tmp_path / "custom" / "archive")},
+            },
+        },
+        env={"BEAMIUM_LABEL_DC": "gra1"},
+    )
+    assert cfg.scrapers["s1"].labels == ""  # global env label NOT doubled
+    assert cfg.labels == "dc=gra1"
+    lines = ray.data.from_arrow(
+        pa.table(
+            {
+                "line": pa.array(
+                    [
+                        'm.old{a="1"} 1 1000',      # ts = 1_000_000 µs
+                        'm.new{a="2"} 2 5000',      # ts = 5_000_000 µs (max)
+                    ]
+                )
+            }
+        )
+    )
+    paths = run_beamium_config(cfg, {"s1": lines}, str(tmp_path / "out"))
+    fresh = pq.read_table(paths["fresh"])
+    # cutoff = 5_000_000 - 1_000_000 → only the newer point survives
+    assert fresh["class"].to_pylist() == ["m.new"]
+    assert fresh["labels"].to_pylist() == ["dc=gra1,a=2"]
+    archive = pq.read_table(paths["archive"])
+    assert paths["archive"] == str(tmp_path / "custom" / "archive")
+    assert archive.num_rows == 2
+
+    import pytest as _pytest
+
+    bad = BeamiumConfig.from_dict(
+        {"scrapers": {"s1": {}}, "sinks": {"x": {"max_bytes": 10}}}, env={}
+    )
+    with _pytest.raises(ValueError, match="max_bytes"):
+        run_beamium_config(bad, {"s1": lines}, str(tmp_path / "out2"))
