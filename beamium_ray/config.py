@@ -49,10 +49,12 @@ class EngineConfig:
     # io
     output_dir: str = "/tmp/beamium_ray_out"
     target_rows_per_block: int = 500_000
-    # block float codec: "bytes" (byte-granular suppression, default) or
-    # "bits" (paper-granularity, ~10-30% smaller float streams); blocks
-    # self-describe, so mixed-codec outputs read fine
+    # block codecs: "bytes" (byte-granular suppression, default) or
+    # "bits" (paper-granularity bit packing; ~10-30% smaller float
+    # streams, up to 4× smaller DoD timestamp streams on regular
+    # windows); blocks self-describe, so mixed-codec outputs read fine
     float_codec: str = "bytes"
+    int_codec: str = "bytes"
 
     # fields that change WHAT the rollup computes; operational knobs
     # (paths, retention, shuffle sizing) must not invalidate prior state

@@ -65,6 +65,7 @@ def _encode_and_commit(
     incremental: bool = False,
     gapfill_max_gap: int | None = None,
     float_codec: str = "bytes",
+    int_codec: str = "bytes",
 ) -> pa.Table:
     """Per-bucket merge → encode per tier → atomic block write → manifest.
 
@@ -138,7 +139,7 @@ def _encode_and_commit(
         tt = rolled.filter(pc.equal(rolled["tier"], tier)).drop_columns(["tier"])
         if tt.num_rows == 0:
             continue
-        buf = encode_block(tt, float_codec=float_codec)
+        buf = encode_block(tt, float_codec=float_codec, int_codec=int_codec)
         # VERSIONED block path: the manifest commit is the only pointer
         # switch. A crash after the block write but before the manifest
         # rename leaves an orphan file the old manifest never references,
@@ -211,6 +212,7 @@ def rollup_to_blocks(
     tiers, gapfill, nb = dict(cfg.tiers), cfg.gapfill, cfg.num_buckets
     max_gap = cfg.gapfill_max_gap
     codec = getattr(cfg, "float_codec", "bytes")
+    icodec = getattr(cfg, "int_codec", "bytes")
 
     def _partial(batch: pa.Table) -> pa.Table:
         t = partial_rollup_batch(
@@ -229,7 +231,7 @@ def rollup_to_blocks(
     def _merge(group: pa.Table) -> pa.Table:
         return _encode_and_commit(
             group, out_dir, tiers, gapfill, fp, ch, gapfill_max_gap=max_gap,
-            float_codec=codec,
+            float_codec=codec, int_codec=icodec,
         )
 
     narrow = dp_ds.select_columns(
@@ -285,6 +287,7 @@ def append_rollup(
     tiers, gapfill, nb = dict(cfg.tiers), cfg.gapfill, cfg.num_buckets
     max_gap = cfg.gapfill_max_gap
     codec = getattr(cfg, "float_codec", "bytes")
+    icodec = getattr(cfg, "int_codec", "bytes")
 
     def _partial(batch: pa.Table) -> pa.Table:
         t = partial_rollup_batch(
@@ -303,7 +306,7 @@ def append_rollup(
     def _merge(group: pa.Table) -> pa.Table:
         return _encode_and_commit(
             group, out_dir, tiers, gapfill, new_fp, ch, incremental=True,
-            gapfill_max_gap=max_gap, float_codec=codec,
+            gapfill_max_gap=max_gap, float_codec=codec, int_codec=icodec,
         )
 
     narrow = dp_ds.select_columns(

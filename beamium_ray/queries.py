@@ -416,7 +416,9 @@ def flagship_blocks_roundtrip(sf_dir: str):
     shutil.rmtree(out, ignore_errors=True)
     cfg = EngineConfig(
         labels="env=prod", num_buckets=16, tiers={"1m": US_1M},
-        float_codec="bits",  # exercise the paper-granularity codec
+        # exercise the paper-granularity codecs end-to-end under the
+        # value oracle (floats AND delta-of-delta timestamps)
+        float_codec="bits", int_codec="bits",
     )
     dp = datapoints(_flagship_seq(sf_dir), cfg)
     rollup_to_blocks(dp, cfg, [f"{sf_dir}/documents.parquet"], out)

@@ -169,21 +169,15 @@ def _unpack6(b: bytes, n: int) -> np.ndarray:
     ).astype(np.uint8)
 
 
-def encode_floats_bits(arr: np.ndarray) -> dict:
-    """XOR-previous + BIT-granular zero suppression (the paper's
-    granularity, vectorized).
+def _pack_bitwindows(x: np.ndarray) -> dict:
+    """BIT-granular zero-window suppression of a uint64 array.
 
-    Per value: 1 control bit (xor==0); nonzero values add 6-bit leading
+    Per value: 1 control bit (zero); nonzero values add 6-bit leading
     -zero count + 6-bit (meaningful length - 1) in side streams and
-    their meaningful BITS in a dense bit payload. Unlike the paper
-    there is no '10 reuse previous window' mode — that control flow is
-    sequential per point; three parallel streams keep encode AND decode
-    pure-numpy (unpackbits → masked gather/scatter → packbits) at
-    ~10-30%% better ratio than the byte-granular default.
+    their meaningful BITS in a dense bit payload — three parallel
+    streams keep encode AND decode pure-numpy (unpackbits → masked
+    gather/scatter → packbits).
     """
-    u = np.ascontiguousarray(arr, dtype=np.float64).view(np.uint64)
-    x = u.copy()
-    x[1:] ^= u[:-1]
     n = len(x)
     if n == 0:
         return {"codec": "bits", "n": 0, "nz": b"", "lead": b"",
@@ -210,10 +204,10 @@ def encode_floats_bits(arr: np.ndarray) -> dict:
     }
 
 
-def decode_floats_bits(blob: dict) -> np.ndarray:
+def _unpack_bitwindows(blob: dict) -> np.ndarray:
     n = blob["n"]
     if n == 0:
-        return np.empty(0, dtype=np.float64)
+        return np.empty(0, dtype=np.uint64)
     any_nz = np.unpackbits(
         np.frombuffer(blob["nz"], dtype=np.uint8), count=n
     ).astype(bool)
@@ -231,9 +225,69 @@ def decode_floats_bits(blob: dict) -> np.ndarray:
     ]
     grid = np.zeros((n, 64), dtype=np.uint8)
     grid[mask] = pbits
-    x = np.packbits(grid, axis=1).view(">u8").ravel().astype(np.uint64)
+    return np.packbits(grid, axis=1).view(">u8").ravel().astype(np.uint64)
+
+
+def encode_floats_bits(arr: np.ndarray) -> dict:
+    """XOR-previous + BIT-granular suppression (the paper's granularity,
+    vectorized; no '10 reuse previous window' mode — that control flow
+    is sequential per point). ~10-30% better ratio than the
+    byte-granular default on rollup-shaped data."""
+    u = np.ascontiguousarray(arr, dtype=np.float64).view(np.uint64)
+    x = u.copy()
+    x[1:] ^= u[:-1]
+    return _pack_bitwindows(x)
+
+
+def decode_floats_bits(blob: dict) -> np.ndarray:
+    x = _unpack_bitwindows(blob)
     u = np.bitwise_xor.accumulate(x)
     return u.view(np.float64)
+
+
+def encode_ints_bits(arr: np.ndarray, depth: int = 2) -> dict:
+    """Delta^depth + zigzag + BIT-granular window packing (the int
+    analog of the paper codec; the byte default spends ≥1 byte + a
+    nibble tag per nonzero delta, this spends exactly the meaningful
+    bits + 13 header bits)."""
+    a = arr.astype(np.int64)
+    heads = []
+    for _ in range(depth):
+        if len(a) == 0:
+            break
+        heads.append(int(a[0]))
+        a = np.diff(a)
+    z = a.astype(np.uint64)
+    z = (z << np.uint64(1)) ^ (a >> np.int64(63)).astype(np.uint64)
+    out = _pack_bitwindows(z)
+    out["depth"] = depth
+    out["heads"] = heads
+    out["total_n"] = len(arr)
+    return out
+
+
+def decode_ints_bits(blob: dict) -> np.ndarray:
+    z = _unpack_bitwindows(blob)
+    a = ((z >> np.uint64(1)) ^ (~(z & np.uint64(1)) + np.uint64(1))).astype(
+        np.int64
+    )
+    for h in reversed(blob["heads"]):
+        with np.errstate(over="ignore"):
+            a = np.concatenate(([h], a)).cumsum(dtype=np.int64)
+    return a[: blob["total_n"]]
+
+
+def encode_ints_any(arr: np.ndarray, depth: int = 2,
+                    codec: str = "bytes") -> dict:
+    if codec == "bits":
+        return encode_ints_bits(arr, depth)
+    return encode_ints(arr, depth)
+
+
+def decode_ints_any(blob: dict) -> np.ndarray:
+    if blob.get("codec") == "bits":
+        return decode_ints_bits(blob)
+    return decode_ints(blob)
 
 
 def encode_floats_any(arr: np.ndarray, codec: str = "bytes") -> dict:
@@ -261,13 +315,15 @@ def _col_np(t: pa.Table, name: str):
     return vals, mask
 
 
-def encode_block(t: pa.Table, float_codec: str = "bytes") -> bytes:
+def encode_block(t: pa.Table, float_codec: str = "bytes",
+                 int_codec: str = "bytes") -> bytes:
     """Serialize one rolled-tier table (sorted by series_key, window_start).
 
     Layout: MAGIC, version, json header (blob directory + row count +
     dictionary of series keys + run lengths), then raw blobs.
-    ``float_codec``: "bytes" (default, byte-granular suppression) or
-    "bits" (paper-granularity, ~10-30% smaller float streams); blocks
+    ``float_codec`` / ``int_codec``: "bytes" (default, byte-granular)
+    or "bits" (paper-granularity bit packing — up to 4× smaller
+    delta-of-delta timestamp streams on regular windows); blocks
     self-describe, so readers decode either transparently.
     """
     n = t.num_rows
@@ -288,13 +344,13 @@ def encode_block(t: pa.Table, float_codec: str = "bytes") -> bytes:
         "cols": {},
     }
     ws = t["window_start"].to_numpy()
-    meta["cols"]["window_start"] = encode_ints(ws, depth=2)
+    meta["cols"]["window_start"] = encode_ints_any(ws, depth=2, codec=int_codec)
     for name in _INT_COLS:
         if name not in t.column_names:
             continue
         vals, mask = _col_np(t, name)
         vals = np.where(mask, vals, 0).astype(np.int64)
-        enc = encode_ints(vals, depth=1)
+        enc = encode_ints_any(vals, depth=1, codec=int_codec)
         enc["valid"] = np.packbits(mask).tobytes()
         meta["cols"][name] = enc
     for name in _FLOAT_COLS:
@@ -354,7 +410,7 @@ def decode_block(buf: bytes) -> pa.Table:
     series = dictionary.take(pa.array(ords, pa.int64()))
     cols: dict = {"series_key": series}
     cols["window_start"] = pa.array(
-        decode_ints(meta["cols"]["window_start"]), pa.int64()
+        decode_ints_any(meta["cols"]["window_start"]), pa.int64()
     )
     for name in _INT_COLS + _FLOAT_COLS:
         enc = meta["cols"].get(name)
@@ -364,7 +420,7 @@ def decode_block(buf: bytes) -> pa.Table:
             np.frombuffer(enc["valid"], dtype=np.uint8), count=n
         ).astype(bool)
         if name in _INT_COLS:
-            vals = decode_ints(enc)
+            vals = decode_ints_any(enc)
             cols[name] = pa.array(vals, pa.int64(), mask=~mask)
         else:
             vals = decode_floats_any(enc)

@@ -136,6 +136,37 @@ def test_bit_codec_roundtrip_fuzz():
     assert sz_bits < sz_bytes
 
 
+def test_int_bit_codec_roundtrip_fuzz():
+    """Bit-granular int codec: exact delta^depth+zigzag round-trips and
+    a ratio win on regular (timestamp-shaped) streams."""
+    import numpy as np
+
+    from beamium_ray.stages.gorilla import (
+        decode_ints_bits,
+        encode_ints,
+        encode_ints_bits,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        np.sort(rng.integers(0, 10**15, 5000)),
+        1_700_000_000_000_000 + np.arange(10_000) * 60_000_000,
+        rng.integers(-(2**62), 2**62, 3000),
+        np.array([0, -1, 2**62, -(2**62), 7]),
+        np.array([], dtype=np.int64),
+    ]
+    for arr in cases:
+        for depth in (1, 2):
+            back = decode_ints_bits(encode_ints_bits(arr, depth))
+            assert back.tolist() == arr.astype(np.int64).tolist()
+    regular = 1_700_000_000_000_000 + np.arange(10_000) * 60_000_000
+    eb = encode_ints_bits(regular, 2)
+    eB = encode_ints(regular, 2)
+    sz_bits = sum(len(eb[k]) for k in ("payload", "lead", "mlen", "nz"))
+    sz_bytes = len(eB["payload"]) + len(eB["tags"])
+    assert sz_bits < sz_bytes / 2  # ≥2× win on regular windows
+
+
 def test_block_roundtrip_with_bit_codec(ray_session):
     """encode_block(float_codec='bits') round-trips and self-describes
     (decoder needs no flag)."""
@@ -160,7 +191,9 @@ def test_block_roundtrip_with_bit_codec(ray_session):
         }
     )
     for codec in ("bytes", "bits"):
-        back = decode_block(encode_block(t, float_codec=codec))
+        back = decode_block(
+            encode_block(t, float_codec=codec, int_codec=codec)
+        )
         assert back.num_rows == n
-        for c in ["vmin", "vmax", "vsum", "last"]:
+        for c in ["vmin", "vmax", "vsum", "last", "window_start", "n"]:
             assert back[c].to_pylist() == t[c].to_pylist(), (codec, c)
