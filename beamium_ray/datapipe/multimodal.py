@@ -122,14 +122,14 @@ def decode_dataset(ds, decoder: str = "fake", batch_size: int = 256,
                    concurrency=None):
     """Attach the decode actor pool with payload-aware batch sizing;
     pool size derives from cluster resources unless overridden."""
-    from beamium_ray.functions.cluster import default_actor_pool
+    from beamium_ray.functions.cluster import autoscaling_pool
 
     return ds.map_batches(
         DecodeImage,
         fn_constructor_kwargs={"decoder": decoder},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or default_actor_pool(),
+        concurrency=concurrency or autoscaling_pool(),
     )
 
 

@@ -84,7 +84,7 @@ def brute_force_topk(
     (query, vec_id, cosine) sorted by (query, -cosine, vec_id)."""
     import ray
 
-    from beamium_ray.functions.cluster import default_actor_pool
+    from beamium_ray.functions.cluster import autoscaling_pool
 
     q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
     qref = ray.put(q)
@@ -93,8 +93,9 @@ def brute_force_topk(
         fn_constructor_args=(qref, k, vec_col, id_col),
         batch_format="pyarrow",
         batch_size=4096,
-        # callable class → actor pool, sized from cluster resources
-        concurrency=concurrency or default_actor_pool(),
+        # callable class → autoscaling actor pool (1 → cluster-derived
+        # max): fixed pools pay N actor startups even on tiny inputs
+        concurrency=concurrency or autoscaling_pool(),
     )
     t = pa.concat_tables(list(cand.iter_batches(batch_format="pyarrow")))
     # final tiny reduction on the driver: candidates ≤ k × nblocks
@@ -232,7 +233,7 @@ def build_ivf_index(
     """Train centroids (bounded sample), assign every vector ONCE."""
     import ray
 
-    from beamium_ray.functions.cluster import default_actor_pool
+    from beamium_ray.functions.cluster import autoscaling_pool
 
     cent = train_centroids(ds, n_lists, vec_col, seed, sample_size)
     cref = ray.put(cent)
@@ -241,7 +242,7 @@ def build_ivf_index(
         fn_constructor_args=(cref, vec_col),
         batch_format="pyarrow",
         batch_size=None,
-        concurrency=concurrency or default_actor_pool(),
+        concurrency=concurrency or autoscaling_pool(),
     )
     if index_path is not None:
         assigned.write_parquet(index_path, partition_cols=["list_id"])
@@ -262,7 +263,7 @@ def ivf_search(
     of unprobed rows, ≤ k×blocks candidates merged on the driver."""
     import ray
 
-    from beamium_ray.functions.cluster import default_actor_pool
+    from beamium_ray.functions.cluster import autoscaling_pool
 
     q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
@@ -332,7 +333,7 @@ def ivf_search(
         fn_constructor_args=(qref, k, index.vec_col, index.id_col, mref),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=concurrency or default_actor_pool(),
+        concurrency=concurrency or autoscaling_pool(),
     )
     batches = list(cand.iter_batches(batch_format="pyarrow"))
     t = pa.concat_tables(batches) if batches else empty

@@ -31,3 +31,11 @@ def default_actor_pool(fraction: float = 0.5, floor: int = 2) -> int:
     """Actor-pool size for a stateful map_batches stage: half the CPUs
     by default so two pooled stages can coexist without starving."""
     return max(floor, int(cluster_cpus() * fraction))
+
+
+def autoscaling_pool(fraction: float = 0.5, floor: int = 2) -> tuple[int, int]:
+    """(min, max) actor-pool bounds for map_batches ``concurrency``:
+    start with ONE actor and let Ray scale toward the cluster-derived
+    max under load — a fixed pool of N pays ~N actor startups even for
+    a 500-row gate query, dominating small-input wall time."""
+    return (1, default_actor_pool(fraction, floor))

@@ -241,10 +241,10 @@ def bpe_token_count_docs(sf_dir: str):
 
 def lang_id_docs(sf_dir: str):
     from beamium_ray.datapipe.textstats import LangId
-    from beamium_ray.functions.cluster import default_actor_pool
+    from beamium_ray.functions.cluster import autoscaling_pool
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        LangId, batch_format="pyarrow", concurrency=default_actor_pool()
+        LangId, batch_format="pyarrow", concurrency=autoscaling_pool()
     )
 
 
