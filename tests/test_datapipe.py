@@ -377,3 +377,168 @@ def test_exact_dedup_hash128_matches_text_mode(ray_session):
         key=lambda r: r["doc_id"],
     )
     assert a == b
+
+
+# ---------------- distributed verification (round 3) ----------------
+
+
+def test_minhash_distributed_verify_matches_driver(ray_session):
+    """Forcing the pair count over max_broadcast_pairs must complete
+    through the DISTRIBUTED verify path (no raise — the r2 behavior)
+    with clusters identical to the driver path (VERDICT r2 item 1)."""
+    import ray.data
+
+    ds = ray.data.from_arrow(DOCS).repartition(2)
+    m_drv, m_dist = {}, {}
+    drv = minhash_dedup(ds, verify_threshold=0.7, metrics=m_drv)
+    dist = minhash_dedup(
+        ds, verify_threshold=0.7, max_broadcast_pairs=1, metrics=m_dist
+    )
+    got_drv = sorted((r["doc_id"], r["cluster"]) for r in drv.take_all())
+    got_dist = sorted((r["doc_id"], r["cluster"]) for r in dist.take_all())
+    assert got_drv == got_dist
+    assert m_drv["path"] == "driver"
+    assert m_dist["path"] == "distributed"
+    assert m_drv["candidate_pairs"] == m_dist["candidate_pairs"] > 0
+    assert m_drv["verified_edges"] == m_dist["verified_edges"] > 0
+    assert m_drv["prefilter_survivors"] == m_dist["prefilter_survivors"]
+
+
+def test_minhash_forced_distributed_flag(ray_session):
+    import ray.data
+
+    ds = ray.data.from_arrow(DOCS).repartition(2)
+    m = {}
+    out = minhash_dedup(ds, verify_threshold=0.9, distributed=True, metrics=m)
+    got = {r["doc_id"]: r["cluster"] for r in out.take_all()}
+    assert m["path"] == "distributed"
+    assert got[1] == 0 and got[2] == 2  # strict τ: exact dup only
+
+
+def test_embedding_neardup_distributed_matches_driver(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16))
+    vecs = np.concatenate([base, base[:10] * 2.0])  # 10 scaled dups
+    ids = np.arange(50, dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    m_drv, m_dist = {}, {}
+    drv = embedding_neardup(ds, threshold=0.99, metrics=m_drv)
+    dist = embedding_neardup(
+        ds, threshold=0.99, max_broadcast_pairs=1, metrics=m_dist
+    )
+    key = lambda tab: sorted(zip(tab["a"].to_pylist(), tab["b"].to_pylist()))
+    assert key(drv) == key(dist)
+    assert len(key(drv)) >= 10
+    assert m_drv["path"] == "driver" and m_dist["path"] == "distributed"
+    assert m_drv["verified_pairs"] == m_dist["verified_pairs"]
+    # cosines agree to float64 precision
+    c_drv = dict(zip(key(drv), sorted(drv.sort_by([("a", "ascending"), ("b", "ascending")])["cosine"].to_pylist())))
+    c_dist = dict(zip(key(dist), sorted(dist.sort_by([("a", "ascending"), ("b", "ascending")])["cosine"].to_pylist())))
+    for k in c_drv:
+        assert abs(c_drv[k] - c_dist[k]) < 1e-12
+
+
+def test_simhash_metrics_and_metrics_path(ray_session, tmp_path):
+    import json
+
+    import ray.data
+
+    ds = ray.data.from_arrow(DOCS).repartition(2)
+    m = {}
+    p = str(tmp_path / "dedup_metrics.json")
+    out = simhash_candidates(ds, metrics=m, metrics_path=p)
+    assert m["candidate_pairs"] > 0
+    assert m["verified_pairs"] == out.num_rows
+    on_disk = json.loads(open(p).read())
+    assert on_disk["verified_pairs"] == out.num_rows
+    assert on_disk["path"] == "distributed"
+
+
+def test_numpy_components_matches_unionfind():
+    """The vectorized FastSV kernel must agree with a reference dict
+    union-find on random graphs, chains, and the r1 counterexample."""
+    from beamium_ray.datapipe.dedup import _numpy_components
+
+    def ref_components(ea, eb):
+        parent = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(ea.tolist(), eb.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = np.unique(np.concatenate([ea, eb]))
+        return nodes, np.array([find(int(d)) for d in nodes])
+
+    cases = [
+        (np.array([2, 3], np.int64), np.array([10, 10], np.int64)),
+        # long chain linked only downward through high ids
+        (np.arange(100, 200, dtype=np.int64), np.arange(101, 201, dtype=np.int64)),
+    ]
+    rng = np.random.default_rng(3)
+    for n_edges in (100, 5000):
+        cases.append(
+            (
+                rng.integers(0, 500, n_edges).astype(np.int64),
+                rng.integers(0, 500, n_edges).astype(np.int64),
+            )
+        )
+    for ea, eb in cases:
+        nodes, lab = _numpy_components(ea, eb)
+        rn, rl = ref_components(ea, eb)
+        assert np.array_equal(nodes, rn)
+        assert np.array_equal(lab, rl)
+    # empty edges
+    nodes, lab = _numpy_components(np.array([], np.int64), np.array([], np.int64))
+    assert len(nodes) == 0
+
+
+def test_hyperplane_planes_generated_once():
+    """The plane matrix is created on the first batch and REUSED —
+    identical bits to the stateless function, no per-batch RNG
+    (VERDICT r2 item 7 + ADVICE empty-batch guard)."""
+    from beamium_ray.datapipe.dedup import HyperplaneBands, hyperplane_bands_batch
+
+    rng = np.random.default_rng(1)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(6, dtype=np.int64), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in rng.normal(size=(6, 8))],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    actor = HyperplaneBands()
+    out1 = actor(t)
+    planes_after_first = actor.planes
+    out2 = actor(t)
+    assert actor.planes is planes_after_first  # not regenerated
+    assert out1.equals(out2)
+    assert out1.equals(hyperplane_bands_batch(t))
+    # empty batch: early-return with the index schema, planes untouched
+    empty = t.slice(0, 0)
+    out_e = actor(empty)
+    assert out_e.num_rows == 0
+    assert out_e.column_names == ["band", "key", "doc_id"]
+    fresh = HyperplaneBands()
+    assert fresh(empty).num_rows == 0 and fresh.planes is None
