@@ -90,8 +90,8 @@ class DecodeImage:
             img = self._decode(p, int(w), int(h))
             means.append(float(img.mean()))
             stds.append(float(img.std()))
-            # exact integer pixel stats (pixels < 256, counts < 2^23 →
-            # float32 sums stay exact; the oracle recomputes these)
+            # exact integer pixel stats: int64 accumulation is exact by
+            # construction, so the oracle can recompute them bit-for-bit
             i64 = img.astype(np.int64)
             sums.append(int(i64.sum()))
             sqsums.append(int((i64 * i64).sum()))

@@ -132,7 +132,10 @@ def run_beamium_config(
         if name in paths:
             continue
         ds = all_dp
-        if sk.ttl_us:
+        if sk.ttl_us and watermark is not None:
+            # watermark is None when the unioned stream is empty (all
+            # input lines junk) — nothing to TTL-filter then; the sink
+            # still writes its (empty) output below
             cutoff = int(watermark) - int(sk.ttl_us)
 
             def keep(b: pa.Table, _c=cutoff) -> pa.Table:

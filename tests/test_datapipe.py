@@ -542,3 +542,28 @@ def test_hyperplane_planes_generated_once():
     assert out_e.column_names == ["band", "key", "doc_id"]
     fresh = HyperplaneBands()
     assert fresh(empty).num_rows == 0 and fresh.planes is None
+
+
+def test_ivf_probed_dataset_partition_filtered(ray_session, tmp_path):
+    """probed_dataset prunes via a filesystem-abstracted hive partition
+    filter (no os.listdir): only the probed lists' fragments appear in
+    the read plan, and an empty probe set returns None."""
+    import ray.data
+
+    from beamium_ray.datapipe.similarity import build_ivf_index
+
+    t, M = _embeddings(n=400)
+    ds = ray.data.from_arrow(t).repartition(3)
+    path = str(tmp_path / "ivf_pf")
+    index = build_ivf_index(ds, n_lists=8, index_path=path)
+    probed = index.probed_dataset({0, 3})
+    files = probed.input_files()
+    assert files, "probed read plan must have fragments"
+    assert all("list_id=0" in f or "list_id=3" in f for f in files)
+    # every probed row belongs to a probed list
+    got = {
+        int(r["list_id"])
+        for r in probed.select_columns(["list_id"]).take_all()
+    }
+    assert got <= {0, 3}
+    assert index.probed_dataset(set()) is None
