@@ -287,6 +287,91 @@ def read_yaml_or_json(path: str) -> dict:
             return json.load(f)
 
 
+def _regex_errors(pattern: str, where: str) -> list[str]:
+    """Compile ``pattern`` through the SAME engine the filter stages use
+    (Arrow/re2 via ``pc.match_substring_regex``), so check mode accepts
+    exactly what run mode accepts — a pattern Python's ``re`` allows but
+    re2 rejects (e.g. backreferences) must fail here too."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    try:
+        # a one-element probe: Arrow short-circuits (never compiles the
+        # pattern) on an empty array
+        pc.match_substring_regex(pa.array([""], pa.string()), pattern)
+        return []
+    except Exception as ex:
+        return [f"{where}: invalid regex {pattern!r}: {ex}"]
+
+
+def validate_engine_config(cfg: EngineConfig) -> list[str]:
+    """Semantic config validation for check mode (the reference's ``-t``
+    flag, ``src/cmd.rs:40-42`` + ``src/main.rs:108-118``; the reference
+    gets pattern validation for free by compiling ``Regex``/``RegexSet``
+    during deserialization, ``src/conf.rs:229,332``). Returns a list of
+    human-readable errors; empty means healthy."""
+    errors: list[str] = []
+    if cfg.format not in ("prometheus", "sensision"):
+        errors.append(
+            f"format must be 'prometheus' or 'sensision', got {cfg.format!r}"
+        )
+    for p in cfg.metrics_whitelist:
+        errors.extend(_regex_errors(str(p), "metrics_whitelist"))
+    if cfg.selector is not None:
+        # the router prepends '^' before matching (filters.selector_mask)
+        errors.extend(_regex_errors("^" + str(cfg.selector), "selector"))
+    if not cfg.tiers:
+        errors.append("tiers must not be empty")
+    for name, us in cfg.tiers.items():
+        if not isinstance(us, int) or us <= 0:
+            errors.append(f"tier {name!r}: window must be a positive int µs, got {us!r}")
+    for name, us in (cfg.ttl_us or {}).items():
+        if name not in cfg.tiers:
+            errors.append(f"ttl_us references unknown tier {name!r}")
+        if not isinstance(us, int) or us <= 0:
+            errors.append(f"ttl_us[{name!r}] must be a positive int µs, got {us!r}")
+    if cfg.num_buckets <= 0:
+        errors.append(f"num_buckets must be positive, got {cfg.num_buckets}")
+    if cfg.shuffle_blocks is not None and cfg.shuffle_blocks <= 0:
+        errors.append(f"shuffle_blocks must be positive, got {cfg.shuffle_blocks}")
+    if cfg.gapfill_max_gap is not None and cfg.gapfill_max_gap < 0:
+        errors.append(f"gapfill_max_gap must be ≥ 0, got {cfg.gapfill_max_gap}")
+    if cfg.target_rows_per_block <= 0:
+        errors.append(
+            f"target_rows_per_block must be positive, got {cfg.target_rows_per_block}"
+        )
+    for knob in ("float_codec", "int_codec"):
+        v = getattr(cfg, knob)
+        if v not in ("bytes", "bits"):
+            errors.append(f"{knob} must be 'bytes' or 'bits', got {v!r}")
+    if cfg.max_bytes is not None and cfg.max_bytes <= 0:
+        errors.append(f"max_bytes must be positive, got {cfg.max_bytes}")
+    return errors
+
+
+def validate_beamium_config(cfg: BeamiumConfig) -> list[str]:
+    """Check-mode validation of the full scrapers+sinks topology."""
+    errors: list[str] = []
+    if not cfg.scrapers:
+        errors.append("no scrapers configured")
+    for name, sc in cfg.scrapers.items():
+        errors.extend(f"scraper {name!r}: {e}" for e in validate_engine_config(sc))
+    for name, sk in cfg.sinks.items():
+        if sk.selector is not None:
+            errors.extend(
+                f"sink {name!r}: {e}"
+                for e in _regex_errors("^" + str(sk.selector), "selector")
+            )
+        if sk.ttl_us is not None and sk.ttl_us <= 0:
+            errors.append(f"sink {name!r}: ttl_us must be positive, got {sk.ttl_us}")
+        if sk.max_bytes is not None:
+            errors.append(
+                f"sink {name!r}: max_bytes has no batch analog (the DFO "
+                "size bound caps a live disk queue) — remove it"
+            )
+    return errors
+
+
 def load_raw_config(path: str) -> dict:
     """Raw config dict with extension dispatch (YAML/JSON/TOML). INI is
     EngineConfig-only — its flat sections cannot express the nested

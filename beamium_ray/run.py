@@ -23,8 +23,8 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="beamium_ray.run")
-    ap.add_argument("--input", required=True, help="dir/glob of sequence parquet")
-    ap.add_argument("--output", required=True, help="block/manifest output dir")
+    ap.add_argument("--input", help="dir/glob of sequence parquet")
+    ap.add_argument("--output", help="block/manifest output dir")
     ap.add_argument("--config", help="YAML/JSON EngineConfig file")
     ap.add_argument("--mode", default="columns", choices=["lines", "columns"])
     ap.add_argument("--num-cpus", type=int, default=None)
@@ -35,7 +35,41 @@ def main(argv: list[str] | None = None) -> int:
         help="continuous-aggregate mode: fold this input into existing "
         "blocks (merge with prior state) instead of fingerprint-resume",
     )
+    ap.add_argument(
+        "-t", "--check",
+        action="store_true",
+        help="validate the configuration and exit WITHOUT starting Ray "
+        "(the reference's `-t`, src/cmd.rs:40-42)",
+    )
     args = ap.parse_args(argv)
+
+    if args.check:
+        # config test mode: parse + validate, never touch Ray
+        # (ref src/main.rs:108-118 — load conf, report, quit)
+        from beamium_ray.config import EngineConfig, validate_engine_config
+
+        try:
+            cfg = (
+                EngineConfig.from_file(args.config)
+                if args.config
+                else EngineConfig()
+            )
+        except Exception as ex:
+            print(f"configuration error: {ex}", file=sys.stderr)
+            return 1
+        errors = validate_engine_config(cfg)
+        if args.input and not any(ch in args.input for ch in "*?[") \
+                and not os.path.exists(args.input):
+            errors.append(f"input path does not exist: {args.input}")
+        for e in errors:
+            print(f"configuration error: {e}", file=sys.stderr)
+        if errors:
+            return 1
+        print("configuration is healthy")
+        return 0
+
+    if not args.input or not args.output:
+        ap.error("--input and --output are required (unless --check)")
 
     import ray
 

@@ -23,9 +23,49 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="beamium_ray.run_multi")
     ap.add_argument("--config", required=True,
                     help="BeamiumConfig file (YAML/JSON/TOML)")
-    ap.add_argument("--output", required=True, help="sink output root")
+    ap.add_argument("--output", help="sink output root")
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument(
+        "-t", "--check",
+        action="store_true",
+        help="validate the configuration and exit WITHOUT starting Ray "
+        "(the reference's `-t`, src/cmd.rs:40-42)",
+    )
     args = ap.parse_args(argv)
+
+    if args.check:
+        import os
+
+        from beamium_ray.config import (
+            BeamiumConfig,
+            load_raw_config,
+            validate_beamium_config,
+        )
+
+        try:
+            raw = load_raw_config(args.config)
+            cfg = BeamiumConfig.from_dict(raw)
+        except Exception as ex:
+            print(f"configuration error: {ex}", file=sys.stderr)
+            return 1
+        errors = validate_beamium_config(cfg)
+        for name, sub in (raw.get("scrapers") or {}).items():
+            inp = (sub or {}).get("input") if isinstance(sub, dict) else None
+            if not inp:
+                errors.append(f"scraper {name!r}: missing 'input' dir")
+            elif not os.path.isdir(str(inp)):
+                errors.append(
+                    f"scraper {name!r}: input dir does not exist: {inp}"
+                )
+        for e in errors:
+            print(f"configuration error: {e}", file=sys.stderr)
+        if errors:
+            return 1
+        print("configuration is healthy")
+        return 0
+
+    if not args.output:
+        ap.error("--output is required (unless --check)")
 
     import ray
 

@@ -363,3 +363,68 @@ def test_multi_sink_dir_and_ttl(ray_session, tmp_path):
     )
     with _pytest.raises(ValueError, match="max_bytes"):
         run_beamium_config(bad, {"s1": lines}, str(tmp_path / "out2"))
+
+
+def test_check_mode_validates_without_ray(tmp_path, capsys):
+    """`--check` (the reference's `-t`, src/cmd.rs:40-42): parse +
+    validate the config and exit 0/1 with a clear message, never
+    touching Ray. Regexes are compiled through the SAME engine the
+    filter stages use (Arrow/re2), so what check accepts, run accepts."""
+    from beamium_ray import run as run_mod
+    from beamium_ray import run_multi as run_multi_mod
+
+    good = tmp_path / "good.yaml"
+    good.write_text("format: sensision\nmetrics_whitelist: ['^seq[.]']\n")
+    assert run_mod.main(["--check", "--config", str(good)]) == 0
+    assert "configuration is healthy" in capsys.readouterr().out
+
+    # invalid regex (re2 rejects backreferences that Python re accepts)
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("metrics_whitelist: ['(a)\\1']\n")
+    assert run_mod.main(["--check", "--config", str(bad)]) == 1
+    assert "invalid regex" in capsys.readouterr().err
+
+    # semantic errors: unknown format, bad tier, unknown ttl tier
+    bad2 = tmp_path / "bad2.yaml"
+    bad2.write_text(
+        "format: graphite\ntiers: {1m: -5}\nttl_us: {7d: 100}\n"
+    )
+    assert run_mod.main(["--check", "--config", str(bad2)]) == 1
+    err = capsys.readouterr().err
+    assert "format" in err and "tier" in err and "7d" in err
+
+    # nonexistent input path is a check error too
+    assert (
+        run_mod.main(
+            ["--check", "--config", str(good), "--input", "/nope/missing"]
+        )
+        == 1
+    )
+    assert "does not exist" in capsys.readouterr().err
+
+    # multi topology: healthy config needs scrapers with existing inputs
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    mt = tmp_path / "multi.yaml"
+    mt.write_text(
+        "scrapers:\n  s1:\n    format: prometheus\n    input: %s\n"
+        "sinks:\n  all: {}\n" % spool
+    )
+    assert run_multi_mod.main(["--check", "--config", str(mt)]) == 0
+    assert "configuration is healthy" in capsys.readouterr().out
+
+    # bad sink selector + missing input dir + sink max_bytes
+    mt_bad = tmp_path / "multi_bad.yaml"
+    mt_bad.write_text(
+        "scrapers:\n  s1:\n    input: /nope/spool\n"
+        "sinks:\n  x:\n    selector: '([unclosed'\n    max_bytes: 5\n"
+    )
+    assert run_multi_mod.main(["--check", "--config", str(mt_bad)]) == 1
+    err = capsys.readouterr().err
+    assert "invalid regex" in err and "input dir" in err and "max_bytes" in err
+
+    # no scrapers at all
+    mt_empty = tmp_path / "multi_empty.yaml"
+    mt_empty.write_text("sinks: {}\n")
+    assert run_multi_mod.main(["--check", "--config", str(mt_empty)]) == 1
+    assert "no scrapers" in capsys.readouterr().err
