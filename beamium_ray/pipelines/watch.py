@@ -1,0 +1,199 @@
+"""Watch-mode ingest facade: the reference's steady-state behavior as
+a batch engine loop.
+
+The reference daemon re-scans its spool directory every ``scan-period``
+(``src/lib/asynch/fs.rs:29-145``) and the router keeps a seen-file set
+so each ``*.metrics`` file is processed once (``src/router.rs:56-103``).
+Here each *tick* is one bounded batch job: scan for unseen files, fold
+them into the existing rollup blocks with ONE :func:`append_rollup`
+call (continuous aggregates — completed windows are never re-rolled),
+and record the files in a durable seen-manifest.
+
+Exactly-once across crashes is a two-phase intent protocol on the
+watch state file (``_run/watch.json``):
+
+1. write the new-file batch as ``pending`` (intent) BEFORE any append;
+2. run the append — idempotent per (bucket, batch fingerprint), so a
+   replay after a crash skips buckets that already applied it;
+3. promote ``pending`` → ``seen``.
+
+A tick that finds a leftover ``pending`` entry first replays exactly
+that file list (same fingerprint → buckets that committed it no-op),
+then proceeds to genuinely new files. The input files must therefore
+remain in place until their batch is promoted to ``seen`` — a missing
+pending file aborts with a clear error instead of risking a
+double-count under a changed batch fingerprint.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from beamium_ray.config import EngineConfig
+from beamium_ray.stages.derive import DEFAULT_NOW_US
+
+
+def metrics_datapoints(files: list[str], cfg: EngineConfig,
+                       now_us: int = DEFAULT_NOW_US):
+    """``.metrics`` line files → datapoint Dataset with ``series_key``.
+
+    Same per-scraper shape as :func:`multi.scraper_pipeline` (format
+    dispatch → parse → whitelist/relabel), reading WHOLE files so
+    '='-continuation inheritance never crosses a file boundary.
+    """
+    from beamium_ray.pipelines.multi import scraper_pipeline
+    from beamium_ray.sources.lines import read_metric_lines_whole_files
+
+    lines = read_metric_lines_whole_files(files)
+    dp = scraper_pipeline(lines, cfg, now_us)
+
+    def key(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "series_key",
+            pc.binary_join_element_wise(b["class"], "{", b["labels"], "}", ""),
+        )
+
+    return dp.map_batches(key, batch_format="pyarrow", batch_size=None)
+
+
+class DirectoryWatcher:
+    """One watched spool directory → incremental rollup blocks.
+
+    ``loader(files) -> datapoint Dataset`` defaults to
+    :func:`metrics_datapoints` (``*.metrics`` text spool, the
+    reference's input); pass a custom loader to watch e.g. a parquet
+    landing directory instead.
+    """
+
+    def __init__(
+        self,
+        input_dir: str,
+        cfg: EngineConfig,
+        out_dir: str,
+        *,
+        file_extension: str = "metrics",
+        now_us: int = DEFAULT_NOW_US,
+        loader=None,
+    ):
+        self.input_dir = input_dir
+        self.cfg = cfg
+        self.out_dir = out_dir
+        self.ext = file_extension
+        self.now_us = now_us
+        self.loader = loader or (
+            lambda files: metrics_datapoints(files, cfg, now_us)
+        )
+        self.state_path = os.path.join(out_dir, "_run", "watch.json")
+
+    # -- durable seen-set ------------------------------------------------
+    def _load_state(self) -> dict:
+        try:
+            with open(self.state_path) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return {"seen": [], "pending": None}
+
+    def _save_state(self, st: dict) -> None:
+        from beamium_ray.state.manifest import atomic_write_bytes
+
+        atomic_write_bytes(
+            self.state_path, json.dumps(st, sort_keys=True).encode()
+        )
+
+    # -- scanning --------------------------------------------------------
+    def scan(self, st: dict | None = None) -> list[str]:
+        """Unseen spool files, sorted (deterministic batch order).
+
+        Only ``*.<ext>`` files are considered, mirroring the reference's
+        extension gate (``src/lib/asynch/fs.rs:83``, constants.rs:7).
+        """
+        st = st or self._load_state()
+        exclude = set(st["seen"])
+        if st.get("pending"):
+            exclude.update(st["pending"]["files"])
+        found = glob.glob(
+            os.path.join(self.input_dir, "**", f"*.{self.ext}"),
+            recursive=True,
+        )
+        return sorted(p for p in found if p not in exclude)
+
+    # -- one tick --------------------------------------------------------
+    def tick(self) -> dict:
+        """One scan-period: replay any crashed pending batch, then fold
+        all newly arrived files into the blocks as one append. Returns
+        ``{"applied": [files...], "replayed": [files...], "run": run
+        manifest | None}`` (run is None when nothing arrived)."""
+        st = self._load_state()
+        replayed: list[str] = []
+        applied: list[str] = []
+        run = None
+
+        if st.get("pending"):
+            files = st["pending"]["files"]
+            missing = [p for p in files if not os.path.exists(p)]
+            if missing:
+                raise FileNotFoundError(
+                    f"watch replay aborted: pending batch file(s) removed "
+                    f"before commit: {missing} — input files must stay in "
+                    "place until their batch is promoted to 'seen'"
+                )
+            run = self._append(files)
+            st["seen"] = sorted(set(st["seen"]) | set(files))
+            st["pending"] = None
+            self._save_state(st)
+            replayed = files
+
+        new = self.scan(st)
+        if new:
+            st["pending"] = {"files": new}
+            self._save_state(st)  # intent BEFORE side effects
+            run = self._append(new)
+            st["seen"] = sorted(set(st["seen"]) | set(new))
+            st["pending"] = None
+            self._save_state(st)
+            applied = new
+        return {"applied": applied, "replayed": replayed, "run": run}
+
+    def _append(self, files: list[str]) -> dict:
+        from beamium_ray.pipelines.persist import append_rollup
+
+        dp = self.loader(files)
+        run, _rows = append_rollup(
+            dp, self.cfg, files, self.out_dir, order_col=None
+        )
+        return run
+
+    # -- the loop --------------------------------------------------------
+    def run(
+        self,
+        scan_period_s: float = 10.0,
+        max_ticks: int | None = None,
+        idle_exit: int | None = None,
+    ) -> dict:
+        """Tick every ``scan_period_s`` (the reference's ``scan-period``,
+        ``src/conf.rs:122``) until ``max_ticks`` ticks ran or
+        ``idle_exit`` consecutive empty scans (None = run forever).
+        Returns the last non-None run manifest."""
+        last_run = None
+        idle = 0
+        ticks = 0
+        while True:
+            res = self.tick()
+            ticks += 1
+            if res["run"] is not None:
+                last_run = res["run"]
+                idle = 0
+            else:
+                idle += 1
+            if max_ticks is not None and ticks >= max_ticks:
+                break
+            if idle_exit is not None and idle >= idle_exit:
+                break
+            time.sleep(scan_period_s)
+        return {"ticks": ticks, "run": last_run}

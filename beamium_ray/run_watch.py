@@ -1,0 +1,89 @@
+"""Watch-mode entry point: the reference's steady-state daemon loop
+(`scan-period` directory re-scan + seen-file set) as a batch engine.
+
+    python -m beamium_ray.run_watch --input /spool --output /out \
+        [--config conf.yaml] [--scan-period 10] [--max-ticks N] \
+        [--idle-exit K] [--num-cpus N]
+
+Each tick folds newly arrived ``*.metrics`` files into the existing
+rollup blocks via one incremental append (completed windows are never
+re-rolled); the seen-file set persists in ``_run/watch.json`` so a
+restart resumes where it left off. Prints one JSON line per tick that
+applied data, and a final summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="beamium_ray.run_watch")
+    ap.add_argument("--input", required=True, help="spool dir of *.metrics files")
+    ap.add_argument("--output", required=True, help="block/manifest output dir")
+    ap.add_argument("--config", help="YAML/JSON EngineConfig file")
+    ap.add_argument("--scan-period", type=float, default=10.0,
+                    help="seconds between directory scans (ref scan-period)")
+    ap.add_argument("--max-ticks", type=int, default=None)
+    ap.add_argument("--idle-exit", type=int, default=None,
+                    help="stop after K consecutive empty scans")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from beamium_ray.config import EngineConfig
+    from beamium_ray.pipelines.watch import DirectoryWatcher
+
+    cfg = (
+        EngineConfig.from_file(args.config) if args.config else EngineConfig()
+    )
+    cfg.output_dir = args.output
+    w = DirectoryWatcher(args.input, cfg, args.output)
+
+    import time
+
+    ticks = 0
+    idle = 0
+    last_run = None
+    while True:
+        res = w.tick()
+        ticks += 1
+        if res["run"] is not None:
+            last_run = res["run"]
+            idle = 0
+            print(json.dumps({
+                "tick": ticks,
+                "applied": len(res["applied"]),
+                "replayed": len(res["replayed"]),
+                "run": res["run"],
+            }))
+            sys.stdout.flush()
+        else:
+            idle += 1
+        if args.max_ticks is not None and ticks >= args.max_ticks:
+            break
+        if args.idle_exit is not None and idle >= args.idle_exit:
+            break
+        time.sleep(args.scan_period)
+    print(json.dumps({"ticks": ticks, "run": last_run}))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
