@@ -233,13 +233,21 @@ def build_ivf_index(
     sample_size: int = 4096,
     index_path: str | None = None,
     concurrency: int | None = None,
+    centroids: np.ndarray | None = None,
 ) -> IvfIndex:
-    """Train centroids (bounded sample), assign every vector ONCE."""
+    """Train centroids (bounded sample), assign every vector ONCE.
+
+    ``centroids``: skip training and use these (n_lists × d) centers —
+    for externally trained quantizers or deterministic fixtures."""
     import ray
 
     from beamium_ray.functions.cluster import autoscaling_pool
 
-    cent = train_centroids(ds, n_lists, vec_col, seed, sample_size)
+    cent = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else train_centroids(ds, n_lists, vec_col, seed, sample_size)
+    )
     cref = ray.put(cent)
     assigned = ds.map_batches(
         AssignList,
@@ -364,9 +372,11 @@ def ivf_topk(
     seed: int = 42,
     sample_size: int = 4096,
     index_path: str | None = None,
+    centroids: np.ndarray | None = None,
 ) -> pa.Table:
     """Approximate top-k = build_ivf_index (assign once) + ivf_search."""
     index = build_ivf_index(
-        ds, n_lists, vec_col, id_col, seed, sample_size, index_path
+        ds, n_lists, vec_col, id_col, seed, sample_size, index_path,
+        centroids=centroids,
     )
     return ivf_search(index, queries, k, nprobe)

@@ -392,3 +392,44 @@ reach(doc_id, r) AS (
 )
 SELECT doc_id, min(r) AS cluster FROM reach GROUP BY doc_id
 """
+
+
+def ivf_pruned_sql(
+    d: int = 32,
+    n_clusters: int = 16,
+    query_cluster: int = 3,
+    k: int = 10,
+    salt_c: int = 0x1F5AC0DE0001,
+    salt_n: int = 0x1F5AC0DE0002,
+) -> str:
+    """Exhaustive-oracle SQL for the pruned-IVF gate: regenerate every
+    planted vector (center(vec_id % n_clusters) + 0.05·noise, both
+    splitmix64-derived — queries._plant_clusters_batch) and rank ALL of
+    them by cosine to cluster ``query_cluster``'s exact center. The
+    engine must reproduce this top-k through nprobe<n_lists pruning."""
+    smc, cfin = splitmix_cte_steps("cin", "x", "cmx", "i, j", "smc")
+    smn, nfin = splitmix_cte_steps("nin", "x", "nmx", "i, j, cmx", "smn")
+    smq, qfin = splitmix_cte_steps("qin", "x", "qmx", "j", "smq")
+    u = "(CAST({col} % 2000001 AS DOUBLE) / 1000000.0 - 1.0)"
+    return f"""
+WITH dims AS (SELECT unnest(range(0, {d})) AS j),
+cells AS (SELECT vec_id AS i, j FROM embeddings CROSS JOIN dims),
+cin AS (SELECT i, j,
+  CAST(xor(CAST((i % {n_clusters}) * 1000003 + j AS UBIGINT),
+           CAST({salt_c} AS UBIGINT)) AS HUGEINT) AS x FROM cells),{smc},
+nin AS (SELECT i, j, cmx,
+  CAST(xor(CAST(i * 2097169 + j AS UBIGINT),
+           CAST({salt_n} AS UBIGINT)) AS HUGEINT) AS x FROM {cfin}),{smn},
+vec AS (SELECT i, j,
+  {u.format(col='cmx')} + 0.05 * {u.format(col='nmx')} AS v FROM {nfin}),
+qin AS (SELECT j,
+  CAST(xor(CAST({query_cluster} * 1000003 + j AS UBIGINT),
+           CAST({salt_c} AS UBIGINT)) AS HUGEINT) AS x FROM dims),{smq},
+qv AS (SELECT j, {u.format(col='qmx')} AS q FROM {qfin}),
+cos AS (
+  SELECT i,
+         sum(v * q) / (sqrt(sum(v * v)) * sqrt(sum(q * q))) AS c
+  FROM vec JOIN qv USING (j) GROUP BY i
+)
+SELECT i AS vec_id FROM cos ORDER BY c DESC, i LIMIT {k}
+"""

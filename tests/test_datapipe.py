@@ -567,3 +567,41 @@ def test_ivf_probed_dataset_partition_filtered(ray_session, tmp_path):
     }
     assert got <= {0, 3}
     assert index.probed_dataset(set()) is None
+
+
+def test_ivf_pruned_gate_actually_prunes(ray_session):
+    """The simsearch_ivf_pruned gate must exercise REAL pruning: with
+    the planted centroids, nprobe=4 probes only 4 of 16 lists, the
+    probed subset is a strict minority of the corpus, and the pruned
+    top-10 still equals brute force (recall 1.0 by construction)."""
+    import numpy as np
+    import ray.data
+
+    from beamium_ray.datapipe.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivf_search,
+    )
+    from beamium_ray.queries import (
+        _IVF_CLUSTERS,
+        _ivf_center,
+        _plant_clusters_batch,
+    )
+
+    base = pa.table({"vec_id": pa.array(range(800), pa.int64())})
+    planted = _plant_clusters_batch(base)
+    ds = ray.data.from_arrow(planted).repartition(4)
+    centers = _ivf_center(np.arange(_IVF_CLUSTERS))
+    cent = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    index = build_ivf_index(ds, _IVF_CLUSTERS, centroids=cent)
+    q = centers[3]
+
+    # pruning evidence: a 4-list probe reads well under half the corpus
+    probed = index.probed_dataset(set(range(4)))
+    assert probed.count() < 800 // 2
+
+    pruned = ivf_search(index, q, k=10, nprobe=4)
+    exact = brute_force_topk(ds, q, k=10)
+    assert pruned["vec_id"].to_pylist() == exact["vec_id"].to_pylist()
+    # every hit is in the query's own planted cluster
+    assert all(v % _IVF_CLUSTERS == 3 for v in pruned["vec_id"].to_pylist())
