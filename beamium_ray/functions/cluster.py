@@ -39,3 +39,20 @@ def autoscaling_pool(fraction: float = 0.5, floor: int = 2) -> tuple[int, int]:
     max under load — a fixed pool of N pays ~N actor startups even for
     a 500-row gate query, dominating small-input wall time."""
     return (1, default_actor_pool(fraction, floor))
+
+
+def shuffle_blocks_for(cardinality: int | None = None, floor: int = 4) -> int:
+    """Block count for the post-combiner coalesce before a ``groupby``.
+
+    The partials after a combiner pass are tiny (one row per
+    key×window per input block), and the shuffle's fixed cost scales
+    with block COUNT, not bytes — so coalesce to ~CPUs/4 blocks, never
+    to the input block count. When the groupby key cardinality is
+    known (e.g. a hash-bucket column with ``num_buckets`` values), cap
+    at it: more partitions than distinct keys just adds empty shuffle
+    tasks (VERDICT r2 item 6 — repartition(2×CPUs)=64 before a
+    16-bucket groupby measured ~1.6× slower than 8 at sf0.1)."""
+    n = max(floor, cluster_cpus() // 4)
+    if cardinality is not None:
+        n = min(n, max(1, cardinality))
+    return n

@@ -72,10 +72,12 @@ def _events_lines(batch: pa.Table) -> pa.Table:
 
 def _rolled_events(sf_dir: str, tiers: dict[str, int], pick: str, gapfill: bool):
     ds = _read(sf_dir, "events", ["ts", "event_type", "value", "event_id"])
+    from beamium_ray.functions.cluster import shuffle_blocks_for
+
     pts = ds.map_batches(_events_points, batch_format="pyarrow", batch_size=None)
     rolled = rollup_dataset(
         pts, tiers, order_col="order", num_buckets=16, gapfill=gapfill,
-        shuffle_blocks=8,
+        shuffle_blocks=shuffle_blocks_for(16),
     )
 
     def finalize(t: pa.Table) -> pa.Table:
@@ -661,11 +663,11 @@ def sliding_rollup_events(sf_dir: str):
     def _merge(g: pa.Table) -> pa.Table:
         return merge_cascade_gapfill(g, {"w": WINDOW}, gapfill=False)
 
-    from beamium_ray.functions.cluster import default_partitions
+    from beamium_ray.functions.cluster import shuffle_blocks_for
 
     rolled = (
         expanded.map_batches(_partial, batch_format="pyarrow", batch_size=None)
-        .repartition(default_partitions())
+        .repartition(shuffle_blocks_for(16))
         .groupby("bucket")
         .map_groups(_merge, batch_format="pyarrow")
     )
