@@ -80,16 +80,81 @@ class DirectoryWatcher:
         file_extension: str = "metrics",
         now_us: int = DEFAULT_NOW_US,
         loader=None,
+        config_path: str | None = None,
     ):
         self.input_dir = input_dir
         self.cfg = cfg
         self.out_dir = out_dir
         self.ext = file_extension
         self.now_us = now_us
+        # resolved per-tick through self.cfg so hot reload takes effect
         self.loader = loader or (
-            lambda files: metrics_datapoints(files, cfg, now_us)
+            lambda files: metrics_datapoints(files, self.cfg, self.now_us)
         )
         self.state_path = os.path.join(out_dir, "_run", "watch.json")
+        self.config_path = config_path
+        self.reload_count = 0  # the reference's beamium_reload_count
+        # baseline = current file content only when it matches the cfg
+        # actually in use; a cfg that predates the file (e.g. edited
+        # between construction and the first tick) reloads on tick 1
+        self._config_sig = None
+        if config_path:
+            try:
+                if EngineConfig.from_file(config_path).config_hash() \
+                        == cfg.config_hash():
+                    self._config_sig = self._config_signature()
+            except Exception:
+                pass  # unreadable now → first tick re-raises loudly
+
+    # -- hot config reload ----------------------------------------------
+    def _config_signature(self) -> str | None:
+        if not self.config_path:
+            return None
+        import hashlib
+
+        with open(self.config_path, "rb") as f:
+            return hashlib.sha256(f.read()).hexdigest()
+
+    def _maybe_reload(self) -> bool:
+        """Re-parse ``config_path`` when its content changed since the
+        last tick — the reference's config watch + restart-with-new-conf
+        loop (``src/main.rs:158-187``, ``src/conf.rs:611-691``) folded
+        into the tick boundary. An unparseable new config ABORTS (the
+        reference crit!s and ``abort()``s on an unhealthy reload,
+        ``src/main.rs:180-186``) rather than silently running stale.
+
+        Scope: OPERATIONAL knobs (retention, codecs, shuffle sizing)
+        reload in place. A SEMANTIC change (``config_hash()`` differs —
+        labels, whitelist, tiers, …) over a store that already holds
+        committed state is refused with the same rationale as the
+        append's per-bucket refusal (persist.py:101-108): the existing
+        rollup history was computed under different semantics, so
+        continuing would either hard-fail per bucket or silently shadow
+        it; re-roll to a fresh output dir instead. The reference has no
+        such constraint only because its sinks are fire-and-forget line
+        files, not a merged materialized store."""
+        if not self.config_path:
+            return False
+        sig = self._config_signature()
+        if sig == self._config_sig:
+            return False
+        cfg = EngineConfig.from_file(self.config_path)  # raises on bad conf
+        cfg.output_dir = self.out_dir  # operational knob, not reloadable
+        if cfg.config_hash() != self.cfg.config_hash():
+            from beamium_ray.state.manifest import iter_bucket_manifests
+
+            if any(True for _ in iter_bucket_manifests(self.out_dir)):
+                raise ValueError(
+                    f"hot reload refused: {self.config_path} changed "
+                    "SEMANTIC fields (labels/whitelist/tiers/…) but "
+                    f"{self.out_dir} already holds committed rollup state "
+                    "under the old semantics — point the watcher at a "
+                    "fresh --output (or revert the change) and re-roll"
+                )
+        self.cfg = cfg
+        self._config_sig = sig
+        self.reload_count += 1
+        return True
 
     # -- durable seen-set ------------------------------------------------
     def _load_state(self) -> dict:
@@ -125,10 +190,12 @@ class DirectoryWatcher:
 
     # -- one tick --------------------------------------------------------
     def tick(self) -> dict:
-        """One scan-period: replay any crashed pending batch, then fold
-        all newly arrived files into the blocks as one append. Returns
-        ``{"applied": [files...], "replayed": [files...], "run": run
-        manifest | None}`` (run is None when nothing arrived)."""
+        """One scan-period: hot-reload the config if it changed, replay
+        any crashed pending batch, then fold all newly arrived files
+        into the blocks as one append. Returns ``{"applied":
+        [files...], "replayed": [files...], "run": run manifest | None,
+        "reloaded": bool}`` (run is None when nothing arrived)."""
+        reloaded = self._maybe_reload()
         st = self._load_state()
         replayed: list[str] = []
         applied: list[str] = []
@@ -158,7 +225,12 @@ class DirectoryWatcher:
             st["pending"] = None
             self._save_state(st)
             applied = new
-        return {"applied": applied, "replayed": replayed, "run": run}
+        return {
+            "applied": applied,
+            "replayed": replayed,
+            "run": run,
+            "reloaded": reloaded,
+        }
 
     def _append(self, files: list[str]) -> dict:
         from beamium_ray.pipelines.persist import append_rollup

@@ -53,7 +53,9 @@ def main(argv: list[str] | None = None) -> int:
         EngineConfig.from_file(args.config) if args.config else EngineConfig()
     )
     cfg.output_dir = args.output
-    w = DirectoryWatcher(args.input, cfg, args.output)
+    w = DirectoryWatcher(
+        args.input, cfg, args.output, config_path=args.config
+    )
 
     import time
 
@@ -70,6 +72,7 @@ def main(argv: list[str] | None = None) -> int:
                 "tick": ticks,
                 "applied": len(res["applied"]),
                 "replayed": len(res["replayed"]),
+                "reloaded": res["reloaded"],
                 "run": res["run"],
             }))
             sys.stdout.flush()

@@ -27,7 +27,14 @@ BENCH_DATA_ROOT = "/tmp/beamium_bench"
 
 # headline input size scales with the sf directory (sized so the
 # 32-cpu run is compute-bound, not fixed-overhead-bound)
-_SF_ROWS = {"sf0.001": 80_000, "sf0.01": 800_000, "sf0.1": 8_000_000}
+_SF_ROWS = {
+    "sf0.001": 80_000,
+    "sf0.01": 800_000,
+    "sf0.1": 8_000_000,
+    "sf1": 80_000_000,  # soak scale (~41 GB on disk); GRAFT_SF_DIR only
+    # names the scale for sf1 — the seq table is synthesized, the query
+    # battery is skipped (BENCH_HEADLINE_ONLY)
+}
 
 
 def sf_name() -> str:

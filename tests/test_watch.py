@@ -139,6 +139,59 @@ def test_watch_missing_pending_file_aborts(ray_session, tmp_path):
         w.tick()
 
 
+def test_watch_hot_config_reload(ray_session, tmp_path):
+    """Editing the config file between ticks re-parses it (ref
+    src/main.rs:158-187): operational knobs reload in place; a SEMANTIC
+    change over committed state is refused (persist.py:101 rationale);
+    an unparseable config aborts the tick (main.rs:180-186); an
+    untouched file never reloads."""
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    base = "num_buckets: 8\nlabels: dc=gra\ntiers:\n  1m: 60000000\n"
+    conf = tmp_path / "conf.yaml"
+    conf.write_text(base)
+    out = str(tmp_path / "out")
+    cfg = EngineConfig.from_file(str(conf))
+    w = DirectoryWatcher(str(spool), cfg, out, config_path=str(conf))
+
+    _write_spool(spool, "a", "seq.alpha", 0, 3)
+    r1 = w.tick()
+    assert r1["reloaded"] is False and len(r1["applied"]) == 1
+
+    # operational edit (retention horizon): reloads and keeps ingesting
+    conf.write_text(base + "ttl_us:\n  1m: 86400000000\n")
+    _write_spool(spool, "b", "seq.beta", 0, 3)
+    r2 = w.tick()
+    assert r2["reloaded"] is True and w.reload_count == 1
+    assert w.cfg.ttl_us == {"1m": 86_400_000_000}
+    keys = {k for (k, *_rest) in _blocks_table(out)}
+    assert any(k.startswith("seq.alpha{") for k in keys)
+    assert any(k.startswith("seq.beta{") for k in keys)
+
+    # idle tick with unchanged file: no reload
+    assert w.tick()["reloaded"] is False and w.reload_count == 1
+
+    # SEMANTIC edit (new label ⇒ new config_hash) over committed state:
+    # refused with remediation, and the old config stays active
+    conf.write_text(base.replace("dc=gra", "dc=rbx"))
+    with pytest.raises(ValueError, match="fresh --output"):
+        w.tick()
+    assert w.cfg.labels == "dc=gra" and w.reload_count == 1
+
+    # the same semantic config pointed at a FRESH store is accepted
+    w2 = DirectoryWatcher(
+        str(spool), cfg, str(tmp_path / "out2"), config_path=str(conf)
+    )
+    _write_spool(spool, "c", "seq.gamma", 0, 2)
+    r3 = w2.tick()
+    assert r3["reloaded"] is True and w2.cfg.labels == "dc=rbx"
+
+    # unhealthy config aborts the tick loudly (reference abort())
+    conf.write_text("tiers: [this is not a mapping\n")
+    with pytest.raises(Exception):
+        w2.tick()
+
+
 def test_watch_cli_idle_exit(tmp_path):
     """run_watch CLI: ticks until idle-exit, prints per-tick + summary
     JSON lines, and a rerun resumes from the durable seen-set."""
