@@ -30,6 +30,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--idle-exit", type=int, default=None,
                     help="stop after K consecutive empty scans")
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--metrics-addr", default=None,
+                    help="serve live /metrics at HOST:PORT while the "
+                    "loop runs (ref parameters.metrics, cmd.rs:78-106)")
     args = ap.parse_args(argv)
 
     import ray
@@ -62,6 +65,27 @@ def main(argv: list[str] | None = None) -> int:
     ticks = 0
     idle = 0
     last_run = None
+
+    server = None
+    if args.metrics_addr:
+        from beamium_ray.state.metrics_server import MetricsServer
+
+        def provider():
+            vals = {
+                "watch_ticks": ticks,
+                "reload_count": w.reload_count,  # ref main.rs:28-32
+            }
+            for k, v in ((last_run or {}).get("counters") or {}).items():
+                vals[k] = v
+            return vals
+
+        host, _, port = args.metrics_addr.partition(":")
+        server = MetricsServer(provider, host or "127.0.0.1",
+                               int(port or 0)).start()
+        print(json.dumps({"metrics_url":
+                          f"http://{server.host}:{server.port}/metrics"}))
+        sys.stdout.flush()
+
     while True:
         res = w.tick()
         ticks += 1
@@ -83,6 +107,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.idle_exit is not None and idle >= args.idle_exit:
             break
         time.sleep(args.scan_period)
+    if server is not None:
+        server.close()
     print(json.dumps({"ticks": ticks, "run": last_run}))
     ray.shutdown()
     return 0

@@ -1,0 +1,305 @@
+"""HTTP forwarder sink: POST Warp10 lines with exponential backoff.
+
+Re-expresses the reference's sender loop (``src/lib/asynch/http.rs:
+49-243``): a queue of sink spool files is drained into POST bodies of
+at most ``batch-count`` files / ``batch-size`` bytes (the S7 chunker,
+``http.rs:250-351``, defaults ``src/conf.rs:125-126``), each request
+carries the sink token header (``http.rs:141``), a 2xx ack deletes the
+shipped files (S8 delete-after-ack, ``http.rs:168-176,239-243``), and
+a failure puts the files back and waits out an exponential backoff
+(``http.rs:182-208``).
+
+Ray-Data shape: the queue is a Dataset of POST *jobs* (one row = one
+planned body), pushed through an actor-pool ``map_batches`` stage — a
+persistent HTTP session and RNG live per actor (stateful stage), jobs
+post in parallel across the pool, and ack/error/status counters come
+back as the stage's output rows (the reference's
+``beamium_push_http_status`` / ``beamium_push_errors`` series,
+``http.rs:158-160,192-194``). Files are only deleted AFTER their ack,
+so a crashed or killed run leaves every unacked file in place and a
+rerun re-plans exactly the leftovers — at-least-once delivery, the
+same contract as the reference daemon.
+
+One deliberate divergence: the reference retries forever
+(``max_elapsed_time = None``, ``http.rs:93``) because it is a daemon;
+a batch job that retries forever against a dead sink never terminates,
+so ``max_attempts`` (default 10) fails the job loudly with the files
+intact instead. Set ``max_attempts=None`` for the daemon behavior
+(watch-mode loops want it).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+import urllib.error
+import urllib.request
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+
+@dataclass
+class BackoffPolicy:
+    """Exponential backoff, reference defaults (the ``backoff`` crate's
+    ``ExponentialBackoff::default()`` wired in at ``http.rs:87-93``)."""
+
+    initial_s: float = 0.5
+    max_s: float = 60.0
+    multiplier: float = 1.5
+    randomization: float = 0.5
+
+    def delay(self, attempt: int, rng: random.Random) -> float:
+        """Delay before retry ``attempt`` (0-based), jittered
+        ±randomization like the reference's randomization_factor."""
+        base = min(self.max_s, self.initial_s * self.multiplier**attempt)
+        lo = base * (1.0 - self.randomization)
+        hi = base * (1.0 + self.randomization)
+        return rng.uniform(lo, min(hi, self.max_s))
+
+
+@dataclass
+class HttpSinkConf:
+    url: str
+    token: str = ""
+    token_header: str = "X-Warp10-Token"  # ref conf.rs sink token-header
+    batch_count: int = 250        # max files per POST (conf.rs:126)
+    batch_size: int = 200_000     # max body bytes per POST (conf.rs:125)
+    timeout_s: float = 30.0
+    backoff: BackoffPolicy = field(default_factory=BackoffPolicy)
+    max_attempts: int | None = 10  # None = retry forever (daemon mode)
+    content_type: str = "text/plain"
+
+
+def plan_post_batches(
+    files: list[tuple[str, int]], batch_count: int, batch_size: int
+) -> list[list[str]]:
+    """Greedily pack (path, size) into POST jobs honoring BOTH caps —
+    the reference's Body chunker closes a batch when either file count
+    or byte budget is reached (``http.rs:288-295``). A single file
+    larger than ``batch_size`` still ships alone (the reference streams
+    it; we keep the whole-file-per-request invariant so a 2xx always
+    acks whole files)."""
+    jobs: list[list[str]] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for path, size in files:
+        if cur and (len(cur) >= batch_count or cur_bytes + size > batch_size):
+            jobs.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(path)
+        cur_bytes += size
+    if cur:
+        jobs.append(cur)
+    return jobs
+
+
+def _post_with_backoff(
+    body: bytes, conf: HttpSinkConf, rng: random.Random, opener
+) -> tuple[int, int, list[int]]:
+    """POST one body; returns (final_status, attempts, statuses). A
+    non-2xx response or transport error backs off and retries
+    (``http.rs:182-208``); raises after ``max_attempts`` with a
+    remediation message (files stay on disk, rerun re-ships)."""
+    attempts = 0
+    statuses: list[int] = []
+    while True:
+        req = urllib.request.Request(
+            conf.url,
+            data=body,
+            method="POST",
+            headers={
+                conf.token_header: conf.token,
+                "Content-Type": conf.content_type,
+            },
+        )
+        attempts += 1
+        status = 0  # transport-level failure (connect/timeout)
+        try:
+            with opener.open(req, timeout=conf.timeout_s) as resp:
+                status = resp.status
+        except urllib.error.HTTPError as e:
+            status = e.code
+        except (urllib.error.URLError, OSError, TimeoutError):
+            status = 0
+        statuses.append(status)
+        if 200 <= status < 300:
+            return status, attempts, statuses
+        if conf.max_attempts is not None and attempts >= conf.max_attempts:
+            raise RuntimeError(
+                f"sink POST to {conf.url} failed after {attempts} attempts "
+                f"(statuses={statuses}) — unacked files are untouched; fix "
+                "the sink and rerun to re-ship exactly the leftovers"
+            )
+        time.sleep(conf.backoff.delay(attempts - 1, rng))
+
+
+class _SpoolPoster:
+    """Actor-pool stage: one POST job row → ship files → ack stats.
+
+    The urllib opener and jittered-backoff RNG are per-actor state
+    (``__init__`` once), batches of jobs run per ``__call__``."""
+
+    def __init__(self, conf: HttpSinkConf, delete_after_ack: bool = True):
+        self.conf = conf
+        self.delete = delete_after_ack
+        self.opener = urllib.request.build_opener()
+        self.rng = random.Random(0xBEA41)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {
+            "n_files": [], "n_bytes": [], "attempts": [], "status": [],
+        }
+        for paths in batch["paths"].to_pylist():
+            body = b"".join(
+                open(p, "rb").read() for p in paths
+            )
+            status, attempts, _ = _post_with_backoff(
+                body, self.conf, self.rng, self.opener
+            )
+            if self.delete:  # only AFTER the 2xx ack (http.rs:168-176)
+                for p in paths:
+                    try:
+                        os.remove(p)
+                    except FileNotFoundError:
+                        pass
+            rows["n_files"].append(len(paths))
+            rows["n_bytes"].append(len(body))
+            rows["attempts"].append(attempts)
+            rows["status"].append(status)
+        return pa.table(
+            {
+                "n_files": pa.array(rows["n_files"], pa.int64()),
+                "n_bytes": pa.array(rows["n_bytes"], pa.int64()),
+                "attempts": pa.array(rows["attempts"], pa.int64()),
+                "status": pa.array(rows["status"], pa.int64()),
+            }
+        )
+
+
+def forward_spool(
+    spool_dir: str,
+    conf: HttpSinkConf,
+    *,
+    file_extension: str = "metrics",
+    delete_after_ack: bool = True,
+    concurrency: tuple[int, int] | int | None = None,
+) -> dict:
+    """Ship every ``*.<ext>`` file under ``spool_dir`` (recursive), S6
+    end-to-end: plan POST bodies under both caps, POST each with
+    backoff from an actor pool, delete acked files. Returns the summary
+    counters (the reference's push metrics): files/bytes shipped,
+    requests, retries, per-status counts."""
+    import glob as _glob
+
+    import ray.data
+
+    from beamium_ray.functions.cluster import autoscaling_pool
+
+    found = sorted(
+        _glob.glob(
+            os.path.join(spool_dir, "**", f"*.{file_extension}"),
+            recursive=True,
+        )
+    )
+    files = [(p, os.path.getsize(p)) for p in found]
+    jobs = plan_post_batches(files, conf.batch_count, conf.batch_size)
+    if not jobs:
+        return {"files": 0, "bytes": 0, "requests": 0, "retries": 0,
+                "status": {}}
+    ds = ray.data.from_items([{"paths": j} for j in jobs])
+    stats = ds.map_batches(
+        _SpoolPoster,
+        fn_constructor_args=(conf, delete_after_ack),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=concurrency or autoscaling_pool(),
+    )
+    t = pa.concat_tables(
+        list(stats.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    status_counts: dict[str, int] = {}
+    for s in t["status"].to_pylist():
+        status_counts[str(s)] = status_counts.get(str(s), 0) + 1
+    n_req = int(pa.compute.sum(t["attempts"]).as_py() or 0)
+    return {
+        "files": int(pa.compute.sum(t["n_files"]).as_py() or 0),
+        "bytes": int(pa.compute.sum(t["n_bytes"]).as_py() or 0),
+        "requests": n_req,
+        "retries": n_req - t.num_rows,
+        "status": status_counts,
+    }
+
+
+class _LinePoster:
+    """Actor-pool stage: datapoint batch → Warp10 lines → chunked POSTs.
+
+    The in-stream variant of the forwarder (no spool files): each
+    incoming batch is rendered with the same line composer the parser
+    round-trips through and shipped in ≤batch_size bodies. Used to
+    forward a live Dataset without touching disk; delivery here is
+    at-least-once per TASK (a retried map task re-posts its batch),
+    which matches the reference's push-back-and-retry queue semantics."""
+
+    def __init__(self, conf: HttpSinkConf):
+        self.conf = conf
+        self.opener = urllib.request.build_opener()
+        self.rng = random.Random(0xBEA42)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from beamium_ray.stages.parse import _compose_line
+
+        if batch.num_rows == 0:
+            return pa.table(
+                {"n_rows": pa.array([], pa.int64()),
+                 "attempts": pa.array([], pa.int64()),
+                 "status": pa.array([], pa.int64())}
+            )
+        val = batch["value_str"] if "value_str" in batch.column_names \
+            else pa.compute.cast(batch["value"], pa.string())
+        lines = _compose_line(
+            batch["ts"], batch["class"], batch["labels"], val
+        )
+        encoded = [ln.encode() + b"\n" for ln in lines.to_pylist()]
+        out = {"n_rows": [], "attempts": [], "status": []}
+        # chunk at LINE boundaries under the byte cap (a split line is
+        # a corrupt datapoint on the sink side; the reference's Body
+        # chunker is line-granular too, http.rs:318-350)
+        cur: list[bytes] = []
+        cur_bytes = 0
+        for ln in encoded + [None]:
+            if ln is None or (cur and cur_bytes + len(ln)
+                              > self.conf.batch_size):
+                chunk = b"".join(cur)
+                status, attempts, _ = _post_with_backoff(
+                    chunk, self.conf, self.rng, self.opener
+                )
+                out["n_rows"].append(len(cur))
+                out["attempts"].append(attempts)
+                out["status"].append(status)
+                cur, cur_bytes = [], 0
+            if ln is not None:
+                cur.append(ln)
+                cur_bytes += len(ln)
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+
+def forward_dataset(
+    dp_ds,
+    conf: HttpSinkConf,
+    *,
+    concurrency: tuple[int, int] | int | None = None,
+):
+    """Forward a datapoint Dataset (``ts/class/labels/value[_str]``
+    columns) straight to the sink URL; returns the ack-stats Dataset
+    (consume it to drive the sends)."""
+    from beamium_ray.functions.cluster import autoscaling_pool
+
+    return dp_ds.map_batches(
+        _LinePoster,
+        fn_constructor_args=(conf,),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=concurrency or autoscaling_pool(),
+    )

@@ -1,0 +1,157 @@
+"""HTTP forwarder sink: chunk planning, token header, backoff+retry,
+delete-after-ack, loud give-up with files intact (ref http.rs:49-243)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pyarrow as pa
+import pytest
+
+from beamium_ray.sinks import (
+    BackoffPolicy,
+    HttpSinkConf,
+    forward_dataset,
+    forward_spool,
+    plan_post_batches,
+)
+
+FAST = BackoffPolicy(initial_s=0.01, max_s=0.02, randomization=0.0)
+
+
+class _SinkRecorder:
+    """Loopback sink: records acked POST bodies+headers; optionally
+    500s the first ``fail_first`` requests (global), like a sink that
+    comes back after a blip."""
+
+    def __init__(self, fail_first: int = 0):
+        self.lock = threading.Lock()
+        self.requests = 0
+        self.acked: list[dict] = []
+        self.fail_first = fail_first
+        recorder = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                with recorder.lock:
+                    recorder.requests += 1
+                    fail = recorder.requests <= recorder.fail_first
+                    if not fail:
+                        recorder.acked.append({
+                            "body": body,
+                            "token": self.headers.get("X-Warp10-Token"),
+                        })
+                if fail:
+                    self.send_error(500)
+                else:
+                    self.send_response(200)
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+
+            def log_message(self, *a):
+                pass
+
+        self.srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.srv.daemon_threads = True
+        self.url = f"http://127.0.0.1:{self.srv.server_address[1]}/api/v0/update"
+        threading.Thread(target=self.srv.serve_forever, daemon=True).start()
+
+    def close(self):
+        self.srv.shutdown()
+        self.srv.server_close()
+
+
+def test_plan_post_batches_caps():
+    files = [(f"f{i}", 10) for i in range(7)]
+    # count cap
+    assert plan_post_batches(files, 3, 10**6) == [
+        ["f0", "f1", "f2"], ["f3", "f4", "f5"], ["f6"]]
+    # byte cap
+    assert plan_post_batches(files, 100, 25) == [
+        ["f0", "f1"], ["f2", "f3"], ["f4", "f5"], ["f6"]]
+    # an oversized file still ships (alone)
+    assert plan_post_batches([("big", 999), ("s", 1)], 10, 100) == [
+        ["big"], ["s"]]
+    assert plan_post_batches([], 10, 100) == []
+
+
+def _spool(tmp_path, n_files: int, lines_per: int = 3):
+    spool = tmp_path / "sinkspool"
+    spool.mkdir()
+    expected = []
+    for i in range(n_files):
+        lines = [f"170000000000000{i}// seq.fwd{{f={i}}} {j}.5"
+                 for j in range(lines_per)]
+        (spool / f"s{i:03d}.metrics").write_text("\n".join(lines) + "\n")
+        expected.extend(lines)
+    return spool, expected
+
+
+def test_forward_spool_acks_deletes_and_retries(ray_session, tmp_path):
+    spool, expected = _spool(tmp_path, 6)
+    sink = _SinkRecorder(fail_first=2)
+    try:
+        conf = HttpSinkConf(url=sink.url, token="tok-123", batch_count=2,
+                            batch_size=10**6, backoff=FAST)
+        res = forward_spool(str(spool), conf, concurrency=2)
+    finally:
+        sink.close()
+    assert res["files"] == 6 and res["status"] == {"200": 3}
+    assert res["retries"] == 2 and res["requests"] == 5
+    # delete-after-ack: the spool is drained
+    assert list(spool.iterdir()) == []
+    # every line arrived exactly once, token header on every request
+    got = sorted(
+        ln for a in sink.acked
+        for ln in a["body"].decode().strip().splitlines()
+    )
+    assert got == sorted(expected)
+    assert all(a["token"] == "tok-123" for a in sink.acked)
+
+
+def test_forward_spool_gives_up_loudly_files_intact(ray_session, tmp_path):
+    spool, _ = _spool(tmp_path, 2)
+    sink = _SinkRecorder(fail_first=10**9)  # permanently down
+    try:
+        conf = HttpSinkConf(url=sink.url, batch_count=10, batch_size=10**6,
+                            backoff=FAST, max_attempts=2)
+        with pytest.raises(Exception, match="after 2 attempts"):
+            forward_spool(str(spool), conf, concurrency=1)
+    finally:
+        sink.close()
+    # nothing acked ⇒ nothing deleted ⇒ a rerun re-ships everything
+    assert len(list(spool.iterdir())) == 2
+
+
+def test_forward_dataset_line_granular_chunks(ray_session):
+    import ray.data
+
+    dp = pa.table({
+        "ts": pa.array([1700000000000000 + i for i in range(40)], pa.int64()),
+        "class": pa.array(["seq.live"] * 40),
+        "labels": pa.array(["a=b"] * 40),
+        "value_str": pa.array([f"{i}.25" for i in range(40)]),
+    })
+    sink = _SinkRecorder()
+    try:
+        conf = HttpSinkConf(url=sink.url, batch_size=500, backoff=FAST)
+        stats = forward_dataset(ray.data.from_arrow(dp), conf,
+                                concurrency=1)
+        t = pa.concat_tables(list(
+            stats.iter_batches(batch_format="pyarrow", batch_size=None)))
+    finally:
+        sink.close()
+    assert int(pa.compute.sum(t["n_rows"]).as_py()) == 40
+    assert t.num_rows > 1  # byte cap actually chunked the stream
+    # no line was split across bodies and the composed form is parseable
+    lines = [ln for a in sink.acked
+             for ln in a["body"].decode().splitlines()]
+    assert sorted(lines) == sorted(
+        f"{1700000000000000 + i}// seq.live{{a=b}} {i}.25"
+        for i in range(40))
+    assert all(len(a["body"]) <= 500 for a in sink.acked)
