@@ -167,9 +167,15 @@ class SinkConfig:
 
     name: str = ""
     selector: str | None = None
-    dir: str = ""  # output dir (the sink 'url' analog)
+    dir: str = ""  # output dir (the durable sink store)
     ttl_us: int | None = None  # DFO age bound (sink.ttl, default 1h)
     max_bytes: int | None = None  # DFO size bound (sink.size, default 1GB)
+    # HTTP forwarding (the reference sink's real target, conf.rs:300-327:
+    # url + token + token-header); used by run_multi --forward via
+    # beamium_ray.sinks.http_forward
+    url: str | None = None
+    token: str = ""
+    token_header: str = "X-Warp10-Token"
 
 
 @dataclass
@@ -216,7 +222,8 @@ class BeamiumConfig:
             scrapers[name] = EngineConfig.from_dict(sub, scraper_env)
         sinks = {}
         for name, sub in (raw.get("sinks") or {}).items():
-            sub = dict(sub or {})
+            # the reference spells these kebab-case (token-header)
+            sub = {k.replace("-", "_"): v for k, v in dict(sub or {}).items()}
             known = {f.name for f in __import__("dataclasses").fields(SinkConfig)}
             sinks[name] = SinkConfig(
                 name=name, **{k: v for k, v in sub.items() if k in known and k != "name"}

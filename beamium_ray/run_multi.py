@@ -26,6 +26,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output", help="sink output root")
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument(
+        "--forward",
+        action="store_true",
+        help="after writing each sink, POST its datapoints to the "
+        "sink's configured url (HTTP forwarder with backoff; sinks "
+        "without a url are skipped)",
+    )
+    ap.add_argument(
         "-t", "--check",
         action="store_true",
         help="validate the configuration and exit WITHOUT starting Ray "
@@ -119,6 +126,15 @@ def main(argv: list[str] | None = None) -> int:
                              "error": f"{type(ex).__name__}: {ex}"}
             continue
         summary[sink] = {"path": path, "rows": n}
+        sk = cfg.sinks.get(sink)
+        if args.forward and sk is not None and sk.url and n:
+            from beamium_ray.sinks import HttpSinkConf, forward_parquet_sink
+
+            summary[sink]["forwarded"] = forward_parquet_sink(
+                path,
+                HttpSinkConf(url=sk.url, token=sk.token,
+                             token_header=sk.token_header),
+            )
     print(json.dumps({"sinks": summary}))
     ray.shutdown()
     return 0

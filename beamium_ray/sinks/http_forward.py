@@ -303,3 +303,31 @@ def forward_dataset(
         batch_size=None,
         concurrency=concurrency or autoscaling_pool(),
     )
+
+
+def forward_parquet_sink(path: str, conf: HttpSinkConf) -> dict:
+    """Ship a routed sink's parquet directory (``write_routed`` output)
+    to its HTTP target: read back only the line-composition columns,
+    render Warp10 lines, POST in capped bodies. The parquet stays in
+    place — it is the engine's durable sink store, not a spool (the
+    spool-relay mode with delete-after-ack is :func:`forward_spool`).
+    Returns summary counters like forward_spool."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        path, columns=["ts", "class", "labels", "value_str"]
+    )
+    stats = forward_dataset(ds, conf)
+    t = pa.concat_tables(
+        list(stats.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    status_counts: dict[str, int] = {}
+    for s in t["status"].to_pylist():
+        status_counts[str(s)] = status_counts.get(str(s), 0) + 1
+    n_req = int(pa.compute.sum(t["attempts"]).as_py() or 0)
+    return {
+        "rows": int(pa.compute.sum(t["n_rows"]).as_py() or 0),
+        "requests": n_req,
+        "retries": n_req - t.num_rows,
+        "status": status_counts,
+    }

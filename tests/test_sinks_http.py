@@ -128,6 +128,57 @@ def test_forward_spool_gives_up_loudly_files_intact(ray_session, tmp_path):
     assert len(list(spool.iterdir())) == 2
 
 
+def test_run_multi_forward_e2e(tmp_path):
+    """Full reference topology over HTTP: scraper spool → router →
+    selector sink with a url → run_multi --forward ships the routed
+    datapoints to the sink endpoint with the configured token."""
+    import os
+    import subprocess
+    import sys
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    (spool / "a.metrics").write_text(
+        "seq.keep{} 1.5 1700000000000\n"
+        "other.drop{} 9.9 1700000000000\n"
+    )
+    sink = _SinkRecorder()
+    conf = tmp_path / "conf.yaml"
+    conf.write_text(
+        "scrapers:\n"
+        "  s1:\n"
+        f"    input: {spool}\n"
+        "    format: prometheus\n"
+        "sinks:\n"
+        "  w10:\n"
+        "    selector: seq.*\n"
+        f"    url: {sink.url}\n"
+        "    token: tok-e2e\n"
+    )
+    env = {**os.environ, "PYTHONPATH": os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))}
+    try:
+        p = subprocess.run(
+            [sys.executable, "-m", "beamium_ray.run_multi",
+             "--config", str(conf), "--output", str(tmp_path / "out"),
+             "--forward", "--num-cpus", "4"],
+            capture_output=True, text=True, env=env, timeout=300,
+        )
+    finally:
+        sink.close()
+    assert p.returncode == 0, p.stderr[-2000:]
+    summary = json.loads(p.stdout.strip().splitlines()[-1])["sinks"]
+    assert summary["w10"]["rows"] == 1  # selector dropped other.drop
+    assert summary["w10"]["forwarded"]["rows"] == 1
+    assert summary["w10"]["forwarded"]["status"] == {"200": 1}
+    lines = [ln for a in sink.acked
+             for ln in a["body"].decode().splitlines()]
+    assert len(lines) == 1 and lines[0].endswith("// seq.keep{} 1.5")
+    assert sink.acked[0]["token"] == "tok-e2e"
+    # durable sink store stays in place (not a spool)
+    assert (tmp_path / "out").exists()
+
+
 def test_forward_dataset_line_granular_chunks(ray_session):
     import ray.data
 
