@@ -10,6 +10,12 @@ rollup blocks via one incremental append (completed windows are never
 re-rolled); the seen-file set persists in ``_run/watch.json`` so a
 restart resumes where it left off. Prints one JSON line per tick that
 applied data, and a final summary line.
+
+``--relay-url`` switches to RELAY mode — the reference daemon's actual
+steady-state job (scrape spool → HTTP sender, ``src/lib/asynch/
+http.rs:49-243``): each tick POSTs the spool's files to the sink with
+backoff and deletes them after their 2xx ack (delete-after-ack IS the
+seen-set), so a crash re-ships exactly the unacked files.
 """
 
 from __future__ import annotations
@@ -22,7 +28,8 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="beamium_ray.run_watch")
     ap.add_argument("--input", required=True, help="spool dir of *.metrics files")
-    ap.add_argument("--output", required=True, help="block/manifest output dir")
+    ap.add_argument("--output", help="block/manifest output dir "
+                    "(required unless --relay-url)")
     ap.add_argument("--config", help="YAML/JSON EngineConfig file")
     ap.add_argument("--scan-period", type=float, default=10.0,
                     help="seconds between directory scans (ref scan-period)")
@@ -33,7 +40,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--metrics-addr", default=None,
                     help="serve live /metrics at HOST:PORT while the "
                     "loop runs (ref parameters.metrics, cmd.rs:78-106)")
+    ap.add_argument("--relay-url", default=None,
+                    help="RELAY mode: instead of rolling up, POST each "
+                    "tick's new spool files to this sink url and delete "
+                    "them after the 2xx ack — the reference daemon's "
+                    "scrape-spool→sender loop (http.rs:49-243)")
+    ap.add_argument("--relay-token", default="",
+                    help="sink token header value for --relay-url")
     args = ap.parse_args(argv)
+    if not args.output and not args.relay_url:
+        ap.error("--output is required (unless --relay-url)")
 
     import ray
 
@@ -55,10 +71,19 @@ def main(argv: list[str] | None = None) -> int:
     cfg = (
         EngineConfig.from_file(args.config) if args.config else EngineConfig()
     )
-    cfg.output_dir = args.output
-    w = DirectoryWatcher(
-        args.input, cfg, args.output, config_path=args.config
-    )
+    if args.output:
+        cfg.output_dir = args.output
+    w = None
+    relay = None
+    if args.relay_url:
+        from beamium_ray.sinks import HttpSinkConf
+
+        relay = HttpSinkConf(url=args.relay_url, token=args.relay_token)
+        totals = {"files": 0, "bytes": 0, "requests": 0, "retries": 0}
+    else:
+        w = DirectoryWatcher(
+            args.input, cfg, args.output, config_path=args.config
+        )
 
     import time
 
@@ -71,12 +96,13 @@ def main(argv: list[str] | None = None) -> int:
         from beamium_ray.state.metrics_server import MetricsServer
 
         def provider():
-            vals = {
-                "watch_ticks": ticks,
-                "reload_count": w.reload_count,  # ref main.rs:28-32
-            }
-            for k, v in ((last_run or {}).get("counters") or {}).items():
-                vals[k] = v
+            vals = {"watch_ticks": ticks}
+            if relay is not None:
+                vals.update(totals)  # the reference's push counters
+            else:
+                vals["reload_count"] = w.reload_count  # ref main.rs:28-32
+                for k, v in ((last_run or {}).get("counters") or {}).items():
+                    vals[k] = v
             return vals
 
         host, _, port = args.metrics_addr.partition(":")
@@ -87,21 +113,36 @@ def main(argv: list[str] | None = None) -> int:
         sys.stdout.flush()
 
     while True:
-        res = w.tick()
-        ticks += 1
-        if res["run"] is not None:
-            last_run = res["run"]
-            idle = 0
-            print(json.dumps({
-                "tick": ticks,
-                "applied": len(res["applied"]),
-                "replayed": len(res["replayed"]),
-                "reloaded": res["reloaded"],
-                "run": res["run"],
-            }))
-            sys.stdout.flush()
+        if relay is not None:
+            from beamium_ray.sinks import forward_spool
+
+            res = forward_spool(args.input, relay)
+            ticks += 1
+            if res["files"]:
+                idle = 0
+                for k in totals:
+                    totals[k] += res[k]
+                last_run = res
+                print(json.dumps({"tick": ticks, "relay": res}))
+                sys.stdout.flush()
+            else:
+                idle += 1
         else:
-            idle += 1
+            res = w.tick()
+            ticks += 1
+            if res["run"] is not None:
+                last_run = res["run"]
+                idle = 0
+                print(json.dumps({
+                    "tick": ticks,
+                    "applied": len(res["applied"]),
+                    "replayed": len(res["replayed"]),
+                    "reloaded": res["reloaded"],
+                    "run": res["run"],
+                }))
+                sys.stdout.flush()
+            else:
+                idle += 1
         if args.max_ticks is not None and ticks >= args.max_ticks:
             break
         if args.idle_exit is not None and idle >= args.idle_exit:

@@ -179,6 +179,46 @@ def test_run_multi_forward_e2e(tmp_path):
     assert (tmp_path / "out").exists()
 
 
+def test_run_watch_relay_mode(tmp_path):
+    """run_watch --relay-url: the reference's spool→sender loop. Files
+    dropped across ticks are shipped once and deleted after ack."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    (spool / "a.metrics").write_text("1700000000000000// seq.r{} 1\n")
+    sink = _SinkRecorder()
+    env = {**os.environ, "PYTHONPATH": os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))}
+    p = subprocess.Popen(
+        [sys.executable, "-m", "beamium_ray.run_watch",
+         "--input", str(spool), "--relay-url", sink.url,
+         "--relay-token", "tok-r", "--scan-period", "0.3",
+         "--max-ticks", "200", "--idle-exit", "8", "--num-cpus", "4"],
+        stdout=subprocess.PIPE, text=True, env=env,
+    )
+    try:
+        # second file arrives mid-run
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline and not sink.acked:
+            time.sleep(0.3)
+        (spool / "b.metrics").write_text("1700000000000001// seq.r{} 2\n")
+        p.wait(timeout=240)
+    finally:
+        p.terminate()
+        sink.close()
+    assert p.returncode == 0
+    lines = sorted(ln for a in sink.acked
+                   for ln in a["body"].decode().splitlines())
+    assert lines == ["1700000000000000// seq.r{} 1",
+                     "1700000000000001// seq.r{} 2"]
+    assert all(a["token"] == "tok-r" for a in sink.acked)
+    assert list(spool.iterdir()) == []  # delete-after-ack drained it
+
+
 def test_forward_dataset_line_granular_chunks(ray_session):
     import ray.data
 
