@@ -163,18 +163,30 @@ def minhash_signatures(
     if len(h) == 0:
         return sigs
     counts = np.diff(off)
-    nonempty = counts > 0
-    starts = off[:-1][nonempty]
-    # chunk the permutation axis so the (n_shingles, chunk) temp stays
-    # bounded (~64 MiB) regardless of batch size
-    chunk = max(1, min(num_perm, (64 << 20) // max(1, len(h) * 8)))
-    for c0 in range(0, num_perm, chunk):
-        hi = min(c0 + chunk, num_perm)
-        a = _MINHASH_A[c0:hi]
-        b = _MINHASH_B[c0:hi]
-        with np.errstate(over="ignore"):
-            perm = h[:, None] * a[None, :] + b[None, :]
-        sigs[nonempty, c0:hi] = np.minimum.reduceat(perm, starts, axis=0)
+    # process ROW sub-chunks with the (shingles, perm-chunk) temp sized
+    # to ~4 MiB so it stays cache-resident: the perm product is written
+    # and immediately reduceat-consumed, and a DRAM-sized temp makes
+    # this kernel memory-bandwidth-bound — with 32 concurrent workers
+    # per node the old 64 MiB temp saturated DRAM and each task ran
+    # ~8x slower than solo (measured via ds.stats() remote cpu time)
+    ROW_CHUNK = 256
+    for r0 in range(0, n, ROW_CHUNK):
+        r1 = min(r0 + ROW_CHUNK, n)
+        lo, hi_ = off[r0], off[r1]
+        hh = h[lo:hi_]
+        if len(hh) == 0:
+            continue
+        ne = counts[r0:r1] > 0
+        st = (off[r0:r1] - lo)[ne]
+        rows = np.arange(r0, r1, dtype=np.int64)[ne]
+        chunk = max(1, min(num_perm, (4 << 20) // max(1, len(hh) * 8)))
+        for c0 in range(0, num_perm, chunk):
+            c1 = min(c0 + chunk, num_perm)
+            with np.errstate(over="ignore"):
+                perm = h[lo:hi_, None] * _MINHASH_A[c0:c1][None, :] \
+                    + _MINHASH_B[c0:c1][None, :]
+            sigs[rows[:, None], np.arange(c0, c1)[None, :]] = \
+                np.minimum.reduceat(perm, st, axis=0)
     return sigs
 
 
@@ -1004,15 +1016,26 @@ def simhash_batch(
     sim = np.zeros(n, dtype=np.uint64)
     if len(h):
         counts = np.diff(off)
-        nonempty = counts > 0
-        starts = off[:-1][nonempty]
-        half = (counts[nonempty] / 2.0)
-        sim_ne = np.zeros(int(nonempty.sum()), dtype=np.uint64)
-        for b in range(64):  # 64 fixed rounds, each vectorized over shingles
-            bit = ((h >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
-            ones = np.add.reduceat(bit, starts)
-            sim_ne |= (ones > half).astype(np.uint64) << np.uint64(b)
-        sim[nonempty] = sim_ne
+        # ROW sub-chunks keep the shingle slice cache-resident across
+        # all 64 bit rounds (same DRAM-bandwidth fix as
+        # minhash_signatures: a full-batch slice re-streams ~64× from
+        # memory and concurrent workers saturate the bus)
+        ROW_CHUNK = 256
+        for r0 in range(0, n, ROW_CHUNK):
+            r1 = min(r0 + ROW_CHUNK, n)
+            lo, hi_ = off[r0], off[r1]
+            hh = h[lo:hi_]
+            if len(hh) == 0:
+                continue
+            ne = counts[r0:r1] > 0
+            starts = (off[r0:r1] - lo)[ne]
+            half = counts[r0:r1][ne] / 2.0
+            sim_ne = np.zeros(int(ne.sum()), dtype=np.uint64)
+            for b in range(64):  # 64 fixed rounds, each vectorized
+                bit = ((hh >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+                ones = np.add.reduceat(bit, starts)
+                sim_ne |= (ones > half).astype(np.uint64) << np.uint64(b)
+            sim[np.arange(r0, r1, dtype=np.int64)[ne]] = sim_ne
     cols = {"doc_id": batch[id_col], "simhash": pa.array(sim.astype(np.int64), pa.int64())}
     for b in range(4):
         cols[f"band{b}"] = pa.array(

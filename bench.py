@@ -47,7 +47,10 @@ def ensure_bench_data() -> tuple[str, int]:
 
     n_rows = _SF_ROWS.get(sf_name(), 400_000)
     out = os.path.join(BENCH_DATA_ROOT, f"seq_{n_rows}")
-    paths = generate_dataset(out, n_rows, rows_per_file=100_000)
+    # 200k-row files at sf1 keep the file count at 400 (fewer, larger
+    # read tasks; at 80M rows a 100k split just doubles footer overhead)
+    per_file = 200_000 if n_rows >= 80_000_000 else 100_000
+    paths = generate_dataset(out, n_rows, rows_per_file=per_file)
     return out, n_rows
 
 

@@ -25,10 +25,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# 20k-word pseudo-vocabulary ("w0".."w19999"): large enough that two
-# random 60-word docs share almost no shingles (Jaccard « 0.8), so
-# only the PLANTED near-dups cluster
-VOCAB_SIZE = 20_000
+# words are 5 pseudo-random LETTERS (26^5 ≈ 11.8M vocab): digit-heavy
+# tokens ("w12345") share so many character shingles that LSH banding
+# emits ~2M false candidate pairs at 200k docs — an artifact of the
+# fixture, not the engine; alphabetic tokens give realistic shingle
+# diversity so only the PLANTED near-dups collide
+WORD_LEN = 5
 
 DATA_ROOT = "/tmp/beamium_bench"
 
@@ -50,7 +52,12 @@ def synth_docs(out_dir: str, n_docs: int, dup_every: int = 10) -> None:
              + np.arange(60, dtype=np.uint64) * np.uint64(0xBF58476D1CE4E5B9))
         x = (x ^ (x >> np.uint64(31))) * np.uint64(0x94D049BB133111EB)
         x = x ^ (x >> np.uint64(29))
-        return [f"w{int(v) % VOCAB_SIZE}" for v in x]
+        out = []
+        for v in x:
+            v = int(v)
+            out.append("".join(chr(97 + (v // 26**j) % 26)
+                               for j in range(WORD_LEN)))
+        return out
 
     per_file = 50_000
     for fidx, start in enumerate(range(0, n_docs, per_file)):
@@ -68,10 +75,16 @@ def synth_docs(out_dir: str, n_docs: int, dup_every: int = 10) -> None:
             else:
                 words = words_for(did)
             texts.append(" ".join(words))
+        # small row groups so read_parquet(override_num_blocks=...) can
+        # split a file into many scan tasks — with one row group per
+        # file the whole soak caps at 4-way parallelism and the 32-cpu
+        # leg measures the INPUT layout, not the engine (profiled:
+        # sig stage 50 s of 58 s, 4 tasks on 32 cpus)
         pq.write_table(
             pa.table({"doc_id": pa.array(ids),
                       "text": pa.array(texts, pa.string())}),
             path,
+            row_group_size=5_000,
         )
 
 
@@ -85,7 +98,7 @@ def run_once(data_dir: str, ncpu: int) -> dict:
     ray.data.DataContext.get_current().enable_progress_bars = False
     from beamium_ray.datapipe.dedup import minhash_dedup
 
-    ds = ray.data.read_parquet(data_dir)
+    ds = ray.data.read_parquet(data_dir, override_num_blocks=ncpu * 3)
     # warm-up: worker spawn + imports on a slice
     minhash_dedup(ds.limit(2_000), verify_threshold=0.8).count()
 
