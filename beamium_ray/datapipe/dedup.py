@@ -132,21 +132,47 @@ def _char_shingle_hashes(
     lens = np.diff(offsets)
     n_grams = np.maximum(lens - k + 1, 0)
     new_off = np.concatenate(([0], np.cumsum(n_grams)))
-    if len(data) < k or n_grams.sum() == 0:
+    total = int(new_off[-1])
+    if len(data) < k or total == 0:
         return np.zeros(0, np.uint64), new_off
-    win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
-    with np.errstate(over="ignore"):
-        P = np.uint64(1099511628211)
-        powk = np.array([P ** np.uint64(k - 1 - i) for i in range(k)], np.uint64)
-        wh = (win * powk[None, :]).sum(axis=1, dtype=np.uint64)
-    starts = offsets[:-1]
-    rid = np.repeat(np.arange(len(lens), dtype=np.int64), n_grams)
-    pos = (
-        np.arange(int(n_grams.sum()), dtype=np.int64)
-        - new_off[rid]
-        + starts[rid]
-    )
-    return splitmix64(wh[pos]), new_off
+    # Row-chunked polynomial hashing, everything sized to stay
+    # cache-resident. The obvious whole-batch formulation
+    # (sliding_window_view(...).astype(u64) + one gather + splitmix)
+    # materializes half a dozen DRAM-sized temps per batch; the kernel
+    # then saturates memory bandwidth and CONCURRENT workers scale
+    # negatively (measured: per-task time inflated 27x with 32 workers
+    # on one node; this host's aggregate DRAM bandwidth is ~19 GB/s and
+    # 8 workers already saturate it). Per 128-row chunk the temps are
+    # ~2 MB — inside a private L2 — so DRAM traffic drops to the
+    # unavoidable: text read once, hashes written once.
+    P = np.uint64(1099511628211)
+    powk = np.array([P ** np.uint64(k - 1 - i) for i in range(k)], np.uint64)
+    out = np.empty(total, np.uint64)
+    nrows = len(lens)
+    RCH = 128
+    for r0 in range(0, nrows, RCH):
+        r1 = min(r0 + RCH, nrows)
+        d0 = int(offsets[r0])
+        o0, o1 = int(new_off[r0]), int(new_off[r1])
+        if o1 == o0:
+            continue
+        dchunk = data[d0: int(offsets[r1])]
+        m = len(dchunk) - k + 1
+        # polynomial hash as k shifted-add passes (no (m, k) temp)
+        with np.errstate(over="ignore"):
+            acc = dchunk[0:m].astype(np.uint64) * powk[0]
+            for i in range(1, k):
+                acc += dchunk[i: i + m].astype(np.uint64) * powk[i]
+        # window starts of each row, chunk-local (windows never cross
+        # rows: only the first lens-k+1 starts of each row are valid)
+        rid = np.repeat(np.arange(r1 - r0, dtype=np.int64), n_grams[r0:r1])
+        pos = (
+            np.arange(o1 - o0, dtype=np.int64)
+            - (new_off[r0:r1][rid] - o0)
+            + (offsets[r0:r1][rid] - d0)
+        )
+        out[o0:o1] = splitmix64(acc[pos])
+    return out, new_off
 
 
 _MINHASH_A = splitmix64(np.arange(1, 4097, dtype=np.uint64) * np.uint64(0x9E37))
@@ -163,13 +189,17 @@ def minhash_signatures(
     if len(h) == 0:
         return sigs
     counts = np.diff(off)
-    # process ROW sub-chunks with the (shingles, perm-chunk) temp sized
-    # to ~4 MiB so it stays cache-resident: the perm product is written
-    # and immediately reduceat-consumed, and a DRAM-sized temp makes
-    # this kernel memory-bandwidth-bound — with 32 concurrent workers
-    # per node the old 64 MiB temp saturated DRAM and each task ran
-    # ~8x slower than solo (measured via ds.stats() remote cpu time)
-    ROW_CHUNK = 256
+    # ROW sub-chunks with the perm-product written IN-PLACE into one
+    # reused ~512 KB buffer: the product is consumed immediately by
+    # reduceat, so giving it a DRAM-sized temp makes the kernel
+    # memory-bandwidth-bound — with 32 concurrent workers per node the
+    # original 64 MiB temp saturated the node's DRAM bus and each task
+    # ran ~8x slower than solo. Keeping (hh slice + buffer) inside a
+    # private L2 leaves only the unavoidable DRAM traffic (hashes read
+    # once, signatures written once); measured ~8x faster per task and
+    # flat per-task time as worker count grows.
+    ROW_CHUNK = 128
+    buf = None
     for r0 in range(0, n, ROW_CHUNK):
         r1 = min(r0 + ROW_CHUNK, n)
         lo, hi_ = off[r0], off[r1]
@@ -179,14 +209,17 @@ def minhash_signatures(
         ne = counts[r0:r1] > 0
         st = (off[r0:r1] - lo)[ne]
         rows = np.arange(r0, r1, dtype=np.int64)[ne]
-        chunk = max(1, min(num_perm, (4 << 20) // max(1, len(hh) * 8)))
+        chunk = max(1, min(num_perm, (512 << 10) // max(1, len(hh) * 8)))
+        if buf is None or buf.shape[0] < len(hh) or buf.shape[1] < chunk:
+            buf = np.empty((len(hh), chunk), np.uint64)
         for c0 in range(0, num_perm, chunk):
             c1 = min(c0 + chunk, num_perm)
+            b = buf[: len(hh), : c1 - c0]
             with np.errstate(over="ignore"):
-                perm = h[lo:hi_, None] * _MINHASH_A[c0:c1][None, :] \
-                    + _MINHASH_B[c0:c1][None, :]
+                np.multiply(hh[:, None], _MINHASH_A[c0:c1][None, :], out=b)
+                b += _MINHASH_B[c0:c1][None, :]
             sigs[rows[:, None], np.arange(c0, c1)[None, :]] = \
-                np.minimum.reduceat(perm, st, axis=0)
+                np.minimum.reduceat(b, st, axis=0)
     return sigs
 
 
@@ -835,7 +868,18 @@ def minhash_dedup(
     ``metrics``/``metrics_path`` record candidate/star/survivor/edge
     counters (and the chosen path) for production observability.
     """
+    import time
+
     import ray.data
+
+    phases: dict[str, float] = {}
+    _t0 = time.perf_counter()
+
+    def _phase(name: str) -> None:
+        nonlocal _t0
+        now = time.perf_counter()
+        phases[name] = round(now - _t0, 3)
+        _t0 = now
 
     def self_edges(b: pa.Table) -> pa.Table:
         ids = b[id_col]
@@ -871,6 +915,7 @@ def minhash_dedup(
         batch_format="pyarrow",
         batch_size=None,
     ).materialize()
+    _phase("sig_s")
     band_rows = sig_ds.map_batches(
         lambda b: bands_from_sigs_batch(b, bands, num_perm),
         batch_format="pyarrow",
@@ -884,6 +929,7 @@ def minhash_dedup(
     ).materialize()
     n_pairs = pair_ds.count()
     n_star = _star_count_ds(pair_ds)
+    _phase("pairs_s")
     _warn_capped_count(n_star, "minhash_dedup(verified)")
     if distributed is None:
         distributed = n_pairs > max_broadcast_pairs
@@ -898,13 +944,16 @@ def minhash_dedup(
     if n_pairs == 0:
         # no candidates at all: skip the prefilter/verify machinery
         # entirely (ADVICE r2) — every doc is its own component
+        out = connected_components(
+            singles_sig, num_partitions, driver_threshold
+        )
+        _phase("components_s")
         _record_metrics(
             metrics, metrics_path, path="none", candidate_pairs=0,
             star_pairs=0, prefilter_survivors=0, verified_edges=0,
+            phase_seconds=phases,
         )
-        return connected_components(
-            singles_sig, num_partitions, driver_threshold
-        )
+        return out
 
     if not distributed:
         pt = pa.concat_tables(
@@ -934,6 +983,7 @@ def minhash_dedup(
             ).sum(axis=1)
         est /= num_perm
         cand_keep = est >= prefilter
+        _phase("prefilter_s")
         # 2) exact verify the survivors only
         pairs = list(zip(ea_all[cand_keep], eb_all[cand_keep]))
         touched = np.array(
@@ -948,16 +998,19 @@ def minhash_dedup(
                 "b": pa.array(eb_all[cand_keep][keep], pa.int64()),
             }
         )
-        _record_metrics(
-            metrics, metrics_path, path="driver", candidate_pairs=n_pairs,
-            star_pairs=n_star, prefilter_survivors=int(cand_keep.sum()),
-            verified_edges=int(edge_tbl.num_rows),
-        )
-        return connected_components(
+        _phase("verify_s")
+        out = connected_components(
             singles_sig.union(ray.data.from_arrow(edge_tbl)),
             num_partitions,
             driver_threshold,
         )
+        _phase("components_s")
+        _record_metrics(
+            metrics, metrics_path, path="driver", candidate_pairs=n_pairs,
+            star_pairs=n_star, prefilter_survivors=int(cand_keep.sum()),
+            verified_edges=int(edge_tbl.num_rows), phase_seconds=phases,
+        )
+        return out
 
     # DISTRIBUTED verification: pairs never touch the driver. Prefilter
     # joins pairs↔signatures, exact verify joins survivors↔text; each
@@ -984,6 +1037,7 @@ def minhash_dedup(
         batch_format="pyarrow",
         batch_size=None,
     ).materialize()
+    _phase("prefilter_s")
     ver = pair_metric_join(
         surv, ds, id_col, text_col, jaccard_text_metric(k), P, "jaccard"
     )
@@ -994,14 +1048,17 @@ def minhash_dedup(
         batch_format="pyarrow",
         batch_size=None,
     ).materialize()
+    _phase("verify_s")
+    out = connected_components(
+        singles_sig.union(edges), num_partitions, driver_threshold
+    )
+    _phase("components_s")
     _record_metrics(
         metrics, metrics_path, path="distributed", candidate_pairs=n_pairs,
         star_pairs=n_star, prefilter_survivors=surv.count(),
-        verified_edges=edges.count(),
+        verified_edges=edges.count(), phase_seconds=phases,
     )
-    return connected_components(
-        singles_sig.union(edges), num_partitions, driver_threshold
-    )
+    return out
 
 
 # ---------------- SimHash ----------------
