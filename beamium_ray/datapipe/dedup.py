@@ -1029,6 +1029,7 @@ def minhash_dedup(
     est_ds = pair_metric_join(
         pair_ds, sig_ds, "doc_id", "sig",
         sig_agreement_metric(num_perm), P, "est",
+        prune_hint=n_pairs,
     )
     surv = est_ds.map_batches(
         lambda t: t.filter(
@@ -1039,7 +1040,8 @@ def minhash_dedup(
     ).materialize()
     _phase("prefilter_s")
     ver = pair_metric_join(
-        surv, ds, id_col, text_col, jaccard_text_metric(k), P, "jaccard"
+        surv, ds, id_col, text_col, jaccard_text_metric(k), P, "jaccard",
+        prune_hint=surv.count(),
     )
     edges = ver.map_batches(
         lambda t: t.filter(
@@ -1485,7 +1487,8 @@ def embedding_neardup(
 
     P = num_partitions or default_partitions()
     cos_ds = pair_metric_join(
-        pair_ds, ds, id_col, vec_col, cosine_metric(), P, "cosine"
+        pair_ds, ds, id_col, vec_col, cosine_metric(), P, "cosine",
+        prune_hint=n_pairs,
     )
     matched = cos_ds.map_batches(
         lambda t: t.filter(pc.greater_equal(t["cosine"], threshold)),

@@ -100,6 +100,59 @@ def dedupe_pairs_ds(raw_pairs, num_partitions: int):
     )
 
 
+def _bloom_hashes(k: np.ndarray, mask: np.uint64):
+    """Two independent bit positions per uint64 key (splitmix chain)."""
+    with np.errstate(over="ignore"):
+        h1 = splitmix64(k.astype(np.uint64))
+        h2 = splitmix64(h1)
+    return (h1 & mask), (h2 & mask)
+
+
+def build_pair_endpoint_bloom(pair_ds, n_keys_hint: int):
+    """Bloom bitmap (packed uint64 numpy array) over every endpoint id
+    of an (a, b) pair Dataset — the broadcast small side of the
+    payload-pruned join below.
+
+    The bitmap is FIXED-SIZE (sized from ``n_keys_hint`` ≈ 2x pair
+    count, capped at 128 MiB), so driver memory stays bounded no
+    matter the pair count — per-block bitmaps stream to the driver and
+    fold with OR. False positives only ship a few extra payload rows."""
+    bits = 1 << 20
+    while bits < 8 * max(1, n_keys_hint) and bits < (1 << 30):
+        bits <<= 1
+    mask = np.uint64(bits - 1)
+    nwords = bits // 64
+
+    def block_bloom(t: pa.Table) -> pa.Table:
+        bm = np.zeros(nwords, dtype=np.uint64)
+        if t.num_rows:
+            k = np.concatenate([t["a"].to_numpy(), t["b"].to_numpy()])
+            for idx in _bloom_hashes(k, mask):
+                np.bitwise_or.at(
+                    bm, (idx >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (idx & np.uint64(63)),
+                )
+        return pa.table({"bm": pa.array([bm.view(np.int64)])})
+
+    out = np.zeros(nwords, dtype=np.uint64)
+    parts = pair_ds.map_batches(
+        block_bloom, batch_format="pyarrow", batch_size=None
+    )
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for row in b["bm"]:
+            out |= np.asarray(row.values).view(np.uint64)
+    return out, mask
+
+
+def bloom_probe(bm: np.ndarray, mask: np.uint64, k: np.ndarray) -> np.ndarray:
+    """Vectorized membership test; True may be a false positive."""
+    hit = np.ones(len(k), dtype=bool)
+    for idx in _bloom_hashes(k, mask):
+        w = bm[(idx >> np.uint64(6)).astype(np.int64)]
+        hit &= ((w >> (idx & np.uint64(63))) & np.uint64(1)).astype(bool)
+    return hit
+
+
 def pair_metric_join(
     pair_ds,
     payload_ds,
@@ -108,15 +161,31 @@ def pair_metric_join(
     metric_fn,
     num_partitions: int,
     metric_name: str = "metric",
+    prune_hint: int | None = None,
 ):
     """(a, b) pairs × (id, payload) table → (a, b, metric) Dataset via
     two bucket shuffles and NO driver collection (module docstring).
 
     ``metric_fn(payload_a: pa.Array, payload_b: pa.Array) -> np.ndarray``
-    must be vectorized over aligned rows (one row per pair)."""
+    must be vectorized over aligned rows (one row per pair).
+
+    ``prune_hint`` (approximate pair count, if the caller knows it)
+    enables BLOOM PRUNING of the payload side: a fixed-size bitmap over
+    the pairs' endpoint ids is broadcast via ``ray.put`` and each
+    payload block drops its un-requested rows BEFORE the shuffle. The
+    payload shuffle volume then scales with the touched-id count, not
+    the corpus — decisive for the exact-verify join, whose payload side
+    is the full corpus text table."""
+    import ray
+
     P = num_partitions
     sch = payload_ds.schema()
     payload_type = dict(zip(sch.names, sch.types))[payload_col]
+
+    bloom_ref = None
+    if prune_hint is not None:
+        bm, mask = build_pair_endpoint_bloom(pair_ds, 2 * prune_hint)
+        bloom_ref = ray.put((bm, mask))
 
     def reqs(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy()
@@ -140,6 +209,12 @@ def pair_metric_join(
         )
 
     def pays(t: pa.Table) -> pa.Table:
+        if bloom_ref is not None and t.num_rows:
+            bm, mask = ray.get(bloom_ref)
+            keep = bloom_probe(
+                bm, mask, t[id_col].to_numpy().astype(np.uint64)
+            )
+            t = t.filter(pa.array(keep))
         k = t[id_col].to_numpy()
         n = len(k)
         return pa.table(

@@ -605,3 +605,30 @@ def test_ivf_pruned_gate_actually_prunes(ray_session):
     assert pruned["vec_id"].to_pylist() == exact["vec_id"].to_pylist()
     # every hit is in the query's own planted cluster
     assert all(v % _IVF_CLUSTERS == 3 for v in pruned["vec_id"].to_pylist())
+
+
+def test_pair_endpoint_bloom_no_false_negatives(ray_session):
+    """Bloom pruning must NEVER drop a payload row whose id is a pair
+    endpoint — a false negative would silently lose verified edges.
+    False positives are allowed (they only ship extra payload rows)."""
+    import ray.data
+
+    from beamium_ray.datapipe.pairjoin import (
+        bloom_probe,
+        build_pair_endpoint_bloom,
+    )
+
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 1 << 62, 5_000, dtype=np.int64)
+    b = rng.integers(0, 1 << 62, 5_000, dtype=np.int64)
+    pairs = ray.data.from_arrow(
+        pa.table({"a": pa.array(a), "b": pa.array(b)})
+    ).repartition(3)
+    bm, mask = build_pair_endpoint_bloom(pairs, 10_000)
+    assert bloom_probe(bm, mask, a.astype(np.uint64)).all()
+    assert bloom_probe(bm, mask, b.astype(np.uint64)).all()
+    # selectivity: unrelated ids are mostly pruned (bitmap sized ~8
+    # bits per key -> false-positive rate well under 50%)
+    other = rng.integers(0, 1 << 62, 20_000, dtype=np.uint64)
+    fp = bloom_probe(bm, mask, other).mean()
+    assert fp < 0.5, fp
