@@ -270,6 +270,21 @@ def dedup_minhash_docs(sf_dir: str):
     )
 
 
+def dedup_minhash_distributed_docs(sf_dir: str):
+    """The SAME verified MinHash dedup forced through the DISTRIBUTED
+    verification path (pair dedupe, signature prefilter and exact
+    -Jaccard verify all run as Bloom-pruned bucket joins — the 100 TB
+    mode where nothing pair-shaped touches the driver). Must reproduce
+    the driver path's clusters exactly, under the same SQL oracle."""
+    from beamium_ray.datapipe.dedup import minhash_dedup
+
+    return minhash_dedup(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        verify_threshold=0.8,
+        distributed=True,
+    )
+
+
 def dedup_simhash_docs(sf_dir: str):
     """All near-dup pairs at simhash hamming ≤ 3. Recall is exact by
     pigeonhole over the 4×16-bit bands; the oracle recomputes the full
@@ -413,6 +428,30 @@ def embedding_neardup_embeddings(sf_dir: str):
         plant, batch_format="pyarrow", batch_size=None
     )
     out = embedding_neardup(ds, threshold=0.95)
+    return out.select(["a", "b"])
+
+
+def embedding_neardup_distributed_embeddings(sf_dir: str):
+    """embedding_neardup_embeddings forced through the DISTRIBUTED
+    cosine-verify path (Bloom-pruned pair↔vector bucket join; vectors
+    never collected to the driver) — same planted copies, same oracle."""
+    from beamium_ray.datapipe.dedup import embedding_neardup
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["vec_id"].to_numpy()
+        dup = b.filter(pa.array(ids % 10 == 0))
+        dup = pa.table(
+            {
+                "vec_id": pc.add(dup["vec_id"], 1_000_000),
+                "embedding": dup["embedding"],
+            }
+        )
+        return pa.concat_tables([b.select(["vec_id", "embedding"]), dup])
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        plant, batch_format="pyarrow", batch_size=None
+    )
+    out = embedding_neardup(ds, threshold=0.95, distributed=True)
     return out.select(["a", "b"])
 
 
@@ -1179,6 +1218,22 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
 """,
     "dedup_simhash_docs": _gen.simhash_pairs_sql(max_dist=3),
     "dedup_minhash_docs": _gen.jaccard_clusters_sql(threshold=0.8),
+    # the distributed verify path must land on the SAME clusters
+    "dedup_minhash_distributed_docs": _gen.jaccard_clusters_sql(
+        threshold=0.8
+    ),
+    "embedding_neardup_distributed_embeddings": """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 10 = 0
+)
+SELECT x.vec_id AS a, y.vec_id AS b
+FROM aug x JOIN aug y ON x.vec_id < y.vec_id
+WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                             CAST(y.embedding AS DOUBLE[])) >= 0.95
+""",
     "simsearch_topk_embeddings": """
 WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
 SELECT e.vec_id
@@ -1229,11 +1284,14 @@ QUERIES = {
     "lang_id_docs": lang_id_docs,
     "fingerprint_docs": fingerprint_docs,
     "dedup_minhash_docs": dedup_minhash_docs,
+    "dedup_minhash_distributed_docs": dedup_minhash_distributed_docs,
     "dedup_simhash_docs": dedup_simhash_docs,
     "simsearch_topk_embeddings": simsearch_topk_embeddings,
     "simsearch_ivf_embeddings": simsearch_ivf_embeddings,
     "simsearch_ivf_pruned_embeddings": simsearch_ivf_pruned_embeddings,
     "embedding_neardup_embeddings": embedding_neardup_embeddings,
+    "embedding_neardup_distributed_embeddings":
+        embedding_neardup_distributed_embeddings,
     "flagship_rollup_1m": flagship_rollup_1m,
     "flagship_blocks_roundtrip": flagship_blocks_roundtrip,
     "flagship_incremental_append": flagship_incremental_append,
