@@ -1506,3 +1506,157 @@ def embedding_neardup(
         star_pairs=n_star, verified_pairs=int(out.num_rows),
     )
     return out
+
+
+# ---------------- chunk-level exact dedup ----------------
+
+
+def chunk_rows_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_chunk: int = 10,
+) -> pa.Table:
+    """(doc_id, text) → (doc_id, chunk_idx, chunk) rows: each doc split
+    into consecutive ``words_per_chunk``-word chunks (last one partial;
+    an empty/null text yields one empty chunk — matching DuckDB
+    ``string_split('', ' ') = ['']``).
+
+    Fully vectorized with NO per-row Python: because splitting on every
+    space and re-joining with a single space is the identity, a chunk's
+    text is exactly a BYTE SLICE of the original buffer — chunk
+    boundaries are every ``words_per_chunk``-th space, and the output
+    string array is built with one numpy gather."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    data, offsets = string_bytes(pc.fill_null(text, ""))
+    nrows = len(offsets) - 1
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "chunk_idx": pa.array([], pa.int64()),
+            "chunk": pa.array([], pa.string()),
+        }
+    )
+    if nrows == 0:
+        return empty
+    sp = np.flatnonzero(data == 0x20)
+    sp_row = np.searchsorted(offsets, sp, side="right") - 1
+    n_words = np.bincount(sp_row, minlength=nrows) + 1
+    # flat per-word byte ranges; ties in the sorted merges (empty rows,
+    # trailing spaces) carry equal VALUES, so value-alignment holds
+    word_starts = np.sort(np.concatenate([offsets[:-1], sp + 1]))
+    word_ends = np.sort(np.concatenate([sp, offsets[1:]]))
+    word_off = np.concatenate(([0], np.cumsum(n_words)))
+    wpc = words_per_chunk
+    n_chunks = -(-n_words // wpc)
+    chunk_off = np.concatenate(([0], np.cumsum(n_chunks)))
+    total = int(chunk_off[-1])
+    rid = np.repeat(np.arange(nrows, dtype=np.int64), n_chunks)
+    cidx = np.arange(total, dtype=np.int64) - chunk_off[rid]
+    first_w = word_off[rid] + cidx * wpc
+    last_w = word_off[rid] + np.minimum((cidx + 1) * wpc, n_words[rid]) - 1
+    cstart = word_starts[first_w]
+    cend = word_ends[last_w]
+    clens = cend - cstart
+    out_off = np.concatenate(([0], np.cumsum(clens)))
+    nbytes = int(out_off[-1])
+    if nbytes > (1 << 31) - 1:  # int32 string offsets per block
+        raise ValueError(
+            f"chunk block of {nbytes} bytes exceeds the 2 GiB string "
+            "offset limit; reduce the input block size"
+        )
+    rid2 = np.repeat(np.arange(total, dtype=np.int64), clens)
+    idx = (
+        np.arange(nbytes, dtype=np.int64) - out_off[rid2] + cstart[rid2]
+        if nbytes
+        else np.zeros(0, np.int64)
+    )
+    chunk_arr = pa.StringArray.from_buffers(
+        total,
+        pa.py_buffer(out_off.astype(np.int32).tobytes()),
+        pa.py_buffer(data[idx].tobytes()),
+    )
+    return pa.table(
+        {
+            "doc_id": ids.take(pa.array(rid)),
+            "chunk_idx": pa.array(cidx, pa.int64()),
+            "chunk": chunk_arr,
+        }
+    )
+
+
+def _first_per_chunk(t: pa.Table) -> pa.Table:
+    """Keep each distinct chunk's FIRST occurrence — the row with the
+    lexicographically smallest (doc_id, chunk_idx). One multi-key arrow
+    sort + one shifted comparison; no Python per row."""
+    if t.num_rows == 0:
+        return t
+    order = pc.sort_indices(
+        t,
+        sort_keys=[
+            ("chunk", "ascending"),
+            ("doc_id", "ascending"),
+            ("chunk_idx", "ascending"),
+        ],
+    )
+    s = t.take(order)
+    c = s["chunk"].combine_chunks() if isinstance(
+        s["chunk"], pa.ChunkedArray) else s["chunk"]
+    if len(c) == 1:
+        return s
+    neq = pc.not_equal(c.slice(1), c.slice(0, len(c) - 1))
+    first = pa.concat_arrays(
+        [pa.array([True]), neq.combine_chunks()
+         if isinstance(neq, pa.ChunkedArray) else neq]
+    )
+    return s.filter(first)
+
+
+def chunk_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_chunk: int = 10,
+    num_partitions: int | None = None,
+):
+    """Corpus-wide chunk-level exact dedup (the C4/RefinedWeb "drop
+    duplicated lines across the corpus" operation, re-expressed over
+    ``words_per_chunk``-word chunks): Dataset of (doc_id, chunk_idx,
+    chunk) holding, for every distinct chunk text, its single first
+    occurrence (min (doc_id, chunk_idx)).
+
+    Shape: flat-map to chunk rows → LOCAL first-occurrence combine per
+    batch (duplicates inside a block never enter the shuffle) → one
+    hash(chunk)-bucketed groupby → the same first-occurrence merge per
+    bucket. Buckets compare FULL chunk text, so there is no hash
+    -collision risk; the hash only routes."""
+    from beamium_ray.functions.cluster import default_partitions
+
+    P = num_partitions or default_partitions()
+
+    def rows(b: pa.Table) -> pa.Table:
+        t = _first_per_chunk(
+            chunk_rows_batch(b, text_col, id_col, words_per_chunk)
+        )
+        bkt = (
+            hash64(
+                t["chunk"].combine_chunks()
+                if isinstance(t["chunk"], pa.ChunkedArray) else t["chunk"]
+            )
+            % np.uint64(P)
+        ).astype(np.int32)
+        return t.append_column("bkt", pa.array(bkt, pa.int32()))
+
+    def merge(g: pa.Table) -> pa.Table:
+        return _first_per_chunk(g).drop_columns(["bkt"])
+
+    return (
+        ds.map_batches(rows, batch_format="pyarrow", batch_size=None)
+        .groupby("bkt")
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -270,6 +270,19 @@ def dedup_minhash_docs(sf_dir: str):
     )
 
 
+def chunk_dedup_docs(sf_dir: str):
+    """Corpus-wide chunk-level exact dedup (C4/RefinedWeb "drop
+    duplicated lines"): every distinct 10-word chunk keeps only its
+    first occurrence (min (doc_id, chunk_idx)). Chunk extraction is a
+    vectorized byte-slice of the text buffer; the oracle recomputes the
+    split + first-occurrence ranking in SQL."""
+    from beamium_ray.datapipe.dedup import chunk_dedup
+
+    return chunk_dedup(
+        _read(sf_dir, "documents", ["doc_id", "text"]), words_per_chunk=10
+    )
+
+
 def dedup_minhash_distributed_docs(sf_dir: str):
     """The SAME verified MinHash dedup forced through the DISTRIBUTED
     verification path (pair dedupe, signature prefilter and exact
@@ -1218,6 +1231,26 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
 """,
     "dedup_simhash_docs": _gen.simhash_pairs_sql(max_dist=3),
     "dedup_minhash_docs": _gen.jaccard_clusters_sql(threshold=0.8),
+    "chunk_dedup_docs": """
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS wi
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, CAST(wi // 10 AS BIGINT) AS chunk_idx,
+         string_agg(w, ' ' ORDER BY wi) AS chunk
+  FROM words GROUP BY doc_id, wi // 10
+),
+ranked AS (
+  SELECT doc_id, chunk_idx, chunk,
+         row_number() OVER (PARTITION BY chunk
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM chunks
+)
+SELECT doc_id, chunk_idx, chunk FROM ranked WHERE rn = 1
+""",
     # the distributed verify path must land on the SAME clusters
     "dedup_minhash_distributed_docs": _gen.jaccard_clusters_sql(
         threshold=0.8
@@ -1285,6 +1318,7 @@ QUERIES = {
     "fingerprint_docs": fingerprint_docs,
     "dedup_minhash_docs": dedup_minhash_docs,
     "dedup_minhash_distributed_docs": dedup_minhash_distributed_docs,
+    "chunk_dedup_docs": chunk_dedup_docs,
     "dedup_simhash_docs": dedup_simhash_docs,
     "simsearch_topk_embeddings": simsearch_topk_embeddings,
     "simsearch_ivf_embeddings": simsearch_ivf_embeddings,

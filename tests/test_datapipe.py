@@ -632,3 +632,60 @@ def test_pair_endpoint_bloom_no_false_negatives(ray_session):
     other = rng.integers(0, 1 << 62, 20_000, dtype=np.uint64)
     fp = bloom_probe(bm, mask, other).mean()
     assert fp < 0.5, fp
+
+
+def test_chunk_rows_batch_edges():
+    """Byte-slice chunking must equal split-on-space + rejoin for every
+    shape: partial last chunk, empty text, double/leading/trailing
+    spaces, single word."""
+    from beamium_ray.datapipe.dedup import chunk_rows_batch
+
+    texts = [
+        "a b c d e f g h i j k l m",  # 13 words -> 10 + 3
+        "",                            # one empty chunk
+        "x  y",                        # empty middle word
+        " lead",                       # leading space -> empty first word
+        "trail ",                      # trailing space -> empty last word
+        "solo",
+        " ".join(f"w{i}" for i in range(25)),  # 10+10+5
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = chunk_rows_batch(t, words_per_chunk=10)
+    got = {}
+    for r in out.to_pylist():
+        got.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk"]))
+    for did, text in enumerate(texts):
+        ws = text.split(" ")
+        want = [
+            (i // 10, " ".join(ws[i: i + 10]))
+            for i in range(0, len(ws), 10)
+        ]
+        assert got[did] == want, (did, got[did], want)
+
+
+def test_chunk_dedup_first_occurrence(ray_session):
+    """Global first occurrence = min (doc_id, chunk_idx) — including
+    when the duplicate appears EARLIER inside a later doc, and across
+    different Ray blocks."""
+    import ray.data
+
+    from beamium_ray.datapipe.dedup import chunk_dedup
+
+    dup = "d0 d1 d2"  # 3-word docs with wpc=3 -> one chunk per doc
+    t = pa.table({
+        "doc_id": pa.array([5, 1, 9], pa.int64()),
+        "text": pa.array([dup, "u0 u1 u2 " + dup, dup], pa.string()),
+    })
+    out = chunk_dedup(
+        ray.data.from_arrow(t).repartition(3), words_per_chunk=3
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk"])
+        for r in out.take_all()
+    )
+    # doc 1 owns BOTH chunks: its chunk_idx=1 copy of `dup` beats
+    # doc 5's chunk_idx=0 because doc_id compares first
+    assert rows == [(1, 0, "u0 u1 u2"), (1, 1, dup)]
