@@ -242,21 +242,29 @@ def minhash_sig_batch(
     num_perm: int = 128,
     k: int = 5,
 ) -> pa.Table:
-    """(doc_id, sig list<int64>) — the narrow signature table (1 KB/doc
-    at 128 perms). Computed ONCE; band rows and the verification
-    prefilter both derive from it instead of re-shingling the text."""
-    sigs = minhash_signatures(batch[text_col], num_perm, k)
+    """(doc_id, sig list<int64>, tb) — the narrow signature table
+    (1 KB/doc at 128 perms; ``tb`` = text bytes, a free statistic from
+    the pass the engine already pays so the distributed verify can make
+    a measured prefilter-vs-direct-verify cost decision). Computed
+    ONCE; band rows and the verification prefilter both derive from it
+    instead of re-shingling the text."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    sigs = minhash_signatures(text, num_perm, k)
     n = sigs.shape[0]
     off = pa.array(np.arange(n + 1, dtype=np.int32) * num_perm, pa.int32())
     ids = batch[id_col]
     if isinstance(ids, pa.ChunkedArray):
         ids = ids.combine_chunks()
+    tb = pc.cast(pc.binary_length(pc.fill_null(text, "")), pa.int64())
     return pa.table(
         {
             "doc_id": ids,
             "sig": pa.ListArray.from_arrays(
                 off, pa.array(sigs.astype(np.int64).ravel(), pa.int64())
             ),
+            "tb": tb,
         }
     )
 
@@ -1026,22 +1034,40 @@ def minhash_dedup(
     from beamium_ray.functions.cluster import default_partitions
 
     P = num_partitions or default_partitions()
-    est_ds = pair_metric_join(
-        pair_ds, sig_ds, "doc_id", "sig",
-        sig_agreement_metric(num_perm), P, "est",
-        prune_hint=n_pairs,
-    )
-    surv = est_ds.map_batches(
-        lambda t: t.filter(
-            pc.greater_equal(t["est"], prefilter)
-        ).select(["a", "b"]),
-        batch_format="pyarrow",
-        batch_size=None,
-    ).materialize()
+    # measured cost decision: the sig-agreement prefilter exists to cut
+    # the exact-verify load, but it costs a whole pair↔signature join
+    # (ships ~num_perm*8 bytes per touched doc). When documents are
+    # SHORTER than their signatures, verifying the raw candidates
+    # directly against the text is strictly cheaper — fewer bytes
+    # through the shuffle and one join instead of two. ``tb`` is free
+    # from the signature pass; exact Jaccard ≥ τ still decides every
+    # edge either way, so results are identical (the prefilter is a
+    # conservative speedup, never a semantic filter).
+    avg_tb = (sig_ds.sum("tb") or 0) / max(1, sig_ds.count())
+    use_prefilter = avg_tb > num_perm * 8
+    if use_prefilter:
+        est_ds = pair_metric_join(
+            pair_ds, sig_ds, "doc_id", "sig",
+            sig_agreement_metric(num_perm), P, "est",
+            prune_hint=n_pairs,
+        )
+        surv = est_ds.map_batches(
+            lambda t: t.filter(
+                pc.greater_equal(t["est"], prefilter)
+            ).select(["a", "b"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).materialize()
+    else:
+        surv = pair_ds.map_batches(
+            lambda t: t.select(["a", "b"]),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
     _phase("prefilter_s")
     ver = pair_metric_join(
         surv, ds, id_col, text_col, jaccard_text_metric(k), P, "jaccard",
-        prune_hint=surv.count(),
+        prune_hint=surv.count() if use_prefilter else n_pairs,
     )
     edges = ver.map_batches(
         lambda t: t.filter(
@@ -1057,7 +1083,9 @@ def minhash_dedup(
     _phase("components_s")
     _record_metrics(
         metrics, metrics_path, path="distributed", candidate_pairs=n_pairs,
-        star_pairs=n_star, prefilter_survivors=surv.count(),
+        star_pairs=n_star,
+        prefilter_survivors=surv.count() if use_prefilter else n_pairs,
+        prefilter_used=use_prefilter,
         verified_edges=edges.count(), phase_seconds=phases,
     )
     return out

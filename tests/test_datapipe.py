@@ -401,7 +401,12 @@ def test_minhash_distributed_verify_matches_driver(ray_session):
     assert m_dist["path"] == "distributed"
     assert m_drv["candidate_pairs"] == m_dist["candidate_pairs"] > 0
     assert m_drv["verified_edges"] == m_dist["verified_edges"] > 0
-    assert m_drv["prefilter_survivors"] == m_dist["prefilter_survivors"]
+    if m_dist["prefilter_used"]:
+        assert m_drv["prefilter_survivors"] == m_dist["prefilter_survivors"]
+    else:
+        # short docs: the distributed path skips the sig prefilter
+        # (cost decision) and verifies every candidate directly
+        assert m_dist["prefilter_survivors"] == m_dist["candidate_pairs"]
 
 
 def test_minhash_forced_distributed_flag(ray_session):
