@@ -1,0 +1,143 @@
+"""Distributed descriptive statistics over Dataset groups.
+
+Exact per-group order statistics (quantiles) — the percentile surface
+a time-series rollup engine is usually asked for next (p50/p95/p99
+latency panels). Exact quantiles fundamentally need every group value
+in one place, so the contract is:
+
+- only (key, value) travels through the ONE hash shuffle (callers
+  prune columns at the read);
+- each group's values must fit a single worker's heap (8 bytes/value —
+  a 1B-row group is 8 GB; beyond that, sample or sketch instead: an
+  approximate path can reuse this module's shape with a per-batch
+  reservoir/t-digest combiner, trading exactness for boundedness).
+
+Results are emitted as INTEGER MICRO-UNITS (round(q * 1e6)) so an
+independent recomputation (the DuckDB oracle) hash-matches exactly:
+numpy and DuckDB both use linear interpolation but differ in the last
+ulp on real data (measured), and exact-repr value hashes would flag
+that as a mismatch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def group_quantiles(
+    ds,
+    key_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    names: tuple[str, ...] = ("p50", "p95", "p99"),
+):
+    """Dataset of (key, *names) — exact linear-interpolation quantiles
+    of ``value_col`` per ``key_col`` group, as int64 micro-units.
+    Non-finite values are dropped (matching SQL ``isfinite``)."""
+    if len(qs) != len(names):
+        raise ValueError("qs and names must align")
+
+    def narrow(t: pa.Table) -> pa.Table:
+        keep = pc.is_finite(t[value_col])
+        t = t.filter(keep)
+        return pa.table({key_col: t[key_col], value_col: t[value_col]})
+
+    def q(g: pa.Table) -> pa.Table:
+        cols: dict = {key_col: g[key_col].slice(0, 1)}
+        if g.num_rows == 0:
+            for n in names:
+                cols[n] = pa.array([], pa.int64())
+            cols[key_col] = g[key_col]
+            return pa.table(cols)
+        v = g[value_col].to_numpy(zero_copy_only=False)
+        vals = np.quantile(v, list(qs))
+        for n, x in zip(names, vals):
+            cols[n] = pa.array(
+                [int(np.round(x * 1e6))], pa.int64()
+            )
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(narrow, batch_format="pyarrow", batch_size=None)
+        .groupby(key_col)
+        .map_groups(q, batch_format="pyarrow")
+    )
+
+
+# ---------------- HyperLogLog distinct sketch ----------------
+
+HLL_P = 12  # 2^12 = 4096 registers, standard error ~1.04/sqrt(m) = 1.6%
+
+
+def hll_register_rows(
+    batch: pa.Table, key_col: str
+) -> pa.Table:
+    """Per-batch PARTIAL HyperLogLog registers as (reg, rank) rows —
+    the combiner: at most 4096 narrow rows leave each block no matter
+    its size; a ``groupby(reg).max(rank)`` merge yields the exact
+    corpus-wide sketch state (register max is associative/commutative).
+
+    Deterministic by construction (splitmix64 of the key): the register
+    TABLE — not the float estimate — is the gate artifact, so the
+    DuckDB oracle can recompute it integer-exactly."""
+    from beamium_ray.functions.hashing import splitmix64
+
+    out_empty = pa.table(
+        {"reg": pa.array([], pa.int64()), "rank": pa.array([], pa.int64())}
+    )
+    if batch.num_rows == 0:
+        return out_empty
+    k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+    h = splitmix64(k)
+    reg = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    w = (h & np.uint64((1 << (64 - HLL_P)) - 1)).astype(np.uint64)
+    # rank = leading zeros of the 52-bit suffix + 1 = 53 - bitlength(w)
+    # (w < 2^52 is exactly representable in float64, so frexp's
+    # exponent is exact: bitlength = exponent)
+    _, exp = np.frexp(w.astype(np.float64))
+    rank = np.where(w == 0, 53, 53 - exp).astype(np.int64)
+    order = np.lexsort((-rank, reg))
+    reg_s, rank_s = reg[order], rank[order]
+    first = np.concatenate(([True], reg_s[1:] != reg_s[:-1]))
+    return pa.table(
+        {
+            "reg": pa.array(reg_s[first], pa.int64()),
+            "rank": pa.array(rank_s[first], pa.int64()),
+        }
+    )
+
+
+def hll_sketch(ds, key_col: str):
+    """Dataset of the corpus-wide HLL register state (reg, rank):
+    per-batch partials → one tiny groupby-max (≤ 4096 groups)."""
+    merged = (
+        ds.map_batches(
+            lambda b: hll_register_rows(b, key_col),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .groupby("reg")
+        .max("rank")
+    )
+    return merged.map_batches(
+        lambda t: t.rename_columns(["reg", "rank"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def hll_estimate(regs: np.ndarray, ranks: np.ndarray) -> float:
+    """Classic HLL estimate (with the small-range linear-counting
+    correction) from sparse register rows — driver-side math over at
+    most 4096 values."""
+    m = 1 << HLL_P
+    dense = np.zeros(m)
+    dense[regs] = ranks
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.exp2(-dense))
+    zeros = m - len(regs)
+    if e <= 2.5 * m and zeros > 0:
+        e = m * np.log(m / zeros)
+    return float(e)

@@ -433,3 +433,26 @@ cos AS (
 )
 SELECT i AS vec_id FROM cos ORDER BY c DESC, i LIMIT {k}
 """
+
+
+def hll_registers_sql(table: str = "events", key: str = "user_id",
+                      p: int = 12) -> str:
+    """Exact SQL recomputation of the HyperLogLog register state
+    (datapipe/stats.py): reg = top p bits of splitmix64(key), rank =
+    leading zeros of the remaining (64-p)-bit suffix + 1 (via the
+    integer-exact ``length(bin(w))`` bit length), MAX per register."""
+    smx, final = splitmix_cte_steps(table, key, "h", "", "hl")
+    sb = 64 - p
+    return f"""
+WITH {smx},
+rw AS (
+  SELECT CAST(h // {1 << sb} AS BIGINT) AS reg,
+         h % {1 << sb} AS w
+  FROM {final}
+)
+SELECT reg,
+       MAX(CASE WHEN w = 0 THEN {sb + 1}
+                ELSE {sb + 1} - length(bin(CAST(w AS BIGINT))) END
+       ) AS "rank"
+FROM rw GROUP BY reg
+"""

@@ -270,6 +270,31 @@ def dedup_minhash_docs(sf_dir: str):
     )
 
 
+def quantiles_events(sf_dir: str):
+    """Exact p50/p95/p99 of value per event_type (int64 micro-units so
+    numpy's and DuckDB's last-ulp interpolation differences can't break
+    the value hash — see datapipe/stats.py)."""
+    from beamium_ray.datapipe.stats import group_quantiles
+
+    return group_quantiles(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        "event_type",
+        "value",
+    )
+
+
+def hll_users_events(sf_dir: str):
+    """HyperLogLog distinct-user sketch: the gate artifact is the
+    integer REGISTER TABLE (reg, rank) — deterministic splitmix64
+    hashing, so the oracle recomputes the exact state in SQL; the float
+    estimate is covered by a unit test (±2% of exact distinct). The
+    distributed shape under test: per-batch partial registers (≤4096
+    rows/block) → one tiny groupby-max merge."""
+    from beamium_ray.datapipe.stats import hll_sketch
+
+    return hll_sketch(_read(sf_dir, "events", ["user_id"]), "user_id")
+
+
 def chunk_dedup_docs(sf_dir: str):
     """Corpus-wide chunk-level exact dedup (C4/RefinedWeb "drop
     duplicated lines"): every distinct 10-word chunk keeps only its
@@ -1231,6 +1256,15 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
 """,
     "dedup_simhash_docs": _gen.simhash_pairs_sql(max_dist=3),
     "dedup_minhash_docs": _gen.jaccard_clusters_sql(threshold=0.8),
+    "hll_users_events": _gen.hll_registers_sql(),
+    "quantiles_events": """
+SELECT event_type,
+       CAST(ROUND(quantile_cont(value, 0.5)  * 1e6) AS BIGINT) AS p50,
+       CAST(ROUND(quantile_cont(value, 0.95) * 1e6) AS BIGINT) AS p95,
+       CAST(ROUND(quantile_cont(value, 0.99) * 1e6) AS BIGINT) AS p99
+FROM events WHERE isfinite(value)
+GROUP BY event_type
+""",
     "chunk_dedup_docs": """
 WITH words AS (
   SELECT doc_id,
@@ -1319,6 +1353,8 @@ QUERIES = {
     "dedup_minhash_docs": dedup_minhash_docs,
     "dedup_minhash_distributed_docs": dedup_minhash_distributed_docs,
     "chunk_dedup_docs": chunk_dedup_docs,
+    "quantiles_events": quantiles_events,
+    "hll_users_events": hll_users_events,
     "dedup_simhash_docs": dedup_simhash_docs,
     "simsearch_topk_embeddings": simsearch_topk_embeddings,
     "simsearch_ivf_embeddings": simsearch_ivf_embeddings,

@@ -1,0 +1,69 @@
+"""Descriptive-statistics operators: exact group quantiles + HLL."""
+
+import numpy as np
+import pyarrow as pa
+
+from beamium_ray.datapipe.stats import (
+    HLL_P,
+    group_quantiles,
+    hll_estimate,
+    hll_register_rows,
+    hll_sketch,
+)
+
+
+def test_group_quantiles_matches_numpy(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    keys = rng.choice(["a", "b", "c"], 5_000)
+    vals = rng.normal(100, 25, 5_000)
+    vals[::97] = np.inf  # non-finite must be dropped
+    t = pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    out = group_quantiles(
+        ray.data.from_arrow(t).repartition(4), "k", "v"
+    )
+    got = {r["k"]: (r["p50"], r["p95"], r["p99"]) for r in out.take_all()}
+    for k in "abc":
+        v = vals[(keys == k) & np.isfinite(vals)]
+        want = tuple(
+            int(np.round(q * 1e6)) for q in np.quantile(v, [0.5, 0.95, 0.99])
+        )
+        assert got[k] == want, (k, got[k], want)
+
+
+def test_hll_registers_merge_invariance(ray_session):
+    """The sketch state must be independent of how rows are split into
+    blocks (register max is associative/commutative)."""
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    ids = rng.integers(0, 1 << 50, 20_000)
+    t = pa.table({"user_id": pa.array(ids, pa.int64())})
+
+    def state(nblocks):
+        out = hll_sketch(
+            ray.data.from_arrow(t).repartition(nblocks), "user_id"
+        )
+        return sorted((r["reg"], r["rank"]) for r in out.take_all())
+
+    assert state(1) == state(7)
+
+
+def test_hll_estimate_accuracy():
+    rng = np.random.default_rng(3)
+    n = 100_000
+    keys = rng.integers(0, 1 << 60, n)
+    t = pa.table(
+        {"user_id": pa.array(np.concatenate([keys, keys[: n // 2]]))}
+    )
+    rr = hll_register_rows(t, "user_id")
+    est = hll_estimate(rr["reg"].to_numpy(), rr["rank"].to_numpy())
+    assert abs(est - n) / n < 0.05
+
+
+def test_hll_empty_batch():
+    rr = hll_register_rows(
+        pa.table({"user_id": pa.array([], pa.int64())}), "user_id"
+    )
+    assert rr.num_rows == 0
