@@ -283,6 +283,17 @@ def quantiles_events(sf_dir: str):
     )
 
 
+def repetition_stats_docs(sf_dir: str):
+    """Gopher-style within-document repetition counters (integer, so
+    the oracle — which groups by the word STRINGS — hash-matches the
+    engine's hash-grouped counts exactly). Pure map stage."""
+    from beamium_ray.datapipe.textstats import repetition_stats_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        repetition_stats_batch, batch_format="pyarrow", batch_size=None
+    )
+
+
 def hll_users_events(sf_dir: str):
     """HyperLogLog distinct-user sketch: the gate artifact is the
     integer REGISTER TABLE (reg, rank) — deterministic splitmix64
@@ -1257,6 +1268,39 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
     "dedup_simhash_docs": _gen.simhash_pairs_sql(max_dist=3),
     "dedup_minhash_docs": _gen.jaccard_clusters_sql(threshold=0.8),
     "hll_users_events": _gen.hll_registers_sql(),
+    "repetition_stats_docs": """
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS wi
+  FROM documents
+),
+wc AS (
+  SELECT doc_id, count(*) AS n_words,
+         count(DISTINCT w) AS n_distinct_words
+  FROM words GROUP BY doc_id
+),
+topw AS (
+  SELECT doc_id, max(c) AS top_word_n
+  FROM (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w)
+  GROUP BY doc_id
+),
+grams AS (
+  SELECT doc_id,
+         w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY wi) AS g
+  FROM words
+),
+g2 AS (
+  SELECT doc_id, count(*) AS n_g, count(DISTINCT g) AS d_g
+  FROM grams WHERE g IS NOT NULL GROUP BY doc_id
+)
+SELECT wc.doc_id, n_words, n_distinct_words, top_word_n,
+       coalesce(n_g, 0) AS n_2grams,
+       coalesce(n_g - d_g, 0) AS n_dup_2grams
+FROM wc
+JOIN topw USING (doc_id)
+LEFT JOIN g2 USING (doc_id)
+""",
     "quantiles_events": """
 SELECT event_type,
        CAST(ROUND(quantile_cont(value, 0.5)  * 1e6) AS BIGINT) AS p50,
@@ -1355,6 +1399,7 @@ QUERIES = {
     "chunk_dedup_docs": chunk_dedup_docs,
     "quantiles_events": quantiles_events,
     "hll_users_events": hll_users_events,
+    "repetition_stats_docs": repetition_stats_docs,
     "dedup_simhash_docs": dedup_simhash_docs,
     "simsearch_topk_embeddings": simsearch_topk_embeddings,
     "simsearch_ivf_embeddings": simsearch_ivf_embeddings,

@@ -694,3 +694,23 @@ def test_chunk_dedup_first_occurrence(ray_session):
     # doc 1 owns BOTH chunks: its chunk_idx=1 copy of `dup` beats
     # doc 5's chunk_idx=0 because doc_id compares first
     assert rows == [(1, 0, "u0 u1 u2"), (1, 1, dup)]
+
+
+def test_repetition_stats_batch():
+    """Hand-checked shapes: duplicate words, single word, empty text,
+    all-same-word doc; 2-grams never cross documents."""
+    from beamium_ray.datapipe.textstats import repetition_stats_batch
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(
+            ["a b a b a", "x", "", "w w w w"], pa.string()
+        ),
+    })
+    got = {r["doc_id"]: r for r in repetition_stats_batch(t).to_pylist()}
+    assert got[0] == {"doc_id": 0, "n_words": 5, "n_distinct_words": 2,
+                      "top_word_n": 3, "n_2grams": 4, "n_dup_2grams": 2}
+    assert got[1]["n_2grams"] == 0 and got[1]["n_distinct_words"] == 1
+    assert got[2]["n_words"] == 1  # string_split('') = ['']
+    assert got[3] == {"doc_id": 3, "n_words": 4, "n_distinct_words": 1,
+                      "top_word_n": 4, "n_2grams": 3, "n_dup_2grams": 2}
