@@ -141,3 +141,91 @@ def hll_estimate(regs: np.ndarray, ranks: np.ndarray) -> float:
     if e <= 2.5 * m and zeros > 0:
         e = m * np.log(m / zeros)
     return float(e)
+
+
+# ---------------- Count-Min frequency sketch ----------------
+
+CMS_D = 4     # hash rows; P(overestimate > eps·N) <= e^-D per query
+CMS_W = 1024  # columns per row; eps = e / W ≈ 0.27% of total count
+# Row salts: first 64 hex digits of pi (public constants, < 2^63 so the
+# SQL oracle can write them as plain BIGINT literals before the UBIGINT
+# xor).
+CMS_SALTS = (
+    0x243F6A8885A308D3,
+    0x13198A2E03707344,
+    0x0A4093822299F31D,
+    0x082EFA98EC4E6C89,
+)
+
+
+def cms_cell_rows(batch: pa.Table, key_col: str) -> pa.Table:
+    """Per-batch PARTIAL count-min cells as (row, col, cnt) — the
+    combiner: at most D·W = 4096 narrow rows leave each block no matter
+    its size; a ``groupby(row,col).sum(cnt)`` merge yields the exact
+    corpus-wide sketch (cell addition is associative/commutative).
+
+    Deterministic (splitmix64 of key xor a per-row salt): the CELL
+    TABLE — not any estimate — is the gate artifact, so the DuckDB
+    oracle can recompute the sketch state integer-exactly."""
+    from beamium_ray.functions.hashing import splitmix64
+
+    if batch.num_rows == 0:
+        z = pa.array([], pa.int64())
+        return pa.table({"row": z, "col": z, "cnt": z})
+    k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+    cells = np.zeros(CMS_D * CMS_W, np.int64)
+    for r, salt in enumerate(CMS_SALTS):  # loop over 4 hash rows only
+        col = (splitmix64(k ^ np.uint64(salt)) % np.uint64(CMS_W)).astype(
+            np.int64
+        )
+        cells[r * CMS_W:(r + 1) * CMS_W] = np.bincount(col, minlength=CMS_W)
+    nz = np.flatnonzero(cells)
+    return pa.table(
+        {
+            "row": pa.array(nz // CMS_W, pa.int64()),
+            "col": pa.array(nz % CMS_W, pa.int64()),
+            "cnt": pa.array(cells[nz], pa.int64()),
+        }
+    )
+
+
+def cms_sketch(ds, key_col: str):
+    """Dataset of the corpus-wide count-min cell state (row, col, cnt):
+    per-batch partials → one tiny groupby-sum (≤ 4096 groups). The
+    sketch answers point frequency queries (`cms_estimate`) and heavy-
+    hitter checks without ever shuffling the keys themselves — at
+    100 TB only ≤4096-row partials cross the wire per block."""
+    merged = (
+        ds.map_batches(
+            lambda b: cms_cell_rows(b, key_col),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .groupby(["row", "col"])
+        .sum("cnt")
+    )
+    return merged.map_batches(
+        lambda t: t.rename_columns(["row", "col", "cnt"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def cms_estimate(
+    rows: np.ndarray, cols: np.ndarray, cnts: np.ndarray, keys: np.ndarray
+) -> np.ndarray:
+    """Point frequency estimates (upper bounds, ≥ true count) for
+    ``keys`` from sparse cell rows — driver-side math over ≤4096
+    cells."""
+    from beamium_ray.functions.hashing import splitmix64
+
+    dense = np.zeros((CMS_D, CMS_W), np.int64)
+    dense[rows, cols] = cnts
+    k = keys.astype(np.uint64)
+    est = np.full(len(k), np.iinfo(np.int64).max, np.int64)
+    for r, salt in enumerate(CMS_SALTS):
+        col = (splitmix64(k ^ np.uint64(salt)) % np.uint64(CMS_W)).astype(
+            np.int64
+        )
+        est = np.minimum(est, dense[r, col])
+    return est

@@ -456,3 +456,67 @@ SELECT reg,
        ) AS "rank"
 FROM rw GROUP BY reg
 """
+
+
+# Mirrors of the engine's sketch/sampling constants (datapipe/stats.py
+# CMS_SALTS, datapipe/sample.py SAMPLE_SALT) — the oracle recomputes
+# from the published constants, it does not import engine code.
+CMS_SALTS_SQL = (
+    0x243F6A8885A308D3,
+    0x13198A2E03707344,
+    0x0A4093822299F31D,
+    0x082EFA98EC4E6C89,
+)
+SAMPLE_SALT_SQL = 0x452821E638D01377
+
+
+def cms_cells_sql(table: str = "events", key: str = "user_id",
+                  d: int = 4, w: int = 1024) -> str:
+    """Exact SQL recomputation of the count-min cell state
+    (datapipe/stats.py cms_sketch): for each of the d hash rows,
+    col = splitmix64(key xor salt_r) mod w, cnt = rows hashing there."""
+    salts = ", ".join(
+        f"({r}, {CMS_SALTS_SQL[r]})" for r in range(d)
+    )
+    smx, final = splitmix_cte_steps("kin", "x", "h", "r", "cm")
+    return f"""
+WITH salts(r, s) AS (VALUES {salts}),
+kin AS (
+  SELECT r,
+         CAST(xor(CAST({key} AS UBIGINT), CAST(s AS UBIGINT)) AS HUGEINT) AS x
+  FROM {table} CROSS JOIN salts
+),{smx}
+SELECT r AS "row", CAST(h % {w} AS BIGINT) AS col, count(*) AS cnt
+FROM {final} GROUP BY r, h % {w}
+"""
+
+
+def hash_sample_sql(
+    table: str = "documents",
+    key: str = "doc_id",
+    carry: str = "source",
+    default_ppm: int = 500_000,
+    rates_ppm: dict[str, int] | None = None,
+) -> str:
+    """Exact SQL recomputation of the deterministic stratified sampler
+    (datapipe/sample.py): keep a row iff
+    splitmix64(key xor SALT) mod 1e6 < its stratum's ppm rate."""
+    rates = rates_ppm or {}
+    case = "".join(
+        f"WHEN '{v}' THEN {p} " for v, p in sorted(rates.items())
+    )
+    rate_expr = (
+        f"CASE {carry} {case}ELSE {default_ppm} END" if rates
+        else str(default_ppm)
+    )
+    smx, final = splitmix_cte_steps("sin", "x", "h", f"{key}, {carry}", "sm")
+    return f"""
+WITH sin AS (
+  SELECT {key}, {carry},
+         CAST(xor(CAST({key} AS UBIGINT),
+                  CAST({SAMPLE_SALT_SQL} AS UBIGINT)) AS HUGEINT) AS x
+  FROM {table}
+),{smx}
+SELECT {key}, {carry} FROM {final}
+WHERE h % 1000000 < {rate_expr}
+"""

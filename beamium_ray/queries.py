@@ -306,6 +306,39 @@ def hll_users_events(sf_dir: str):
     return hll_sketch(_read(sf_dir, "events", ["user_id"]), "user_id")
 
 
+def cms_users_events(sf_dir: str):
+    """Count-min frequency sketch over user_id: the gate artifact is
+    the integer CELL TABLE (row, col, cnt) — deterministic salted
+    splitmix64 hashing, so the oracle recomputes the exact sketch state
+    in SQL; point-estimate/heavy-hitter semantics (estimate ≥ truth,
+    top-k agreement) are covered by unit tests. The distributed shape
+    under test: per-batch partial cells (≤4096 rows/block) → one tiny
+    groupby-sum merge — keys themselves never cross the shuffle."""
+    from beamium_ray.datapipe.stats import cms_sketch
+
+    return cms_sketch(_read(sf_dir, "events", ["user_id"]), "user_id")
+
+
+SAMPLE_RATES_PPM = {"src0": 900_000, "src1": 100_000}
+
+
+def sample_docs(sf_dir: str):
+    """Deterministic stratified corpus sampling (the data-mixing step):
+    src0 kept at 90%, src1 at 10%, everything else at 50%, decided by a
+    salted hash of doc_id — reproducible across runs and cluster sizes,
+    a pure map stage with no shuffle. The oracle recomputes the exact
+    same integer threshold test per row."""
+    from beamium_ray.datapipe.sample import hash_sample
+
+    return hash_sample(
+        _read(sf_dir, "documents", ["doc_id", "source"]),
+        key_col="doc_id",
+        rate_ppm=500_000,
+        strat_col="source",
+        rates_ppm=SAMPLE_RATES_PPM,
+    )
+
+
 def chunk_dedup_docs(sf_dir: str):
     """Corpus-wide chunk-level exact dedup (C4/RefinedWeb "drop
     duplicated lines"): every distinct 10-word chunk keeps only its
@@ -1268,6 +1301,8 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
     "dedup_simhash_docs": _gen.simhash_pairs_sql(max_dist=3),
     "dedup_minhash_docs": _gen.jaccard_clusters_sql(threshold=0.8),
     "hll_users_events": _gen.hll_registers_sql(),
+    "cms_users_events": _gen.cms_cells_sql(),
+    "sample_docs": _gen.hash_sample_sql(rates_ppm=SAMPLE_RATES_PPM),
     "repetition_stats_docs": """
 WITH words AS (
   SELECT doc_id,
@@ -1399,6 +1434,8 @@ QUERIES = {
     "chunk_dedup_docs": chunk_dedup_docs,
     "quantiles_events": quantiles_events,
     "hll_users_events": hll_users_events,
+    "cms_users_events": cms_users_events,
+    "sample_docs": sample_docs,
     "repetition_stats_docs": repetition_stats_docs,
     "dedup_simhash_docs": dedup_simhash_docs,
     "simsearch_topk_embeddings": simsearch_topk_embeddings,

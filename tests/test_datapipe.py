@@ -714,3 +714,31 @@ def test_repetition_stats_batch():
     assert got[2]["n_words"] == 1  # string_split('') = ['']
     assert got[3] == {"doc_id": 3, "n_words": 4, "n_distinct_words": 1,
                       "top_word_n": 4, "n_2grams": 3, "n_dup_2grams": 2}
+
+
+def test_hash_sample_deterministic_and_stratified(ray_session):
+    """Same salt → identical sample across runs and block splits;
+    per-stratum rates actually apply (±5% at n=20k); flat mode matches
+    the mask function row for row."""
+    import ray.data
+
+    from beamium_ray.datapipe.sample import hash_sample, sample_mask
+
+    n = 20_000
+    ids = np.arange(n, dtype=np.int64)
+    src = np.where(ids % 2 == 0, "keepy", "droppy")
+    t = pa.table({"doc_id": pa.array(ids), "source": pa.array(src)})
+    kw = dict(
+        key_col="doc_id", rate_ppm=500_000, strat_col="source",
+        rates_ppm={"keepy": 900_000, "droppy": 100_000},
+    )
+    a = hash_sample(ray.data.from_arrow(t).repartition(1), **kw).to_pandas()
+    b = hash_sample(ray.data.from_arrow(t).repartition(9), **kw).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    frac_k = (a["source"] == "keepy").sum() / (n / 2)
+    frac_d = (a["source"] == "droppy").sum() / (n / 2)
+    assert abs(frac_k - 0.9) < 0.05 and abs(frac_d - 0.1) < 0.05
+    flat = hash_sample(
+        ray.data.from_arrow(t), key_col="doc_id", rate_ppm=250_000
+    ).to_pandas()
+    assert sorted(flat["doc_id"]) == sorted(ids[sample_mask(ids, 250_000)])

@@ -67,3 +67,51 @@ def test_hll_empty_batch():
         pa.table({"user_id": pa.array([], pa.int64())}), "user_id"
     )
     assert rr.num_rows == 0
+
+
+def test_cms_cells_merge_invariance_and_total(ray_session):
+    """Cell state must be independent of block splits (cell addition is
+    associative/commutative), and each hash row's cells must sum to the
+    total row count."""
+    import ray.data
+
+    from beamium_ray.datapipe.stats import CMS_D, cms_cell_rows, cms_sketch
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 500, 20_000).astype(np.int64)
+    t = pa.table({"user_id": pa.array(keys, pa.int64())})
+
+    def state(ds):
+        df = cms_sketch(ds, "user_id").to_pandas()
+        return sorted(map(tuple, df.itertuples(index=False)))
+
+    a = state(ray.data.from_arrow(t).repartition(1))
+    b = state(ray.data.from_arrow(t).repartition(7))
+    assert a == b
+    df = cms_cell_rows(t, "user_id").to_pandas()
+    for r in range(CMS_D):
+        assert df[df["row"] == r]["cnt"].sum() == len(keys)
+
+
+def test_cms_estimate_upper_bound_and_heavy_hitters():
+    """Point estimates never undercount; on a skewed stream the top-10
+    keys by estimate are exactly the true top-10 (heavy hitters clear
+    the eps·N noise floor by construction)."""
+    from beamium_ray.datapipe.stats import cms_cell_rows, cms_estimate
+
+    rng = np.random.default_rng(13)
+    # zipf-ish skew: 10 heavy keys at ~3k each + 5k light keys at ~4
+    heavy = np.repeat(np.arange(10), 3_000)
+    light = rng.integers(100, 5_100, 20_000)
+    keys = np.concatenate([heavy, light]).astype(np.int64)
+    t = pa.table({"k": pa.array(keys, pa.int64())})
+    df = cms_cell_rows(t, "k").to_pandas()
+    uniq, true_n = np.unique(keys, return_counts=True)
+    est = cms_estimate(
+        df["row"].to_numpy(), df["col"].to_numpy(), df["cnt"].to_numpy(),
+        uniq,
+    )
+    assert (est >= true_n).all()
+    top_true = set(uniq[np.argsort(-true_n)[:10]])
+    top_est = set(uniq[np.argsort(-est)[:10]])
+    assert top_est == top_true
