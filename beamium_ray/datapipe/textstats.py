@@ -215,6 +215,54 @@ def fingerprint_batch(
     )
 
 
+def quality_filter_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+) -> pa.Table:
+    """Composite Gopher-style document quality filter — the keep/drop
+    pass a training-data pipeline runs before dedup. Emits per doc an
+    integer REASONS bitmask and keep = (reasons == 0):
+
+      bit 1  too short            n_words < min_words
+      bit 2  mean word length     outside [3, 10] (Gopher bounds)
+      bit 4  top-word share       top_word_n / n_words > 1/8
+      bit 8  dup-word fraction    (n_words - distinct) / n_words > 5/8
+      bit 16 dup-2gram fraction   n_dup_2grams / n_2grams > 1/20
+
+    Every ratio test is cross-multiplied integer math — no float
+    boundary can flip a document between the engine and the oracle.
+    Pure map stage built on `repetition_stats_batch` (one pass, no
+    shuffle)."""
+    rep = repetition_stats_batch(batch, text_col=text_col, id_col=id_col)
+    text = batch[text_col]
+    n_chars = pc.cast(
+        pc.utf8_length(pc.fill_null(text, "")), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    nw = rep["n_words"].to_numpy()
+    nd = rep["n_distinct_words"].to_numpy()
+    top = rep["top_word_n"].to_numpy()
+    n2 = rep["n_2grams"].to_numpy()
+    d2 = rep["n_dup_2grams"].to_numpy()
+    # total word bytes = n_chars - (n_words - 1) separator spaces
+    wb = n_chars - nw + 1
+    reasons = (
+        (nw < min_words) * 1
+        + ((wb < 3 * nw) | (wb > 10 * nw)) * 2
+        + (top * 8 > nw) * 4
+        + ((nw - nd) * 8 > nw * 5) * 8
+        + (d2 * 20 > n2) * 16
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": rep["doc_id"],
+            "keep": pa.array((reasons == 0).astype(np.int64), pa.int64()),
+            "reasons": pa.array(reasons, pa.int64()),
+        }
+    )
+
+
 def repetition_stats_batch(
     batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
 ) -> pa.Table:

@@ -339,6 +339,19 @@ def sample_docs(sf_dir: str):
     )
 
 
+def quality_filter_docs(sf_dir: str):
+    """Composite Gopher-style quality filter: integer reason bitmask
+    (short / word-length bounds / top-word share / dup-word fraction /
+    dup-2gram fraction) + keep flag, all cross-multiplied integer
+    tests the oracle recomputes from the word strings. Pure map
+    stage — the pre-dedup drop pass of a 100 TB pipeline."""
+    from beamium_ray.datapipe.textstats import quality_filter_batch
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        quality_filter_batch, batch_format="pyarrow", batch_size=None
+    )
+
+
 def chunk_dedup_docs(sf_dir: str):
     """Corpus-wide chunk-level exact dedup (C4/RefinedWeb "drop
     duplicated lines"): every distinct 10-word chunk keeps only its
@@ -1138,6 +1151,44 @@ FROM dense d LEFT JOIN agg a
 
 _CLASS_TOKEN = "'evt.' || event_type || '{user=' || CAST(user_id AS VARCHAR) || '}'"
 
+
+# Shared by the repetition_stats gate and the quality_filter gate: the
+# oracle groups by the word STRINGS (the engine groups by 64-bit word
+# hashes — the ~2^-64 collision risk is the accepted exactness gap).
+_REP_STATS_SQL = """
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS wi
+  FROM documents
+),
+wc AS (
+  SELECT doc_id, count(*) AS n_words,
+         count(DISTINCT w) AS n_distinct_words
+  FROM words GROUP BY doc_id
+),
+topw AS (
+  SELECT doc_id, max(c) AS top_word_n
+  FROM (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w)
+  GROUP BY doc_id
+),
+grams AS (
+  SELECT doc_id,
+         w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY wi) AS g
+  FROM words
+),
+g2 AS (
+  SELECT doc_id, count(*) AS n_g, count(DISTINCT g) AS d_g
+  FROM grams WHERE g IS NOT NULL GROUP BY doc_id
+)
+SELECT wc.doc_id, n_words, n_distinct_words, top_word_n,
+       coalesce(n_g, 0) AS n_2grams,
+       coalesce(n_g - d_g, 0) AS n_dup_2grams
+FROM wc
+JOIN topw USING (doc_id)
+LEFT JOIN g2 USING (doc_id)
+"""
+
 ORACLE_SQL: dict[str, str] = {
     "rollup_1m_events": _rollup_sql(US_1M),
     "sliding_rollup_events": f"""
@@ -1303,38 +1354,31 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
     "hll_users_events": _gen.hll_registers_sql(),
     "cms_users_events": _gen.cms_cells_sql(),
     "sample_docs": _gen.hash_sample_sql(rates_ppm=SAMPLE_RATES_PPM),
-    "repetition_stats_docs": """
-WITH words AS (
+    "repetition_stats_docs": _REP_STATS_SQL,
+    "quality_filter_docs": f"""
+WITH rep AS ({_REP_STATS_SQL}),
+j AS (
+  SELECT r.*, length(d.text) AS n_chars
+  FROM rep r JOIN documents d USING (doc_id)
+),
+bits AS (
   SELECT doc_id,
-         unnest(string_split(text, ' ')) AS w,
-         generate_subscripts(string_split(text, ' '), 1) AS wi
-  FROM documents
-),
-wc AS (
-  SELECT doc_id, count(*) AS n_words,
-         count(DISTINCT w) AS n_distinct_words
-  FROM words GROUP BY doc_id
-),
-topw AS (
-  SELECT doc_id, max(c) AS top_word_n
-  FROM (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w)
-  GROUP BY doc_id
-),
-grams AS (
-  SELECT doc_id,
-         w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY wi) AS g
-  FROM words
-),
-g2 AS (
-  SELECT doc_id, count(*) AS n_g, count(DISTINCT g) AS d_g
-  FROM grams WHERE g IS NOT NULL GROUP BY doc_id
+         CAST(
+           CASE WHEN n_words < 20 THEN 1 ELSE 0 END
+         + CASE WHEN (n_chars - n_words + 1) < 3 * n_words
+                  OR (n_chars - n_words + 1) > 10 * n_words
+                THEN 2 ELSE 0 END
+         + CASE WHEN top_word_n * 8 > n_words THEN 4 ELSE 0 END
+         + CASE WHEN (n_words - n_distinct_words) * 8 > n_words * 5
+                THEN 8 ELSE 0 END
+         + CASE WHEN n_dup_2grams * 20 > n_2grams THEN 16 ELSE 0 END
+         AS BIGINT) AS reasons
+  FROM j
 )
-SELECT wc.doc_id, n_words, n_distinct_words, top_word_n,
-       coalesce(n_g, 0) AS n_2grams,
-       coalesce(n_g - d_g, 0) AS n_dup_2grams
-FROM wc
-JOIN topw USING (doc_id)
-LEFT JOIN g2 USING (doc_id)
+SELECT doc_id,
+       CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       reasons
+FROM bits
 """,
     "quantiles_events": """
 SELECT event_type,
@@ -1437,6 +1481,7 @@ QUERIES = {
     "cms_users_events": cms_users_events,
     "sample_docs": sample_docs,
     "repetition_stats_docs": repetition_stats_docs,
+    "quality_filter_docs": quality_filter_docs,
     "dedup_simhash_docs": dedup_simhash_docs,
     "simsearch_topk_embeddings": simsearch_topk_embeddings,
     "simsearch_ivf_embeddings": simsearch_ivf_embeddings,

@@ -742,3 +742,27 @@ def test_hash_sample_deterministic_and_stratified(ray_session):
         ray.data.from_arrow(t), key_col="doc_id", rate_ppm=250_000
     ).to_pandas()
     assert sorted(flat["doc_id"]) == sorted(ids[sample_mask(ids, 250_000)])
+
+
+def test_quality_filter_reason_bits():
+    """Each rule trips on a purpose-built document and the bits
+    compose: a good doc keeps, a short doc sets bit 1, a long-word doc
+    bit 2, a top-word-heavy doc bit 4 (+8 when also mostly dups), a
+    dup-2gram doc bit 16."""
+    from beamium_ray.datapipe.textstats import quality_filter_batch
+
+    good = " ".join(f"word{i}" for i in range(30))
+    short = "tiny doc here"
+    longw = " ".join("x" * 40 for _ in range(25))
+    topheavy = " ".join(["the"] * 10 + [f"w{i}" for i in range(20)])
+    dup2g = " ".join(["a b"] * 15 + [f"u{i}" for i in range(20)])
+    t = pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array([good, short, longw, topheavy, dup2g]),
+    })
+    got = {r["doc_id"]: r for r in quality_filter_batch(t).to_pylist()}
+    assert got[0] == {"doc_id": 0, "keep": 1, "reasons": 0}
+    assert got[1]["reasons"] & 1
+    assert got[2]["reasons"] & 2
+    assert got[3]["reasons"] & 4
+    assert got[4]["reasons"] & 16 and got[4]["keep"] == 0
