@@ -81,11 +81,16 @@ class DirectoryWatcher:
         now_us: int = DEFAULT_NOW_US,
         loader=None,
         config_path: str | None = None,
+        order_col: str | None = None,
     ):
         self.input_dir = input_dir
         self.cfg = cfg
         self.out_dir = out_dir
         self.ext = file_extension
+        # the .metrics spool has no intra-ts ordering column; a custom
+        # loader (e.g. a parquet landing dir) may carry one for the
+        # deterministic `last` tie-break
+        self.order_col = order_col
         self.now_us = now_us
         # resolved per-tick through self.cfg so hot reload takes effect
         self.loader = loader or (
@@ -237,7 +242,7 @@ class DirectoryWatcher:
 
         dp = self.loader(files)
         run, _rows = append_rollup(
-            dp, self.cfg, files, self.out_dir, order_col=None
+            dp, self.cfg, files, self.out_dir, order_col=self.order_col
         )
         return run
 

@@ -685,6 +685,46 @@ def flagship_incremental_append(sf_dir: str):
     return _read_1m_blocks(out)
 
 
+def watch_ingest_roundtrip(sf_dir: str):
+    """The daemon steady-state loop under the flagship value oracle:
+    two scan-period ticks of a DirectoryWatcher over a parquet landing
+    directory (even doc_ids dropped before tick 1, odd before tick 2);
+    the blocks the watch loop accumulates must hash-match the one-shot
+    SQL recomputation — same oracle as flagship_incremental_append, but
+    driven through the scan → durable-seen-set → per-tick append
+    facade (watch.py) instead of explicit append calls."""
+    import hashlib
+    import os
+    import shutil
+
+    import ray.data
+
+    from beamium_ray.pipelines.rollup_pipeline import datapoints
+    from beamium_ray.pipelines.watch import DirectoryWatcher
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
+    spool = f"/tmp/beamium_gate/watchspool_{tag}"
+    out = f"/tmp/beamium_gate/watchout_{tag}"
+    shutil.rmtree(spool, ignore_errors=True)
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = EngineConfig(labels="env=prod", num_buckets=16, tiers={"1m": US_1M})
+    w = DirectoryWatcher(
+        spool, cfg, out,
+        file_extension="parquet",
+        loader=lambda files: ray.data.read_parquet(files),
+        order_col="order",
+    )
+    for tick, parity in enumerate((0, 1)):
+        os.makedirs(f"{spool}/t{tick}", exist_ok=True)
+        datapoints(_flagship_seq(sf_dir, parity=parity), cfg).select_columns(
+            ["series_key", "ts", "value", "order"]
+        ).write_parquet(f"{spool}/t{tick}")
+        res = w.tick()
+        if not res["applied"]:
+            raise RuntimeError(f"watch tick {tick} applied no files")
+    return _read_1m_blocks(out)
+
+
 def tokens_payload_roundtrip(sf_dir: str):
     """The per-row token-array equality invariant (BASELINE.json
     input_hint), value-verified: sequences → full derive/parse/relabel
@@ -1327,6 +1367,7 @@ FROM c
     # persist path + incremental append under the SAME flagship oracle
     "flagship_blocks_roundtrip": _gen.flagship_rollup_sql(),
     "flagship_incremental_append": _gen.flagship_rollup_sql(),
+    "watch_ingest_roundtrip": _gen.flagship_rollup_sql(),
     "flagship_window_query": f"""
 SELECT * FROM ({_gen.flagship_rollup_sql()})
 WHERE window_start BETWEEN {1_700_000_000_000_000 + 100 * US_1M}
@@ -1492,6 +1533,7 @@ QUERIES = {
     "flagship_rollup_1m": flagship_rollup_1m,
     "flagship_blocks_roundtrip": flagship_blocks_roundtrip,
     "flagship_incremental_append": flagship_incremental_append,
+    "watch_ingest_roundtrip": watch_ingest_roundtrip,
     "flagship_window_query": flagship_window_query,
     "tokens_payload_roundtrip": tokens_payload_roundtrip,
     "flagship_stage_metrics": flagship_stage_metrics,
