@@ -1,0 +1,144 @@
+"""Train/test decontamination: flag corpus documents that share any
+word n-gram with a benchmark (evaluation) set.
+
+The standard pre-training hygiene pass (GPT-3 appendix C / PaLM-style
+13-gram overlap, here word 8-grams by default): any document whose
+text contains an n-gram that also appears in the held-out benchmark
+suite is marked contaminated so the trainer can drop it.
+
+Scale shape — broadcast, not shuffle: benchmark suites are small by
+definition (eval sets, not corpora), so their distinct gram-hash set
+is collected once, ``ray.put`` once, and each corpus batch probes it
+with one sorted-array ``searchsorted`` — a pure map stage over the
+100 TB side. Contract: the benchmark gram set must fit in one object
+(~8 bytes/distinct gram; a 100k-doc suite ≈ tens of MB). A benchmark
+too large for that isn't a benchmark — split it or use the dedup
+family instead.
+
+Gram identity is the splitmix-mixed polynomial combination of the
+per-word hashes (textstats.word_hashes); the oracle groups by the
+gram STRINGS — the ~2^-64 collision risk is the accepted exactness
+gap, as everywhere else in this engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from beamium_ray.functions.hashing import splitmix64
+
+GRAM_Q = np.uint64(0x9E3779B97F4A7C15)
+
+
+def gram_hashes_batch(
+    batch: pa.Table, text_col: str = "text", g: int = 8
+) -> tuple[np.ndarray, np.ndarray]:
+    """(gram hash, row index) for every within-row word ``g``-gram in
+    the batch — a sliding polynomial combination of the per-word
+    hashes (g vectorized rounds, no per-row Python). Rows with fewer
+    than ``g`` words emit nothing."""
+    from beamium_ray.functions.encoding import string_bytes
+    from beamium_ray.datapipe.textstats import word_hashes
+
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    data, offsets = string_bytes(pc.fill_null(text, ""))
+    if len(offsets) <= 1:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    h, word_row, _ = word_hashes(data, offsets)
+    nw = len(h)
+    if nw < g:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    n = nw - g + 1
+    acc = np.zeros(n, np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(g):  # g rounds, each fully vectorized
+            acc = acc * GRAM_Q + h[k:k + n]
+    valid = word_row[:n] == word_row[g - 1:]  # gram stays in one row
+    return splitmix64(acc[valid]), word_row[:n][valid]
+
+
+def benchmark_gram_set(
+    bench_ds, text_col: str = "text", g: int = 8
+) -> np.ndarray:
+    """Sorted distinct gram hashes of the benchmark set. Distributed
+    map (per-batch distinct) → small driver concat + final unique —
+    bounded by the broadcast contract above."""
+
+    def grams(batch: pa.Table) -> pa.Table:
+        gh, _ = gram_hashes_batch(batch, text_col=text_col, g=g)
+        return pa.table(
+            {"gram": pa.array(np.unique(gh).astype(np.int64), pa.int64())}
+        )
+
+    parts = [
+        b["gram"].to_numpy(zero_copy_only=False)
+        for b in bench_ds.map_batches(
+            grams, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow")
+    ]
+    if not parts:
+        return np.zeros(0, np.uint64)
+    return np.unique(np.concatenate(parts).astype(np.uint64))
+
+
+class _Decontaminate:
+    """Actor-pool stage: fetch the broadcast benchmark gram set once
+    per actor (__init__), probe per batch with searchsorted."""
+
+    def __init__(self, bench_ref, text_col: str, id_col: str, g: int):
+        import ray
+
+        self.bench = ray.get(bench_ref)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.g = g
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        nrows = batch.num_rows
+        flag = np.zeros(nrows, np.int64)
+        if nrows and len(self.bench):
+            gh, rows = gram_hashes_batch(
+                batch, text_col=self.text_col, g=self.g
+            )
+            if len(gh):
+                pos = np.searchsorted(self.bench, gh)
+                pos[pos == len(self.bench)] = 0
+                hit = self.bench[pos] == gh
+                np.maximum.at(flag, rows[hit], 1)
+        return pa.table(
+            {
+                "doc_id": ids,
+                "contaminated": pa.array(flag, pa.int64()),
+            }
+        )
+
+
+def decontaminate(
+    corpus_ds,
+    bench_ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    g: int = 8,
+    concurrency=(1, 8),
+):
+    """Dataset of (doc_id, contaminated 0/1) for every corpus doc:
+    contaminated = shares ≥1 word ``g``-gram with any benchmark doc.
+    Benchmark grams are broadcast once; the corpus side is a pure
+    actor-pool map — no shuffle, no driver pass over the corpus."""
+    import ray
+
+    bench_ref = ray.put(benchmark_gram_set(bench_ds, text_col, g))
+    return corpus_ds.map_batches(
+        _Decontaminate,
+        fn_constructor_args=(bench_ref, text_col, id_col, g),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=concurrency,
+    )

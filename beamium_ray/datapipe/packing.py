@@ -1,0 +1,119 @@
+"""Sequence-packing index: where each document lands when the corpus
+is concatenated into fixed-length training sequences.
+
+The packing step of an LLM data pipeline ("concat and chunk"): given
+per-document token counts and a deterministic corpus order (doc_id),
+every document gets its global token OFFSET — a distributed prefix
+sum — from which seq_id = offset // seq_len and the offset within
+that sequence follow. Downstream writers can then emit sequence shards
+independently: a worker holding doc d knows exactly which sequence(s)
+d occupies without coordination.
+
+Distributed-scan shape (no driver-side data beyond B bucket sums):
+
+1. one pass computes the narrow (id, n_tok) table — materialized, so
+   the expensive full-text tokenization runs ONCE, not once per
+   downstream aggregate; at 100 TB this table is ~16 bytes/doc;
+2. ids are RANGE-bucketed (order-preserving, unlike hash buckets);
+   a tiny groupby-sum yields per-bucket token totals, whose driver-side
+   cumsum (B values) gives each bucket's base offset;
+3. one groupby(bucket).map_groups sorts each bucket by id and adds
+   base + within-bucket exclusive cumsum — the only shuffle, over the
+   narrow table only.
+
+Skew note: range buckets assume ids are roughly uniform over
+[min, max] (true for dense ids). A pathological id distribution
+concentrates buckets; pass a larger num_buckets or pre-flatten ids if
+that bites.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def pack_offsets(
+    counts_ds,
+    id_col: str = "doc_id",
+    count_col: str = "n_tok",
+    seq_len: int = 2048,
+    num_buckets: int | None = None,
+):
+    """Dataset of (id, n_tok, offset, seq_id, seq_off) from a narrow
+    (id, n_tok) Dataset: offset = Σ n_tok of all ids < this id (the
+    exclusive prefix sum in id order); seq_id/seq_off locate the doc's
+    first token in seq_len-sized training sequences."""
+    from beamium_ray.functions.cluster import default_partitions
+
+    counts = counts_ds.materialize()  # tokenization runs once (see above)
+    b = num_buckets or default_partitions()
+    lo = counts.min(id_col)
+    hi = counts.max(id_col)
+    if lo is None:
+        return counts.map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: t[id_col],
+                    count_col: t[count_col],
+                    "offset": pa.array([], pa.int64()),
+                    "seq_id": pa.array([], pa.int64()),
+                    "seq_off": pa.array([], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    span = max((int(hi) - int(lo)) // b + 1, 1)
+
+    def bucket_of(ids: np.ndarray) -> np.ndarray:
+        return (ids - lo) // span
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_bkt", pa.array(bucket_of(ids).astype(np.int64))
+        )
+
+    tagged = counts.map_batches(tag, batch_format="pyarrow", batch_size=None)
+    totals = {
+        r["_bkt"]: r[f"sum({count_col})"]
+        for r in tagged.groupby("_bkt").sum(count_col).take_all()
+    }
+    base = {}
+    acc = 0
+    for k in sorted(totals):
+        base[k] = acc
+        acc += int(totals[k])
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            count_col: pa.array([], pa.int64()),
+            "offset": pa.array([], pa.int64()),
+            "seq_id": pa.array([], pa.int64()),
+            "seq_off": pa.array([], pa.int64()),
+        }
+    )
+
+    def scan(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:  # hash-shuffle groupbys emit empty blocks
+            return empty
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        n = g[count_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(ids, kind="stable")
+        ids, n = ids[o], n[o]
+        off = base[int(bucket_of(ids[:1])[0])] + np.concatenate(
+            ([0], np.cumsum(n[:-1]))
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                count_col: pa.array(n, pa.int64()),
+                "offset": pa.array(off, pa.int64()),
+                "seq_id": pa.array(off // seq_len, pa.int64()),
+                "seq_off": pa.array(off % seq_len, pa.int64()),
+            }
+        )
+
+    return tagged.groupby("_bkt").map_groups(scan, batch_format="pyarrow")

@@ -215,6 +215,54 @@ def fingerprint_batch(
     )
 
 
+def word_hashes(
+    data: np.ndarray, offsets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-word 64-bit hashes over a flat string buffer: split on every
+    single space (SQL ``string_split(text, ' ')`` semantics; empty text
+    = one empty word), hash each word's bytes with a polynomial rolling
+    hash + splitmix64 finisher — one segmented uint64 reduce, no
+    per-word Python. Returns (hash per word, row of each word, word
+    count per row). An intra-batch word hash collision (~2^-64 per
+    pair) is the accepted exactness risk of every consumer; oracles
+    group by the word STRINGS."""
+    nrows = len(offsets) - 1
+    sp = np.flatnonzero(data == 0x20)
+    sp_row = np.searchsorted(offsets, sp, side="right") - 1
+    n_words = np.bincount(sp_row, minlength=nrows) + 1
+    word_starts = np.sort(np.concatenate([offsets[:-1], sp + 1]))
+    word_ends = np.sort(np.concatenate([sp, offsets[1:]]))
+    wlen = word_ends - word_starts
+    nw_total = len(wlen)
+    word_row = np.repeat(np.arange(nrows, dtype=np.int64), n_words)
+
+    # per-word polynomial hash: Σ byte_i · P^(len-1-i), one segmented
+    # uint64 reduce over the gathered word bytes
+    P = np.uint64(1099511628211)
+    maxlen = int(wlen.max()) if nw_total else 0
+    powp = np.ones(maxlen + 1, np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(1, maxlen + 1):
+            powp[i] = powp[i - 1] * P
+    woff = np.concatenate(([0], np.cumsum(wlen)))
+    tot = int(woff[-1])
+    rid2 = np.repeat(np.arange(nw_total, dtype=np.int64), wlen)
+    pos_in_word = np.arange(tot, dtype=np.int64) - woff[rid2]
+    bidx = word_starts[rid2] + pos_in_word
+    with np.errstate(over="ignore"):
+        contrib = (
+            data[bidx].astype(np.uint64)
+            * powp[wlen[rid2] - 1 - pos_in_word]
+        )
+    h = np.zeros(nw_total, np.uint64)
+    nonempty_w = wlen > 0
+    if tot:
+        st = woff[:-1][nonempty_w]
+        with np.errstate(over="ignore"):
+            h[nonempty_w] = np.add.reduceat(contrib, st)
+    return splitmix64(h), word_row, n_words
+
+
 def quality_filter_batch(
     batch: pa.Table,
     text_col: str = "text",
@@ -297,40 +345,7 @@ def repetition_stats_batch(
             {"doc_id": z, "n_words": z, "n_distinct_words": z,
              "top_word_n": z, "n_2grams": z, "n_dup_2grams": z}
         )
-    sp = np.flatnonzero(data == 0x20)
-    sp_row = np.searchsorted(offsets, sp, side="right") - 1
-    n_words = np.bincount(sp_row, minlength=nrows) + 1
-    word_starts = np.sort(np.concatenate([offsets[:-1], sp + 1]))
-    word_ends = np.sort(np.concatenate([sp, offsets[1:]]))
-    wlen = word_ends - word_starts
-    nw_total = len(wlen)
-    word_row = np.repeat(np.arange(nrows, dtype=np.int64), n_words)
-
-    # per-word polynomial hash: Σ byte_i · P^(len-1-i), one segmented
-    # uint64 reduce over the gathered word bytes — no per-word Python
-    P = np.uint64(1099511628211)
-    maxlen = int(wlen.max()) if nw_total else 0
-    powp = np.ones(maxlen + 1, np.uint64)
-    with np.errstate(over="ignore"):
-        for i in range(1, maxlen + 1):
-            powp[i] = powp[i - 1] * P
-    woff = np.concatenate(([0], np.cumsum(wlen)))
-    tot = int(woff[-1])
-    rid2 = np.repeat(np.arange(nw_total, dtype=np.int64), wlen)
-    pos_in_word = np.arange(tot, dtype=np.int64) - woff[rid2]
-    bidx = word_starts[rid2] + pos_in_word
-    with np.errstate(over="ignore"):
-        contrib = (
-            data[bidx].astype(np.uint64)
-            * powp[wlen[rid2] - 1 - pos_in_word]
-        )
-    h = np.zeros(nw_total, np.uint64)
-    nonempty_w = wlen > 0
-    if tot:
-        st = woff[:-1][nonempty_w]
-        with np.errstate(over="ignore"):
-            h[nonempty_w] = np.add.reduceat(contrib, st)
-    h = splitmix64(h)
+    h, word_row, n_words = word_hashes(data, offsets)
 
     def _per_row_counts(row_of: np.ndarray, vals: np.ndarray, minl: int):
         """(distinct count per row, max multiplicity per row) of vals
@@ -355,7 +370,7 @@ def repetition_stats_batch(
     # word 2-grams: adjacent word pairs WITHIN a row
     gmask = np.concatenate(
         (word_row[1:] == word_row[:-1], [False])
-    ) if nw_total else np.zeros(0, bool)
+    ) if len(word_row) else np.zeros(0, bool)
     gi = np.flatnonzero(gmask)
     with np.errstate(over="ignore"):
         gh = splitmix64(h[gi] ^ (h[gi + 1] * np.uint64(0x9E3779B97F4A7C15)))

@@ -339,6 +339,48 @@ def sample_docs(sf_dir: str):
     )
 
 
+def decontaminate_docs(sf_dir: str):
+    """Train/test decontamination (GPT-3-appendix-C-style n-gram
+    overlap): docs with doc_id % 50 == 0 play the benchmark suite;
+    every other doc is flagged if it shares any word 8-gram with the
+    suite. Benchmark gram hashes broadcast once via ray.put; the corpus
+    side is a pure actor-pool map — no shuffle. The oracle regroups by
+    the gram strings."""
+    from beamium_ray.datapipe.decontam import decontaminate
+
+    def split(keep_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = b["doc_id"].to_numpy(zero_copy_only=False) % 50 == 0
+            return b.filter(pa.array(m if keep_bench else ~m))
+        return f
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = docs.map_batches(
+        split(True), batch_format="pyarrow", batch_size=None
+    )
+    corpus = docs.map_batches(
+        split(False), batch_format="pyarrow", batch_size=None
+    )
+    return decontaminate(corpus, bench, g=8)
+
+
+def pack_offsets_docs(sf_dir: str):
+    """Sequence-packing index (LLM 'concat and chunk'): every doc's
+    global token offset in doc_id order — a distributed prefix sum
+    (range-bucketed scan, one narrow shuffle) — plus its seq_id /
+    in-sequence offset for 2048-token training sequences. The oracle
+    is one SQL window function."""
+    from beamium_ray.datapipe.packing import pack_offsets
+    from beamium_ray.datapipe.textstats import token_count_batch
+
+    counts = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pyarrow", batch_size=None
+    )
+    return pack_offsets(
+        counts, id_col="doc_id", count_col="n_tok_ws", seq_len=2048
+    )
+
+
 def quality_filter_docs(sf_dir: str):
     """Composite Gopher-style quality filter: integer reason bitmask
     (short / word-length bounds / top-word share / dup-word fraction /
@@ -1421,6 +1463,55 @@ SELECT doc_id,
        reasons
 FROM bits
 """,
+    "decontaminate_docs": """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS wi
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win
+           || ' ' || lead(w,3) OVER win || ' ' || lead(w,4) OVER win
+           || ' ' || lead(w,5) OVER win || ' ' || lead(w,6) OVER win
+           || ' ' || lead(w,7) OVER win AS g8
+  FROM words
+  WINDOW win AS (PARTITION BY doc_id ORDER BY wi)
+),
+bench AS (
+  SELECT DISTINCT g8 FROM g WHERE doc_id % 50 = 0 AND g8 IS NOT NULL
+),
+hit AS (
+  SELECT DISTINCT doc_id FROM g
+  WHERE doc_id % 50 <> 0 AND g8 IS NOT NULL
+    AND g8 IN (SELECT g8 FROM bench)
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated
+FROM documents d LEFT JOIN hit h USING (doc_id)
+WHERE d.doc_id % 50 <> 0
+""",
+    "pack_offsets_docs": r"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+         END AS n_tok_ws
+  FROM documents
+),
+o AS (
+  SELECT doc_id, n_tok_ws,
+         CAST(coalesce(sum(n_tok_ws) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS "offset"
+  FROM tok
+)
+SELECT doc_id, n_tok_ws, "offset",
+       CAST("offset" // 2048 AS BIGINT) AS seq_id,
+       CAST("offset" % 2048 AS BIGINT) AS seq_off
+FROM o
+""",
     "quantiles_events": """
 SELECT event_type,
        CAST(ROUND(quantile_cont(value, 0.5)  * 1e6) AS BIGINT) AS p50,
@@ -1523,6 +1614,8 @@ QUERIES = {
     "sample_docs": sample_docs,
     "repetition_stats_docs": repetition_stats_docs,
     "quality_filter_docs": quality_filter_docs,
+    "pack_offsets_docs": pack_offsets_docs,
+    "decontaminate_docs": decontaminate_docs,
     "dedup_simhash_docs": dedup_simhash_docs,
     "simsearch_topk_embeddings": simsearch_topk_embeddings,
     "simsearch_ivf_embeddings": simsearch_ivf_embeddings,

@@ -134,6 +134,16 @@ QUERY_NAMES = [
     "quality_score_docs",
     "simsearch_topk_embeddings",
     "simsearch_ivf_embeddings",
+    # round-3 additions (new ops; headline metric unaffected)
+    "chunk_dedup_docs",
+    "quantiles_events",
+    "hll_users_events",
+    "cms_users_events",
+    "repetition_stats_docs",
+    "quality_filter_docs",
+    "sample_docs",
+    "pack_offsets_docs",
+    "decontaminate_docs",
 ]
 
 

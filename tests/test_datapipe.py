@@ -766,3 +766,56 @@ def test_quality_filter_reason_bits():
     assert got[2]["reasons"] & 2
     assert got[3]["reasons"] & 4
     assert got[4]["reasons"] & 16 and got[4]["keep"] == 0
+
+
+def test_pack_offsets_prefix_sum(ray_session):
+    """The packing index is the exact exclusive prefix sum in id order,
+    independent of block splits, with sparse/skewed ids; seq_id/seq_off
+    locate the doc's first token in fixed 2048-token sequences."""
+    import ray.data
+
+    from beamium_ray.datapipe.packing import pack_offsets
+
+    rng = np.random.default_rng(3)
+    # sparse, shuffled, gappy ids — range buckets must still order them
+    ids = rng.permutation(np.arange(0, 30_000, 7, dtype=np.int64))
+    n = rng.integers(0, 600, len(ids)).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "n_tok": pa.array(n)})
+    out = pack_offsets(
+        ray.data.from_arrow(t).repartition(11), seq_len=2048, count_col="n_tok"
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    o = np.argsort(ids, kind="stable")
+    want_off = np.concatenate(([0], np.cumsum(n[o][:-1])))
+    assert (out["doc_id"].to_numpy() == ids[o]).all()
+    assert (out["offset"].to_numpy() == want_off).all()
+    assert (out["seq_id"].to_numpy() == want_off // 2048).all()
+    assert (out["seq_off"].to_numpy() == want_off % 2048).all()
+
+
+def test_decontaminate_gram_overlap(ray_session):
+    """A corpus doc sharing an 8-gram run with a benchmark doc is
+    flagged; near-miss (7 shared words), short docs, and clean docs are
+    not; grams never cross documents."""
+    import ray.data
+
+    from beamium_ray.datapipe.decontam import decontaminate
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    bench = pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": pa.array([f"pre {shared} post"]),
+    })
+    corpus = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            f"x y {shared} z",                      # full 8-gram → hit
+            "s0 s1 s2 s3 s4 s5 s6 other words here",  # only 7 shared
+            "completely different document text here with many words",
+            "s3 s4",                                 # too short for grams
+        ]),
+    })
+    out = decontaminate(
+        ray.data.from_arrow(corpus).repartition(2),
+        ray.data.from_arrow(bench),
+    ).to_pandas().set_index("doc_id")["contaminated"].to_dict()
+    assert out == {0: 1, 1: 0, 2: 0, 3: 0}
