@@ -143,6 +143,69 @@ def hll_estimate(regs: np.ndarray, ranks: np.ndarray) -> float:
     return float(e)
 
 
+def hll_group_register_rows(
+    batch: pa.Table, group_col: str, key_col: str
+) -> pa.Table:
+    """Per-batch PARTIAL per-group HLL registers as (group, reg, rank)
+    rows: at most (groups in block) × 4096 narrow rows leave each
+    block; a ``groupby(group, reg).max(rank)`` merge yields the exact
+    per-group sketch states. One lexsort — no per-group Python."""
+    from beamium_ray.functions.hashing import splitmix64
+
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                group_col: pa.array([], batch.schema.field(group_col).type),
+                "reg": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+    g = batch[group_col]
+    if isinstance(g, pa.ChunkedArray):
+        g = g.combine_chunks()
+    gd = pc.dictionary_encode(g)
+    gcode = gd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    k = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+    h = splitmix64(k)
+    reg = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    w = (h & np.uint64((1 << (64 - HLL_P)) - 1)).astype(np.uint64)
+    _, exp = np.frexp(w.astype(np.float64))
+    rank = np.where(w == 0, 53, 53 - exp).astype(np.int64)
+    order = np.lexsort((-rank, reg, gcode))
+    gs, rs, ks = gcode[order], reg[order], rank[order]
+    first = np.concatenate(
+        ([True], (gs[1:] != gs[:-1]) | (rs[1:] != rs[:-1]))
+    )
+    return pa.table(
+        {
+            group_col: gd.dictionary.take(pa.array(gs[first])),
+            "reg": pa.array(rs[first], pa.int64()),
+            "rank": pa.array(ks[first], pa.int64()),
+        }
+    )
+
+
+def hll_sketch_by_group(ds, group_col: str, key_col: str):
+    """Dataset of per-group HLL register states (group, reg, rank):
+    per-batch partials → one groupby-max over (group, reg). The
+    grouped distinct-count sketch: at 100 TB only ≤4096 rows per
+    (block, group) cross the shuffle, never the keys."""
+    merged = (
+        ds.map_batches(
+            lambda b: hll_group_register_rows(b, group_col, key_col),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .groupby([group_col, "reg"])
+        .max("rank")
+    )
+    return merged.map_batches(
+        lambda t: t.rename_columns([group_col, "reg", "rank"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
 # ---------------- Count-Min frequency sketch ----------------
 
 CMS_D = 4     # hash rows; P(overestimate > eps·N) <= e^-D per query

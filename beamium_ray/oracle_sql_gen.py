@@ -520,3 +520,26 @@ WITH sin AS (
 SELECT {key}, {carry} FROM {final}
 WHERE h % 1000000 < {rate_expr}
 """
+
+
+def hll_group_registers_sql(table: str = "events", group: str = "event_type",
+                            key: str = "user_id", p: int = 12) -> str:
+    """Exact SQL recomputation of the PER-GROUP HyperLogLog register
+    states (datapipe/stats.py hll_sketch_by_group): same reg/rank math
+    as hll_registers_sql, MAX per (group, register)."""
+    smx, final = splitmix_cte_steps(table, key, "h", group, "hg")
+    sb = 64 - p
+    return f"""
+WITH {smx},
+rw AS (
+  SELECT {group},
+         CAST(h // {1 << sb} AS BIGINT) AS reg,
+         h % {1 << sb} AS w
+  FROM {final}
+)
+SELECT {group}, reg,
+       MAX(CASE WHEN w = 0 THEN {sb + 1}
+                ELSE {sb + 1} - length(bin(CAST(w AS BIGINT))) END
+       ) AS "rank"
+FROM rw GROUP BY {group}, reg
+"""

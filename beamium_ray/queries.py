@@ -306,6 +306,20 @@ def hll_users_events(sf_dir: str):
     return hll_sketch(_read(sf_dir, "events", ["user_id"]), "user_id")
 
 
+def hll_by_type_events(sf_dir: str):
+    """Per-group HyperLogLog: distinct-user sketch PER event_type —
+    the grouped register states (event_type, reg, rank) are the gate
+    artifact, recomputed integer-exactly in SQL. One combiner pass,
+    one (group, reg) groupby-max; keys never cross the shuffle."""
+    from beamium_ray.datapipe.stats import hll_sketch_by_group
+
+    return hll_sketch_by_group(
+        _read(sf_dir, "events", ["event_type", "user_id"]),
+        "event_type",
+        "user_id",
+    )
+
+
 def cms_users_events(sf_dir: str):
     """Count-min frequency sketch over user_id: the gate artifact is
     the integer CELL TABLE (row, col, cnt) — deterministic salted
@@ -1436,6 +1450,7 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
     "dedup_minhash_docs": _gen.jaccard_clusters_sql(threshold=0.8),
     "hll_users_events": _gen.hll_registers_sql(),
     "cms_users_events": _gen.cms_cells_sql(),
+    "hll_by_type_events": _gen.hll_group_registers_sql(),
     "sample_docs": _gen.hash_sample_sql(rates_ppm=SAMPLE_RATES_PPM),
     "repetition_stats_docs": _REP_STATS_SQL,
     "quality_filter_docs": f"""
@@ -1611,6 +1626,7 @@ QUERIES = {
     "quantiles_events": quantiles_events,
     "hll_users_events": hll_users_events,
     "cms_users_events": cms_users_events,
+    "hll_by_type_events": hll_by_type_events,
     "sample_docs": sample_docs,
     "repetition_stats_docs": repetition_stats_docs,
     "quality_filter_docs": quality_filter_docs,

@@ -138,6 +138,7 @@ QUERY_NAMES = [
     "chunk_dedup_docs",
     "quantiles_events",
     "hll_users_events",
+    "hll_by_type_events",
     "cms_users_events",
     "repetition_stats_docs",
     "quality_filter_docs",

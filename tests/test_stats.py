@@ -115,3 +115,34 @@ def test_cms_estimate_upper_bound_and_heavy_hitters():
     top_true = set(uniq[np.argsort(-true_n)[:10]])
     top_est = set(uniq[np.argsort(-est)[:10]])
     assert top_est == top_true
+
+
+def test_hll_by_group_merge_invariance_and_exactness(ray_session):
+    """Per-group register state is split-invariant and each group's
+    state equals the single-group sketch of just that group's keys."""
+    import ray.data
+
+    from beamium_ray.datapipe.stats import (
+        hll_register_rows,
+        hll_sketch_by_group,
+    )
+
+    rng = np.random.default_rng(17)
+    g = rng.choice(["a", "b", "c"], 30_000)
+    k = rng.integers(0, 4_000, 30_000).astype(np.int64)
+    t = pa.table({"g": pa.array(g), "k": pa.array(k, pa.int64())})
+
+    def state(ds):
+        df = hll_sketch_by_group(ds, "g", "k").to_pandas()
+        return sorted(map(tuple, df.itertuples(index=False)))
+
+    a = state(ray.data.from_arrow(t).repartition(1))
+    b = state(ray.data.from_arrow(t).repartition(13))
+    assert a == b
+    for grp in "abc":
+        sub = pa.table({"k": pa.array(np.unique(k[g == grp]), pa.int64())})
+        single = sorted(
+            (grp, r["reg"], r["rank"])
+            for r in hll_register_rows(sub, "k").to_pylist()
+        )
+        assert [x for x in a if x[0] == grp] == single
