@@ -819,3 +819,87 @@ def test_decontaminate_gram_overlap(ray_session):
         ray.data.from_arrow(bench),
     ).to_pandas().set_index("doc_id")["contaminated"].to_dict()
     assert out == {0: 1, 1: 0, 2: 0, 3: 0}
+
+
+def test_new_kernels_empty_blocks(ray_session):
+    """Every round-3 kernel must survive the empty blocks Ray Data
+    shuffles/filters produce (the ADVICE-r2 failure class)."""
+    import ray.data
+
+    from beamium_ray.datapipe.decontam import (
+        _Decontaminate,
+        benchmark_gram_set,
+        gram_hashes_batch,
+    )
+    from beamium_ray.datapipe.packing import pack_offsets
+    from beamium_ray.datapipe.sample import hash_sample
+    from beamium_ray.datapipe.stats import (
+        cms_cell_rows,
+        hll_group_register_rows,
+    )
+    from beamium_ray.datapipe.textstats import (
+        quality_filter_batch,
+        repetition_stats_batch,
+    )
+
+    et = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "source": pa.array([], pa.string()),
+    })
+    assert repetition_stats_batch(et).num_rows == 0
+    assert quality_filter_batch(et).num_rows == 0
+    assert cms_cell_rows(et.select(["doc_id"]), "doc_id").num_rows == 0
+    assert hll_group_register_rows(et, "source", "doc_id").num_rows == 0
+    gh, rows = gram_hashes_batch(et)
+    assert len(gh) == 0 and len(rows) == 0
+
+    eds = ray.data.from_arrow(et)
+    assert hash_sample(eds, key_col="doc_id").count() == 0
+    assert benchmark_gram_set(eds).shape == (0,)
+    assert pack_offsets(
+        eds.map_batches(
+            lambda b: pa.table({
+                "doc_id": b["doc_id"],
+                "n_tok": pa.array([], pa.int64()),
+            }),
+            batch_format="pyarrow", batch_size=None,
+        ),
+        count_col="n_tok",
+    ).count() == 0
+
+
+def test_repetition_stats_seeded_battery_vs_python():
+    """500 adversarial random docs (double spaces → empty words,
+    leading/trailing spaces, single chars) against a pure-Python
+    string_split(' ') reference — the vectorized kernel must agree on
+    every counter."""
+    from beamium_ray.datapipe.textstats import repetition_stats_batch
+
+    rng = np.random.default_rng(29)
+    alphabet = list("ab ")  # 1/3 spaces → plenty of empty words
+    docs = [
+        "".join(rng.choice(alphabet, rng.integers(0, 25)))
+        for _ in range(500)
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": pa.array(docs),
+    })
+    got = {r["doc_id"]: r for r in repetition_stats_batch(t).to_pylist()}
+    for i, d in enumerate(docs):
+        words = d.split(" ")  # every single space, like the SQL oracle
+        from collections import Counter
+        wc = Counter(words)
+        grams = [
+            (words[j], words[j + 1]) for j in range(len(words) - 1)
+        ]
+        want = {
+            "doc_id": i,
+            "n_words": len(words),
+            "n_distinct_words": len(wc),
+            "top_word_n": max(wc.values()),
+            "n_2grams": len(grams),
+            "n_dup_2grams": len(grams) - len(set(grams)),
+        }
+        assert got[i] == want, (i, repr(d), got[i], want)
