@@ -117,3 +117,108 @@ def pack_offsets(
         )
 
     return tagged.groupby("_bkt").map_groups(scan, batch_format="pyarrow")
+
+
+def emit_packed_rows(
+    ds,
+    id_col: str = "ord",
+    tokens_col: str = "tokens",
+    seq_len: int = 2048,
+    num_buckets: int | None = None,
+):
+    """Actually EMIT the packed training stream: every token of every
+    document as a (seq_id, pos_in_seq, token) row, where documents are
+    concatenated in ``id_col`` order and cut into ``seq_len``-token
+    sequences (the writer stage on top of :func:`pack_offsets`).
+
+    Unlike the index, emission inherently moves the tokens themselves
+    through ONE range-bucketed shuffle — a token can only land in its
+    sequence next to tokens from neighboring documents. Everything
+    else stays narrow: bucket base offsets come from a counts-only
+    pass (per-bucket sums, B values on the driver).
+
+    Three passes over the upstream (min/max, counts, emit) — callers
+    with an expensive upstream should materialize it first."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max, Min
+
+    from beamium_ray.functions.cluster import default_partitions
+
+    b = num_buckets or default_partitions()
+    agg = ds.aggregate(Min(id_col), Max(id_col))
+    lo, hi = agg[f"min({id_col})"], agg[f"max({id_col})"]
+    out_schema = {
+        "seq_id": pa.int64(), "pos_in_seq": pa.int64(), "token": pa.int64()
+    }
+    empty = pa.table({k: pa.array([], t) for k, t in out_schema.items()})
+    if lo is None:
+        return ds.map_batches(
+            lambda t: empty, batch_format="pyarrow", batch_size=None
+        )
+    span = max((int(hi) - int(lo)) // b + 1, 1)
+
+    def _col(t: pa.Table, name: str):
+        c = t[name]
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    def counts(t: pa.Table) -> pa.Table:
+        ids = _col(t, id_col).to_numpy(zero_copy_only=False)
+        n = pc.list_value_length(_col(t, tokens_col)).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "_bkt": pa.array((ids - lo) // span, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    totals = {
+        r["_bkt"]: int(r["sum(n)"])
+        for r in ds.map_batches(
+            counts, batch_format="pyarrow", batch_size=None
+        ).groupby("_bkt").sum("n").take_all()
+    }
+    base = {}
+    acc = 0
+    for k in sorted(totals):
+        base[k] = acc
+        acc += totals[k]
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = _col(t, id_col).to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_bkt", pa.array((ids - lo) // span, pa.int64())
+        )
+
+    def emit(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        ids = _col(g, id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        toks = _col(g, tokens_col).take(pa.array(order))
+        n = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        vals = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = int((ids[0] - lo) // span)
+        excl = np.concatenate(([0], np.cumsum(n[:-1])))
+        off0 = base[bkt] + excl
+        total = int(n.sum())
+        gp = np.repeat(off0, n) + (
+            np.arange(total, dtype=np.int64) - np.repeat(excl, n)
+        )
+        return pa.table(
+            {
+                "seq_id": pa.array(gp // seq_len, pa.int64()),
+                "pos_in_seq": pa.array(gp % seq_len, pa.int64()),
+                "token": pa.array(vals, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("_bkt")
+        .map_groups(emit, batch_format="pyarrow")
+    )

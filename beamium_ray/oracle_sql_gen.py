@@ -543,3 +543,42 @@ SELECT {group}, reg,
        ) AS "rank"
 FROM rw GROUP BY {group}, reg
 """
+
+
+def pack_emit_sql(table: str = "documents", vocab: int = 50257,
+                  seq_len: int = 128) -> str:
+    """Exact SQL for the packed-sequence EMISSION gate: regenerate every
+    sequence row's token list from doc_id (same splitmix rules as
+    sequences_from_documents_batch), lay the docs end to end in ord
+    order via a window prefix sum, and cut into seq_len-token
+    sequences — (seq_id, pos_in_seq, token) for every token."""
+    chain, final, _ = _splitmix_chain([("ntok_h", 0x5EED_0001)])
+    tok_chain, tok_final = splitmix_cte_steps(
+        "positions", "x", "tok_h", "gp", "sm_tok"
+    )
+    return f"""
+WITH base AS (SELECT CAST(doc_id AS HUGEINT) AS i FROM {table}),
+{chain},
+seqs AS (
+  SELECT CAST(i AS BIGINT) AS ord,
+         CAST(16 + (ntok_h % 497) AS BIGINT) AS n_tok
+  FROM {final}),
+offs AS (
+  SELECT ord, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (
+           ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS o
+  FROM seqs),
+positions0 AS (
+  SELECT ord, o, unnest(range(0, n_tok)) AS pos FROM offs),
+positions AS (
+  SELECT o + pos AS gp,
+         CAST(xor(CAST(ord AS UBIGINT) * 1048576, CAST(pos AS UBIGINT))
+              AS HUGEINT) AS x
+  FROM positions0),
+{tok_chain}
+SELECT CAST(gp // {seq_len} AS BIGINT) AS seq_id,
+       CAST(gp % {seq_len} AS BIGINT) AS pos_in_seq,
+       CAST(tok_h % {vocab} AS BIGINT) AS token
+FROM {tok_final}
+"""

@@ -353,6 +353,33 @@ def sample_docs(sf_dir: str):
     )
 
 
+def pack_emit_docs(sf_dir: str):
+    """Packed-sequence EMISSION, token-exactly verified: derive the
+    canonical tokenized-sequence table from doc_id, concatenate the
+    token arrays in ord order, cut into 128-token sequences, and emit
+    every token as a (seq_id, pos_in_seq, token) row. The tokens move
+    through exactly ONE range-bucketed shuffle (inherent: a sequence
+    interleaves neighboring documents); the oracle regenerates every
+    token and the window prefix sum in SQL."""
+    from beamium_ray.datapipe.packing import emit_packed_rows
+    from beamium_ray.pipelines.rollup_pipeline import (
+        sequences_from_documents_batch,
+    )
+
+    def ordify(b: pa.Table) -> pa.Table:
+        o = pc.cast(
+            pc.utf8_slice_codeunits(b["doc_id"], 4, 99), pa.int64()
+        )
+        return pa.table({"ord": o, "tokens": b["tokens"]})
+
+    seq = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(sequences_from_documents_batch, batch_format="pyarrow")
+        .map_batches(ordify, batch_format="pyarrow", batch_size=None)
+    )
+    return emit_packed_rows(seq, id_col="ord", seq_len=128)
+
+
 def decontaminate_docs(sf_dir: str):
     """Train/test decontamination (GPT-3-appendix-C-style n-gram
     overlap): docs with doc_id % 50 == 0 play the benchmark suite;
@@ -1478,6 +1505,7 @@ SELECT doc_id,
        reasons
 FROM bits
 """,
+    "pack_emit_docs": _gen.pack_emit_sql(seq_len=128),
     "decontaminate_docs": """
 WITH words AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w,
@@ -1632,6 +1660,7 @@ QUERIES = {
     "quality_filter_docs": quality_filter_docs,
     "pack_offsets_docs": pack_offsets_docs,
     "decontaminate_docs": decontaminate_docs,
+    "pack_emit_docs": pack_emit_docs,
     "dedup_simhash_docs": dedup_simhash_docs,
     "simsearch_topk_embeddings": simsearch_topk_embeddings,
     "simsearch_ivf_embeddings": simsearch_ivf_embeddings,

@@ -144,6 +144,7 @@ QUERY_NAMES = [
     "quality_filter_docs",
     "sample_docs",
     "pack_offsets_docs",
+    "pack_emit_docs",
     "decontaminate_docs",
 ]
 

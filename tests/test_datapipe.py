@@ -903,3 +903,31 @@ def test_repetition_stats_seeded_battery_vs_python():
             "n_dup_2grams": len(grams) - len(set(grams)),
         }
         assert got[i] == want, (i, repr(d), got[i], want)
+
+
+def test_emit_packed_rows_reconstructs_stream(ray_session):
+    """Emitted (seq_id, pos_in_seq, token) rows reconstruct the exact
+    concatenated token stream in id order, independent of block splits,
+    with variable-length docs crossing sequence boundaries."""
+    import ray.data
+
+    from beamium_ray.datapipe.packing import emit_packed_rows
+
+    rng = np.random.default_rng(41)
+    ids = rng.permutation(np.arange(0, 400, dtype=np.int64))
+    lens = rng.integers(0, 30, len(ids))  # some zero-token docs
+    toks = [rng.integers(0, 1000, l).tolist() for l in lens]
+    t = pa.table({
+        "ord": pa.array(ids),
+        "tokens": pa.array(toks, pa.list_(pa.int64())),
+    })
+    out = emit_packed_rows(
+        ray.data.from_arrow(t).repartition(7), id_col="ord", seq_len=16
+    ).to_pandas()
+    out = out.sort_values(["seq_id", "pos_in_seq"]).reset_index(drop=True)
+    o = np.argsort(ids, kind="stable")
+    stream = np.concatenate([np.array(toks[i], np.int64) for i in o if len(toks[i])])
+    gp = np.arange(len(stream))
+    assert (out["token"].to_numpy() == stream).all()
+    assert (out["seq_id"].to_numpy() == gp // 16).all()
+    assert (out["pos_in_seq"].to_numpy() == gp % 16).all()
