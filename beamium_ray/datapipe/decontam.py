@@ -102,7 +102,7 @@ class _Decontaminate:
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
         nrows = batch.num_rows
-        flag = np.zeros(nrows, np.int64)
+        cnt = np.zeros(nrows, np.int64)
         if nrows and len(self.bench):
             gh, rows = gram_hashes_batch(
                 batch, text_col=self.text_col, g=self.g
@@ -111,11 +111,25 @@ class _Decontaminate:
                 pos = np.searchsorted(self.bench, gh)
                 pos[pos == len(self.bench)] = 0
                 hit = self.bench[pos] == gh
-                np.maximum.at(flag, rows[hit], 1)
+                r, g = rows[hit], gh[hit]
+                if len(r):
+                    # distinct (doc, gram) pairs: a gram repeated inside
+                    # one doc counts once (matches the oracle's
+                    # count(DISTINCT g8) per doc)
+                    order = np.lexsort((g, r))
+                    r, g = r[order], g[order]
+                    first = np.ones(len(r), bool)
+                    first[1:] = (r[1:] != r[:-1]) | (g[1:] != g[:-1])
+                    cnt = np.bincount(
+                        r[first], minlength=nrows
+                    ).astype(np.int64)
         return pa.table(
             {
                 "doc_id": ids,
-                "contaminated": pa.array(flag, pa.int64()),
+                "contaminated": pa.array(
+                    (cnt > 0).astype(np.int64), pa.int64()
+                ),
+                "n_bench_grams": pa.array(cnt, pa.int64()),
             }
         )
 
@@ -128,10 +142,13 @@ def decontaminate(
     g: int = 8,
     concurrency=(1, 8),
 ):
-    """Dataset of (doc_id, contaminated 0/1) for every corpus doc:
-    contaminated = shares ≥1 word ``g``-gram with any benchmark doc.
-    Benchmark grams are broadcast once; the corpus side is a pure
-    actor-pool map — no shuffle, no driver pass over the corpus."""
+    """Dataset of (doc_id, contaminated 0/1, n_bench_grams) for every
+    corpus doc: contaminated = shares ≥1 word ``g``-gram with any
+    benchmark doc; n_bench_grams = how many DISTINCT benchmark grams
+    the doc contains (the severity signal used to pick a drop
+    threshold instead of the binary flag). Benchmark grams are
+    broadcast once; the corpus side is a pure actor-pool map — no
+    shuffle, no driver pass over the corpus."""
     import ray
 
     bench_ref = ray.put(benchmark_gram_set(bench_ds, text_col, g))

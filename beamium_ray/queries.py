@@ -384,9 +384,10 @@ def decontaminate_docs(sf_dir: str):
     """Train/test decontamination (GPT-3-appendix-C-style n-gram
     overlap): docs with doc_id % 50 == 0 play the benchmark suite;
     every other doc is flagged if it shares any word 8-gram with the
-    suite. Benchmark gram hashes broadcast once via ray.put; the corpus
-    side is a pure actor-pool map — no shuffle. The oracle regroups by
-    the gram strings."""
+    suite, and carries the count of DISTINCT shared grams (the severity
+    signal). Benchmark gram hashes broadcast once via ray.put; the
+    corpus side is a pure actor-pool map — no shuffle. The oracle
+    regroups by the gram strings."""
     from beamium_ray.datapipe.decontam import decontaminate
 
     def split(keep_bench: bool):
@@ -1525,13 +1526,15 @@ bench AS (
   SELECT DISTINCT g8 FROM g WHERE doc_id % 50 = 0 AND g8 IS NOT NULL
 ),
 hit AS (
-  SELECT DISTINCT doc_id FROM g
+  SELECT doc_id, count(DISTINCT g8) AS n FROM g
   WHERE doc_id % 50 <> 0 AND g8 IS NOT NULL
     AND g8 IN (SELECT g8 FROM bench)
+  GROUP BY doc_id
 )
 SELECT d.doc_id,
        CAST(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
-         AS contaminated
+         AS contaminated,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_bench_grams
 FROM documents d LEFT JOIN hit h USING (doc_id)
 WHERE d.doc_id % 50 <> 0
 """,

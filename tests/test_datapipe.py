@@ -806,19 +806,22 @@ def test_decontaminate_gram_overlap(ray_session):
         "text": pa.array([f"pre {shared} post"]),
     })
     corpus = pa.table({
-        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
         "text": pa.array([
             f"x y {shared} z",                      # full 8-gram → hit
             "s0 s1 s2 s3 s4 s5 s6 other words here",  # only 7 shared
             "completely different document text here with many words",
             "s3 s4",                                 # too short for grams
+            f"pre {shared}",                        # 2 distinct bench grams
+            f"{shared} q {shared}",                 # same gram twice → 1
         ]),
     })
-    out = decontaminate(
+    df = decontaminate(
         ray.data.from_arrow(corpus).repartition(2),
         ray.data.from_arrow(bench),
-    ).to_pandas().set_index("doc_id")["contaminated"].to_dict()
-    assert out == {0: 1, 1: 0, 2: 0, 3: 0}
+    ).to_pandas().set_index("doc_id")
+    assert df["contaminated"].to_dict() == {0: 1, 1: 0, 2: 0, 3: 0, 4: 1, 5: 1}
+    assert df["n_bench_grams"].to_dict() == {0: 1, 1: 0, 2: 0, 3: 0, 4: 2, 5: 1}
 
 
 def test_new_kernels_empty_blocks(ray_session):

@@ -2,7 +2,7 @@
 entry and compare against oracle_sql() via DuckDB (row count + schema +
 order-insensitive value hash). Usage:
 
-    python tools/check_oracle.py [sf_dir]
+    python tools/check_oracle.py [sf_dir] [--only name1,name2]
 """
 
 from __future__ import annotations
@@ -40,7 +40,13 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    argv = list(sys.argv[1:])
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.001"
     import ray
 
     if not ray.is_initialized():
@@ -68,6 +74,8 @@ def main():
 
     n_pass = n_fail = 0
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         try:
             got = to_pandas(fn(sf_dir))
         except Exception as ex:  # noqa
