@@ -74,3 +74,77 @@ def hash_sample(
         return batch.filter(pa.array(sample_mask(k, r, salt)))
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def stratum_counts(ds, strat_col: str) -> dict[str, int]:
+    """Row count per stratum value: per-block ``value_counts`` partials
+    merged on the driver. Contract: strata are FEW (sources/languages,
+    not keys) — the driver holds one small dict, never rows; the count
+    pass should read only ``strat_col`` (prune at the read)."""
+    def f(batch: pa.Table) -> pa.Table:
+        s = batch[strat_col]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        vc = pc.value_counts(s)
+        return pa.table(
+            {"stratum": vc.field("values"), "n": vc.field("counts")}
+        )
+
+    out: dict[str, int] = {}
+    parts = ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for v, n in zip(b["stratum"].to_pylist(), b["n"].to_pylist()):
+            out[v] = out.get(v, 0) + n
+    return out
+
+
+def temperature_rates_ppm(
+    counts: dict[str, int], temperature: float = 2.0
+) -> dict[str, int]:
+    """Per-stratum keep rates for temperature sampling (the
+    multilingual/data-mixing recipe): sampling sources with
+    p_s ∝ n_s^(1/T) means keeping each ROW of source s with
+    rate_s = (min_n / n_s)^(1 - 1/T), normalized so the smallest
+    source is kept whole.
+
+    Exactness contract: at T=2 the exponent is 0.5 and the rate is
+    computed as floor(1e6 · sqrt(min_n/n)) — division, sqrt, multiply
+    and floor are all IEEE-754 correctly rounded, so DuckDB recomputes
+    the identical integer ppm (the gate relies on this). Other
+    temperatures use pow(), which carries no cross-engine
+    last-ulp guarantee."""
+    if not counts:
+        return {}
+    mn = min(counts.values())
+    rates: dict[str, int] = {}
+    for s, n in counts.items():
+        x = np.float64(mn) / np.float64(n)
+        if temperature == 2.0:
+            r = np.floor(1e6 * np.sqrt(x))
+        else:
+            r = np.floor(1e6 * x ** (1.0 - 1.0 / temperature))
+        rates[s] = min(PPM, int(r))
+    return rates
+
+
+def mixture_sample(
+    ds,
+    key_col: str,
+    strat_col: str,
+    temperature: float = 2.0,
+    salt: int = SAMPLE_SALT,
+):
+    """Temperature-rebalanced deterministic sample: count rows per
+    stratum (small driver dict), derive temperature keep rates, then
+    the same salted-hash filter as :func:`hash_sample`. Two passes
+    over ``ds`` — the count pass should be fed a read pruned to
+    ``strat_col`` + ``key_col``; the filter pass is a pure map."""
+    rates = temperature_rates_ppm(
+        stratum_counts(ds, strat_col), temperature
+    )
+    if not rates:
+        return ds
+    return hash_sample(
+        ds, key_col, rate_ppm=PPM, strat_col=strat_col,
+        rates_ppm=rates, salt=salt,
+    )

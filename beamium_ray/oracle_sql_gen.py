@@ -522,6 +522,46 @@ WHERE h % 1000000 < {rate_expr}
 """
 
 
+def mixture_sample_sql(table: str = "documents") -> str:
+    """Exact SQL recomputation of temperature-2 mixture sampling
+    (datapipe/sample.py mixture_sample) over the DERIVED sequence
+    table (skewed source mix: web 70 / books 15 / code 10 / wiki 5):
+    per-stratum keep rate floor(1e6·sqrt(min_n/n)) — division, sqrt,
+    multiply, floor are all IEEE correctly rounded, so DuckDB lands on
+    the identical integer ppm — then the same splitmix64 threshold
+    test as hash_sample."""
+    chain, dfinal, _ = _splitmix_chain([("src_h", 0x5EED_0002)])
+    smx, final = splitmix_cte_steps("sin", "x", "h", "ord, source", "sm")
+    return f"""
+WITH base AS (SELECT CAST(doc_id AS HUGEINT) AS i FROM {table}),
+{chain},
+d AS (
+  SELECT CAST(i AS BIGINT) AS ord,
+         CASE WHEN src_h % 100 < 70 THEN 'web'
+              WHEN src_h % 100 < 85 THEN 'books'
+              WHEN src_h % 100 < 95 THEN 'code'
+              ELSE 'wiki' END AS source
+  FROM {dfinal}),
+c AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+mn AS (SELECT min(n) AS m FROM c),
+r AS (
+  SELECT source,
+         CAST(least(1000000, floor(
+           1000000.0 * sqrt(CAST(m AS DOUBLE) / CAST(n AS DOUBLE))
+         )) AS BIGINT) AS ppm
+  FROM c, mn
+),
+sin AS (
+  SELECT ord, source,
+         CAST(xor(CAST(ord AS UBIGINT),
+                  CAST({SAMPLE_SALT_SQL} AS UBIGINT)) AS HUGEINT) AS x
+  FROM d
+),{smx}
+SELECT f.ord, f.source FROM {final} f JOIN r USING (source)
+WHERE f.h % 1000000 < r.ppm
+"""
+
+
 def hll_group_registers_sql(table: str = "events", group: str = "event_type",
                             key: str = "user_id", p: int = 12) -> str:
     """Exact SQL recomputation of the PER-GROUP HyperLogLog register

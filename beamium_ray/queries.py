@@ -353,6 +353,37 @@ def sample_docs(sf_dir: str):
     )
 
 
+def mixture_sample_docs(sf_dir: str):
+    """Temperature-2 mixture sampling (the multilingual data-mixing
+    recipe) over the DERIVED sequence table, whose source mix is
+    skewed (web 70 / books 15 / code 10 / wiki 5): count rows per
+    source, keep each source-s row with rate (min_n/n_s)^0.5 so small
+    sources are upsampled relative to the crawl. Count pass = tiny
+    driver dict; filter pass = the same pure-map salted-hash test as
+    sample_docs. The oracle recomputes the integer ppm rates
+    (floor/sqrt are IEEE-exact in both engines) and the splitmix
+    threshold per row."""
+    from beamium_ray.datapipe.sample import mixture_sample
+    from beamium_ray.pipelines.rollup_pipeline import (
+        sequences_from_documents_batch,
+    )
+
+    def ordify(b: pa.Table) -> pa.Table:
+        o = pc.cast(
+            pc.utf8_slice_codeunits(b["doc_id"], 4, 99), pa.int64()
+        )
+        return pa.table({"ord": o, "source": b["source"]})
+
+    seq = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(sequences_from_documents_batch, batch_format="pyarrow")
+        .map_batches(ordify, batch_format="pyarrow", batch_size=None)
+    )
+    return mixture_sample(
+        seq, key_col="ord", strat_col="source", temperature=2.0
+    )
+
+
 def pack_emit_docs(sf_dir: str):
     """Packed-sequence EMISSION, token-exactly verified: derive the
     canonical tokenized-sequence table from doc_id, concatenate the
@@ -1480,6 +1511,7 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
     "cms_users_events": _gen.cms_cells_sql(),
     "hll_by_type_events": _gen.hll_group_registers_sql(),
     "sample_docs": _gen.hash_sample_sql(rates_ppm=SAMPLE_RATES_PPM),
+    "mixture_sample_docs": _gen.mixture_sample_sql(),
     "repetition_stats_docs": _REP_STATS_SQL,
     "quality_filter_docs": f"""
 WITH rep AS ({_REP_STATS_SQL}),
@@ -1659,6 +1691,7 @@ QUERIES = {
     "cms_users_events": cms_users_events,
     "hll_by_type_events": hll_by_type_events,
     "sample_docs": sample_docs,
+    "mixture_sample_docs": mixture_sample_docs,
     "repetition_stats_docs": repetition_stats_docs,
     "quality_filter_docs": quality_filter_docs,
     "pack_offsets_docs": pack_offsets_docs,

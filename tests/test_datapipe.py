@@ -744,6 +744,42 @@ def test_hash_sample_deterministic_and_stratified(ray_session):
     assert sorted(flat["doc_id"]) == sorted(ids[sample_mask(ids, 250_000)])
 
 
+def test_mixture_sample_temperature_rates(ray_session):
+    """Temperature-2 rates: the smallest source keeps everything, a 4×
+    source keeps sqrt(1/4)=50%; the sampled rows are exactly the
+    hash_sample rows under those derived rates, independent of block
+    splits; the generic-temperature branch endpoints are sane (T=1 ⇒
+    natural proportions ⇒ keep all; T→∞ ⇒ equal-size sources)."""
+    import ray.data
+
+    from beamium_ray.datapipe.sample import (
+        hash_sample, mixture_sample, stratum_counts, temperature_rates_ppm,
+    )
+
+    n = 10_000
+    ids = np.arange(n, dtype=np.int64)
+    # 8000 crawl docs, 2000 book docs → rates crawl 500000, books 1e6
+    src = np.where(ids % 5 == 0, "books", "crawl")
+    t = pa.table({"doc_id": pa.array(ids), "source": pa.array(src)})
+    ds = ray.data.from_arrow(t).repartition(7)
+    counts = stratum_counts(ds, "source")
+    assert counts == {"books": 2000, "crawl": 8000}
+    rates = temperature_rates_ppm(counts, temperature=2.0)
+    assert rates == {"books": 1_000_000, "crawl": 500_000}
+    got = mixture_sample(ds, "doc_id", "source").to_pandas()
+    want = hash_sample(
+        ray.data.from_arrow(t), "doc_id", rate_ppm=1_000_000,
+        strat_col="source", rates_ppm=rates,
+    ).to_pandas()
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+    assert (got["source"] == "books").sum() == 2000  # smallest kept whole
+    assert temperature_rates_ppm(counts, temperature=1.0) == {
+        "books": 1_000_000, "crawl": 1_000_000,  # T=1 ⇒ keep all
+    }
+    hi_t = temperature_rates_ppm(counts, temperature=1e9)
+    assert hi_t["crawl"] == 250_000  # T→∞ ⇒ rate mn/n equalizes sources
+
+
 def test_quality_filter_reason_bits():
     """Each rule trips on a purpose-built document and the bits
     compose: a good doc keeps, a short doc sets bit 1, a long-word doc
