@@ -292,3 +292,57 @@ def cms_estimate(
         )
         est = np.minimum(est, dense[r, col])
     return est
+
+
+# ---------------- Token vocabulary histogram ----------------
+
+
+def token_histogram_rows(batch: pa.Table, list_col: str) -> pa.Table:
+    """Per-batch PARTIAL token frequency rows (token, n) over an
+    ``array<int32>`` column — the combiner: one ``bincount`` over the
+    flattened values buffer, so at most vocab-size narrow rows leave a
+    block regardless of how many tokens it holds (a 26M-token block
+    emits ≤ |vocab| rows). Token ids must be non-negative (the
+    tokenizer contract)."""
+    empty = pa.table(
+        {"token": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+    )
+    if batch.num_rows == 0:
+        return empty
+    col = batch[list_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    if len(vals) == 0:
+        return empty
+    cnt = np.bincount(vals)
+    nz = np.nonzero(cnt)[0]
+    return pa.table(
+        {
+            "token": pa.array(nz.astype(np.int64), pa.int64()),
+            "n": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def token_histogram(ds, list_col: str = "tokens"):
+    """Corpus-wide token frequency table (token, n) — the vocabulary
+    coverage / distribution stat a tokenized-corpus pipeline reports
+    before training. Per-block bincount partials → one groupby-sum
+    whose shuffle carries only (token, count) rows bounded by the
+    vocabulary size per block; the token payload itself never crosses
+    the shuffle."""
+    merged = (
+        ds.map_batches(
+            lambda b: token_histogram_rows(b, list_col),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .groupby("token")
+        .sum("n")
+    )
+    return merged.map_batches(
+        lambda t: t.rename_columns(["token", "n"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

@@ -346,6 +346,36 @@ SELECT ord, pos, CAST(tok_h % {vocab} AS BIGINT) AS token FROM {tok_final}
 """
 
 
+def token_histogram_sql(table: str = "documents", vocab: int = 50257) -> str:
+    """Exact SQL for the token vocabulary histogram: regenerate every
+    token of every derived sequence row (token[j] =
+    splitmix64((i<<20) ^ j) % vocab — no drop rule: the histogram runs
+    over the raw sequence table) and count occurrences per token."""
+    chain, final, _ = _splitmix_chain([("ntok_h", 0x5EED_0001)])
+    tok_chain, tok_final = splitmix_cte_steps(
+        "positions", "x", "tok_h", "ord", "sm_tok"
+    )
+    return f"""
+WITH base AS (SELECT CAST(doc_id AS HUGEINT) AS i FROM {table}),
+{chain},
+seqs AS (
+  SELECT CAST(i AS BIGINT) AS ord,
+         CAST(16 + (ntok_h % 497) AS BIGINT) AS n_tok
+  FROM {final}),
+positions0 AS (
+  SELECT ord, unnest(range(0, n_tok)) AS pos FROM seqs),
+positions AS (
+  SELECT ord,
+         CAST(xor(CAST(ord AS UBIGINT) * 1048576, CAST(pos AS UBIGINT))
+              AS HUGEINT) AS x
+  FROM positions0),
+{tok_chain}
+SELECT CAST(tok_h % {vocab} AS BIGINT) AS token,
+       CAST(count(*) AS BIGINT) AS n
+FROM {tok_final} GROUP BY 1
+"""
+
+
 def stage_metrics_sql(table: str = "documents") -> str:
     """Exact SQL for the T5 self-metrics counters over the flagship
     derive: rows_in / rows_out / inf_nan from the bad-value rule."""

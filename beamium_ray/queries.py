@@ -384,6 +384,23 @@ def mixture_sample_docs(sf_dir: str):
     )
 
 
+def token_histogram_docs(sf_dir: str):
+    """Corpus-wide token vocabulary histogram over the derived sequence
+    table — the distribution stat reported before training. Per-block
+    bincount combiner bounds each block's shuffle contribution at the
+    vocabulary size; the token payload never crosses the shuffle. The
+    oracle regenerates every token in SQL and counts per token id."""
+    from beamium_ray.datapipe.stats import token_histogram
+    from beamium_ray.pipelines.rollup_pipeline import (
+        sequences_from_documents_batch,
+    )
+
+    seq = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        sequences_from_documents_batch, batch_format="pyarrow"
+    )
+    return token_histogram(seq, list_col="tokens")
+
+
 def pack_emit_docs(sf_dir: str):
     """Packed-sequence EMISSION, token-exactly verified: derive the
     canonical tokenized-sequence table from doc_id, concatenate the
@@ -1512,6 +1529,7 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
     "hll_by_type_events": _gen.hll_group_registers_sql(),
     "sample_docs": _gen.hash_sample_sql(rates_ppm=SAMPLE_RATES_PPM),
     "mixture_sample_docs": _gen.mixture_sample_sql(),
+    "token_histogram_docs": _gen.token_histogram_sql(),
     "repetition_stats_docs": _REP_STATS_SQL,
     "quality_filter_docs": f"""
 WITH rep AS ({_REP_STATS_SQL}),
@@ -1692,6 +1710,7 @@ QUERIES = {
     "hll_by_type_events": hll_by_type_events,
     "sample_docs": sample_docs,
     "mixture_sample_docs": mixture_sample_docs,
+    "token_histogram_docs": token_histogram_docs,
     "repetition_stats_docs": repetition_stats_docs,
     "quality_filter_docs": quality_filter_docs,
     "pack_offsets_docs": pack_offsets_docs,

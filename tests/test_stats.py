@@ -146,3 +146,34 @@ def test_hll_by_group_merge_invariance_and_exactness(ray_session):
             for r in hll_register_rows(sub, "k").to_pylist()
         )
         assert [x for x in a if x[0] == grp] == single
+
+
+def test_token_histogram_counts_and_split_invariance(ray_session):
+    """The histogram equals a direct numpy bincount of all tokens, is
+    independent of block splits, survives empty/zero-length lists, and
+    each block's partial is bounded by the vocabulary size."""
+    import ray.data
+
+    from beamium_ray.datapipe.stats import token_histogram, token_histogram_rows
+
+    rng = np.random.default_rng(7)
+    lens = rng.integers(0, 30, size=400)
+    vals = [rng.integers(0, 50, size=n).astype(np.int32) for n in lens]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(400, dtype=np.int64)),
+        "tokens": pa.array([v.tolist() for v in vals],
+                           pa.list_(pa.int32())),
+    })
+    flat = np.concatenate(vals) if vals else np.array([], np.int32)
+    want = {int(k): int(v) for k, v in zip(*np.unique(flat, return_counts=True))}
+    for parts in (1, 7):
+        got = (
+            token_histogram(ray.data.from_arrow(t).repartition(parts))
+            .to_pandas().set_index("token")["n"].to_dict()
+        )
+        assert got == want
+    # partial combiner: bounded rows, exact counts, empty-block safe
+    p = token_histogram_rows(t, "tokens")
+    assert p.num_rows <= 50
+    assert p.num_rows == len(want)
+    assert token_histogram_rows(t.slice(0, 0), "tokens").num_rows == 0
