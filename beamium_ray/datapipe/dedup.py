@@ -117,6 +117,103 @@ def exact_dedup(
     return out
 
 
+# ---------------- exact dedup over token arrays ----------------
+
+# two INDEPENDENT (position-salt, length-salt) pairs: each pass mixes
+# every (position, token) pair then XOR-folds per row and stirs in the
+# length, so equal keys mean equal (ordered) sequences up to a 64-bit
+# collision per pass — 2^-128 across both, the hash128 contract.
+_TOKDEDUP_SALTS = (
+    (0x517CC1B727220A95, 0x2545F4914F6CDD1D),
+    (0x6C62272E07BB0142, 0x27D4EB2F165667C5),
+)
+
+
+def token_content_hash(
+    col: pa.Array | pa.ChunkedArray, pos_salt: int, len_salt: int
+) -> np.ndarray:
+    """Order-sensitive 64-bit content hash per row of a list<int> column
+    — fully vectorized: splitmix every (position, token) pair, XOR-fold
+    per row (positions are distinct within a row, so the fold input set
+    determines the exact sequence), then mix in the row length. Empty
+    lists hash deterministically (fold = 0)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(
+        np.uint64
+    )
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    fold = np.zeros(len(lens), np.uint64)
+    if len(vals):
+        pos = (
+            np.arange(len(vals), dtype=np.int64) - np.repeat(starts, lens)
+        ).astype(np.uint64)
+        h = splitmix64(vals ^ splitmix64(pos ^ np.uint64(pos_salt)))
+        nz = lens > 0
+        fold[nz] = np.bitwise_xor.reduceat(h, starts[nz])
+    return splitmix64(
+        fold ^ splitmix64(lens.astype(np.uint64) ^ np.uint64(len_salt))
+    )
+
+
+def exact_dedup_tokens(
+    ds, list_col: str = "tokens", id_col: str = "ord",
+    num_buckets: int = 64,
+):
+    """Exact sequence-level dedup by TOKEN-ARRAY content: (id=min id
+    per distinct token sequence, n=duplicate count).
+
+    The tokens-native sibling of ``exact_dedup(mode="hash128")`` — the
+    payload never crosses the shuffle: each block combines locally to
+    (h1, h2, min id, count) rows under two independently-salted
+    order-sensitive content hashes, then one bucketed groupby merges.
+    Distinct sequences colliding on both hashes (~2^-128 per pair) is
+    the accepted risk, as in the text hash128 mode."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b[list_col]
+        (pa1, la), (pb, lb) = _TOKDEDUP_SALTS
+        t = pa.table(
+            {
+                "h1": pa.array(
+                    token_content_hash(col, pa1, la).astype(np.int64),
+                    pa.int64(),
+                ),
+                "h2": pa.array(
+                    token_content_hash(col, pb, lb).astype(np.int64),
+                    pa.int64(),
+                ),
+                "id": b[id_col],
+            }
+        )
+        g = t.group_by(["h1", "h2"], use_threads=False).aggregate(
+            [("id", "min"), ("id", "count")]
+        )
+        g = g.rename_columns(["h1", "h2", "id", "n"])
+        g = g.set_column(
+            g.column_names.index("n"), "n", pc.cast(g["n"], pa.int64())
+        )
+        bucket = (
+            g["h1"].to_numpy().astype(np.uint64) % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return g.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    def merge(group: pa.Table) -> pa.Table:
+        g = group.group_by(["h1", "h2"], use_threads=False).aggregate(
+            [("id", "min"), ("n", "sum")]
+        )
+        return g.rename_columns(["h1", "h2", "id", "n"]).select(["id", "n"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 # ---------------- shingling + MinHash ----------------
 
 

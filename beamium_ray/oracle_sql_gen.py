@@ -376,6 +376,46 @@ FROM {tok_final} GROUP BY 1
 """
 
 
+def dedup_tokens_sql(table: str = "documents", vocab: int = 50257) -> str:
+    """Exact SQL for token-array exact dedup: regenerate every row's
+    token list from its PLANTED source id (rows with ord % 7 = 3 take
+    the tokens of ord-3 — real duplicate arrays), then group by the
+    list itself: min(ord) + count per distinct sequence. The engine
+    groups by a 128-bit content hash; the oracle groups by the actual
+    list, so a hash that ever collided or missed order would fail."""
+    n_chain, n_final = splitmix_cte_steps("nin", "x", "ntok_h", "ord, i", "smn")
+    t_chain, t_final = splitmix_cte_steps(
+        "positions", "x", "tok_h", "ord, pos", "smt"
+    )
+    return f"""
+WITH planted AS (
+  SELECT CAST(doc_id AS BIGINT) AS ord,
+         CAST(doc_id - CASE WHEN doc_id % 7 = 3 THEN 3 ELSE 0 END
+              AS HUGEINT) AS i
+  FROM {table}),
+nin AS (
+  SELECT ord, i,
+         CAST(xor(CAST(i AS UBIGINT), CAST({0x5EED_0001} AS UBIGINT))
+              AS HUGEINT) AS x
+  FROM planted),{n_chain},
+seqs AS (
+  SELECT ord, i, CAST(16 + (ntok_h % 497) AS BIGINT) AS n_tok
+  FROM {n_final}),
+positions0 AS (
+  SELECT ord, i, unnest(range(0, n_tok)) AS pos FROM seqs),
+positions AS (
+  SELECT ord, pos,
+         CAST(xor(CAST(i AS UBIGINT) * 1048576, CAST(pos AS UBIGINT))
+              AS HUGEINT) AS x
+  FROM positions0),{t_chain},
+per_doc AS (
+  SELECT ord, list(CAST(tok_h % {vocab} AS BIGINT) ORDER BY pos) AS toks
+  FROM {t_final} GROUP BY ord)
+SELECT min(ord) AS id, CAST(count(*) AS BIGINT) AS n
+FROM per_doc GROUP BY toks
+"""
+
+
 def stage_metrics_sql(table: str = "documents") -> str:
     """Exact SQL for the T5 self-metrics counters over the flagship
     derive: rows_in / rows_out / inf_nan from the bad-value rule."""

@@ -401,6 +401,35 @@ def token_histogram_docs(sf_dir: str):
     return token_histogram(seq, list_col="tokens")
 
 
+def dedup_tokens_docs(sf_dir: str):
+    """Exact sequence-level dedup by TOKEN-ARRAY content (not text):
+    rows with ord % 7 == 3 are planted with the token array of ord-3,
+    and the engine must collapse them — payload never crosses the
+    shuffle (two independently-salted order-sensitive content hashes
+    route; ~2^-128 collision contract). The oracle regenerates every
+    token list in SQL and groups by the LIST itself, so any hash
+    collision or order-insensitivity would hash-mismatch."""
+    from beamium_ray.datapipe.dedup import exact_dedup_tokens
+    from beamium_ray.pipelines.rollup_pipeline import (
+        sequences_from_documents_batch,
+    )
+
+    def plant(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pid = i - np.where(i % 7 == 3, 3, 0)
+        seq = sequences_from_documents_batch(
+            pa.table({"doc_id": pa.array(pid, pa.int64())})
+        )
+        return pa.table(
+            {"ord": pa.array(i, pa.int64()), "tokens": seq["tokens"]}
+        )
+
+    seq = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        plant, batch_format="pyarrow", batch_size=None
+    )
+    return exact_dedup_tokens(seq, list_col="tokens", id_col="ord")
+
+
 def pack_emit_docs(sf_dir: str):
     """Packed-sequence EMISSION, token-exactly verified: derive the
     canonical tokenized-sequence table from doc_id, concatenate the
@@ -1530,6 +1559,7 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
     "sample_docs": _gen.hash_sample_sql(rates_ppm=SAMPLE_RATES_PPM),
     "mixture_sample_docs": _gen.mixture_sample_sql(),
     "token_histogram_docs": _gen.token_histogram_sql(),
+    "dedup_tokens_docs": _gen.dedup_tokens_sql(),
     "repetition_stats_docs": _REP_STATS_SQL,
     "quality_filter_docs": f"""
 WITH rep AS ({_REP_STATS_SQL}),
@@ -1711,6 +1741,7 @@ QUERIES = {
     "sample_docs": sample_docs,
     "mixture_sample_docs": mixture_sample_docs,
     "token_histogram_docs": token_histogram_docs,
+    "dedup_tokens_docs": dedup_tokens_docs,
     "repetition_stats_docs": repetition_stats_docs,
     "quality_filter_docs": quality_filter_docs,
     "pack_offsets_docs": pack_offsets_docs,

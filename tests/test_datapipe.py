@@ -970,3 +970,41 @@ def test_emit_packed_rows_reconstructs_stream(ray_session):
     assert (out["token"].to_numpy() == stream).all()
     assert (out["seq_id"].to_numpy() == gp // 16).all()
     assert (out["pos_in_seq"].to_numpy() == gp % 16).all()
+
+
+def test_exact_dedup_tokens_order_and_collapse(ray_session):
+    """Equal token arrays collapse across blocks to (min id, count);
+    order matters ([a,b] != [b,a]); length matters ([x] != [x,x]);
+    empty lists dedup among themselves; the content hash is block-split
+    invariant."""
+    import ray.data
+
+    from beamium_ray.datapipe.dedup import (
+        _TOKDEDUP_SALTS, exact_dedup_tokens, token_content_hash,
+    )
+
+    lists = [
+        [1, 2, 3], [1, 2, 3],          # dup pair (ids 0,1)
+        [3, 2, 1],                      # reversed → distinct
+        [7], [7, 7],                    # length-sensitive
+        [], [],                         # empty dup pair (ids 5,6)
+        [1, 2, 3],                      # third copy (id 7)
+    ]
+    t = pa.table({
+        "ord": pa.array(range(len(lists)), pa.int64()),
+        "tokens": pa.array(lists, pa.list_(pa.int32())),
+    })
+    got = (
+        exact_dedup_tokens(ray.data.from_arrow(t).repartition(4))
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert list(map(tuple, got.values)) == [
+        (0, 3), (2, 1), (3, 1), (4, 1), (5, 2),
+    ]
+    (ps, ls), _ = _TOKDEDUP_SALTS
+    h_all = token_content_hash(t["tokens"].combine_chunks(), ps, ls)
+    h_tail = token_content_hash(
+        t["tokens"].combine_chunks().slice(3), ps, ls
+    )
+    assert (h_all[3:] == h_tail).all()  # sliced-array offsets handled
+    assert len(set(h_all[[0, 2, 3, 4, 5]].tolist())) == 5
