@@ -222,3 +222,45 @@ def emit_packed_rows(
         .groupby("_bkt")
         .map_groups(emit, batch_format="pyarrow")
     )
+
+
+def truncate_sequences(
+    ds,
+    list_col: str = "tokens",
+    len_col: str = "n_tok",
+    max_len: int = 2048,
+    min_len: int = 0,
+):
+    """Context-length shaping: drop sequences shorter than ``min_len``
+    tokens and clip the rest to their first ``max_len`` tokens,
+    updating ``len_col`` (created if absent). The filter/clip every
+    training pipeline runs before packing — a pure map stage: no
+    shuffle, Arrow ``list_slice`` kernel per block, payload untouched
+    beyond the clip."""
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        col = batch[list_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.list_value_length(col)
+        if min_len > 0:
+            keep = pc.greater_equal(lens, min_len)
+            batch = batch.filter(keep)
+            col = batch[list_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+        clipped = pc.list_slice(col, 0, max_len)
+        new_len = pc.cast(pc.list_value_length(clipped), pa.int32())
+        batch = batch.set_column(
+            batch.column_names.index(list_col), list_col, clipped
+        )
+        if len_col in batch.column_names:
+            batch = batch.set_column(
+                batch.column_names.index(len_col), len_col, new_len
+            )
+        else:
+            batch = batch.append_column(len_col, new_len)
+        return batch
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)

@@ -416,6 +416,37 @@ FROM per_doc GROUP BY toks
 """
 
 
+def truncate_tokens_sql(
+    table: str = "documents", vocab: int = 50257,
+    min_len: int = 32, max_len: int = 256,
+) -> str:
+    """Exact SQL for the context-length filter + truncation gate:
+    regenerate every token of every derived sequence with
+    n_tok ≥ min_len, keeping only positions < max_len — must equal the
+    engine's list_slice output token for token."""
+    chain, final, _ = _splitmix_chain([("ntok_h", 0x5EED_0001)])
+    tok_chain, tok_final = splitmix_cte_steps(
+        "positions", "x", "tok_h", "ord, pos", "sm_tok"
+    )
+    return f"""
+WITH base AS (SELECT CAST(doc_id AS HUGEINT) AS i FROM {table}),
+{chain},
+kept AS (
+  SELECT CAST(i AS BIGINT) AS ord,
+         CAST(16 + (ntok_h % 497) AS BIGINT) AS n_tok
+  FROM {final} WHERE 16 + (ntok_h % 497) >= {min_len}),
+positions0 AS (
+  SELECT ord, unnest(range(0, least(n_tok, {max_len}))) AS pos FROM kept),
+positions AS (
+  SELECT ord, pos,
+         CAST(xor(CAST(ord AS UBIGINT) * 1048576, CAST(pos AS UBIGINT))
+              AS HUGEINT) AS x
+  FROM positions0),
+{tok_chain}
+SELECT ord, pos, CAST(tok_h % {vocab} AS BIGINT) AS token FROM {tok_final}
+"""
+
+
 def stage_metrics_sql(table: str = "documents") -> str:
     """Exact SQL for the T5 self-metrics counters over the flagship
     derive: rows_in / rows_out / inf_nan from the bad-value rule."""

@@ -430,6 +430,60 @@ def dedup_tokens_docs(sf_dir: str):
     return exact_dedup_tokens(seq, list_col="tokens", id_col="ord")
 
 
+def truncate_sequences_docs(sf_dir: str):
+    """Context-length filter + truncation, token-exactly verified:
+    derived sequences shorter than 32 tokens are dropped, the rest are
+    clipped to their first 256 tokens (Arrow list_slice, pure map —
+    no shuffle), and every surviving token is unnested to
+    (ord, pos, token) so the oracle's independent regeneration must
+    match token for token."""
+    from beamium_ray.datapipe.packing import truncate_sequences
+    from beamium_ray.pipelines.rollup_pipeline import (
+        sequences_from_documents_batch,
+    )
+
+    def ordify(b: pa.Table) -> pa.Table:
+        o = pc.cast(
+            pc.utf8_slice_codeunits(b["doc_id"], 4, 99), pa.int64()
+        )
+        return pa.table(
+            {"ord": o, "tokens": b["tokens"], "n_tok": b["n_tok"]}
+        )
+
+    def unnest(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        vals = pc.list_flatten(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        ords = b["ord"].to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        return pa.table(
+            {
+                "ord": pa.array(np.repeat(ords, lens), pa.int64()),
+                "pos": pa.array(
+                    np.arange(len(vals), dtype=np.int64)
+                    - np.repeat(starts, lens),
+                    pa.int64(),
+                ),
+                "token": pa.array(vals, pa.int64()),
+            }
+        )
+
+    seq = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(sequences_from_documents_batch, batch_format="pyarrow")
+        .map_batches(ordify, batch_format="pyarrow", batch_size=None)
+    )
+    return truncate_sequences(
+        seq, list_col="tokens", len_col="n_tok", max_len=256, min_len=32
+    ).map_batches(unnest, batch_format="pyarrow", batch_size=None)
+
+
 def pack_emit_docs(sf_dir: str):
     """Packed-sequence EMISSION, token-exactly verified: derive the
     canonical tokenized-sequence table from doc_id, concatenate the
@@ -1560,6 +1614,7 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
     "mixture_sample_docs": _gen.mixture_sample_sql(),
     "token_histogram_docs": _gen.token_histogram_sql(),
     "dedup_tokens_docs": _gen.dedup_tokens_sql(),
+    "truncate_sequences_docs": _gen.truncate_tokens_sql(),
     "repetition_stats_docs": _REP_STATS_SQL,
     "quality_filter_docs": f"""
 WITH rep AS ({_REP_STATS_SQL}),
@@ -1742,6 +1797,7 @@ QUERIES = {
     "mixture_sample_docs": mixture_sample_docs,
     "token_histogram_docs": token_histogram_docs,
     "dedup_tokens_docs": dedup_tokens_docs,
+    "truncate_sequences_docs": truncate_sequences_docs,
     "repetition_stats_docs": repetition_stats_docs,
     "quality_filter_docs": quality_filter_docs,
     "pack_offsets_docs": pack_offsets_docs,

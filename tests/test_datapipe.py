@@ -1008,3 +1008,44 @@ def test_exact_dedup_tokens_order_and_collapse(ray_session):
     )
     assert (h_all[3:] == h_tail).all()  # sliced-array offsets handled
     assert len(set(h_all[[0, 2, 3, 4, 5]].tolist())) == 5
+
+
+def test_truncate_sequences_filter_and_clip(ray_session):
+    """min_len drops short rows, max_len clips the rest in place,
+    n_tok is rewritten (or created), sliced-array offsets are handled,
+    and an all-dropped block keeps the schema."""
+    import ray.data
+
+    from beamium_ray.datapipe.packing import truncate_sequences
+
+    t = pa.table({
+        "ord": pa.array([0, 1, 2, 3], pa.int64()),
+        "tokens": pa.array(
+            [[1, 2, 3, 4, 5], [9], [7, 8], list(range(100))],
+            pa.list_(pa.int32()),
+        ),
+        "n_tok": pa.array([5, 1, 2, 100], pa.int32()),
+    })
+    got = (
+        truncate_sequences(
+            ray.data.from_arrow(t).repartition(3),
+            max_len=4, min_len=2,
+        )
+        .to_pandas().sort_values("ord").reset_index(drop=True)
+    )
+    assert got["ord"].tolist() == [0, 2, 3]
+    assert [list(x) for x in got["tokens"]] == [
+        [1, 2, 3, 4], [7, 8], [0, 1, 2, 3],
+    ]
+    assert got["n_tok"].tolist() == [4, 2, 4]
+    # len_col created when absent
+    no_len = truncate_sequences(
+        ray.data.from_arrow(t.select(["ord", "tokens"])), max_len=3
+    ).to_pandas().sort_values("ord")
+    assert no_len["n_tok"].tolist() == [3, 1, 2, 3]
+    # all rows dropped → empty output, Dataset schema intact
+    # (to_pandas on an all-empty Dataset drops columns — Ray quirk,
+    # so assert on the Dataset schema)
+    empty = truncate_sequences(ray.data.from_arrow(t), min_len=1000)
+    assert empty.count() == 0
+    assert set(empty.schema().names) == {"ord", "tokens", "n_tok"}
