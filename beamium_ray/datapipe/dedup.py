@@ -1569,6 +1569,34 @@ def embedding_neardup(
     n_pairs = pair_ds.count()
     n_star = _star_count_ds(pair_ds)
     _warn_capped_count(n_star, "embedding_neardup")
+    out, path = _verified_cosine_pairs(
+        ds, pair_ds, n_pairs, vec_col, id_col, threshold,
+        max_broadcast_pairs, distributed, num_partitions,
+    )
+    _record_metrics(
+        metrics, metrics_path, path=path, candidate_pairs=n_pairs,
+        star_pairs=n_star, verified_pairs=int(out.num_rows),
+    )
+    return out
+
+
+def _verified_cosine_pairs(
+    ds,
+    pair_ds,
+    n_pairs: int,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    max_broadcast_pairs: int,
+    distributed: bool | None,
+    num_partitions: int | None,
+) -> tuple[pa.Table, str]:
+    """Exact float64 cosine verification of a candidate-pair Dataset —
+    the dual route shared by embedding_neardup and semantic_dedup:
+    ≤ ``max_broadcast_pairs`` → driver verify against exactly-fetched
+    vectors; above the cap (or forced) → Bloom-pruned pair↔vector
+    bucket join with no pair-count ceiling. Returns
+    (table(a, b, cosine ≥ threshold), route_name)."""
     if distributed is None:
         distributed = n_pairs > max_broadcast_pairs
     empty = pa.table(
@@ -1576,11 +1604,7 @@ def embedding_neardup(
          "cosine": pa.array([], pa.float64())}
     )
     if n_pairs == 0:
-        _record_metrics(
-            metrics, metrics_path, path="none", candidate_pairs=0,
-            star_pairs=0, verified_pairs=0,
-        )
-        return empty
+        return empty, "none"
 
     if not distributed:
         pt = pa.concat_tables(
@@ -1601,11 +1625,7 @@ def embedding_neardup(
                 "cosine": pa.array(cos[m], pa.float64()),
             }
         )
-        _record_metrics(
-            metrics, metrics_path, path="driver", candidate_pairs=n_pairs,
-            star_pairs=n_star, verified_pairs=int(out.num_rows),
-        )
-        return out
+        return out, "driver"
 
     from beamium_ray.datapipe.pairjoin import cosine_metric, pair_metric_join
     from beamium_ray.functions.cluster import default_partitions
@@ -1626,11 +1646,101 @@ def embedding_neardup(
         if b.num_rows
     ]
     out = pa.concat_tables(out_batches) if out_batches else empty
-    _record_metrics(
-        metrics, metrics_path, path="distributed", candidate_pairs=n_pairs,
-        star_pairs=n_star, verified_pairs=int(out.num_rows),
+    return out, "distributed"
+
+
+def semantic_dedup(
+    ds,
+    centroids: np.ndarray | None = None,
+    n_clusters: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    bucket_cap: int = 4096,
+    max_broadcast_pairs: int = 2_000_000,
+    num_partitions: int | None = None,
+    distributed: bool | None = None,
+    metrics: dict | None = None,
+    metrics_path: str | None = None,
+):
+    """SemDeDup-style semantic dedup (cluster-then-dedup, after Abbas
+    et al. 2023): k-means-partition the embedding space, compare pairs
+    only WITHIN a cluster (the O(N²/k) trick that makes semantic dedup
+    tractable), verify exact float64 cosine ≥ ``threshold``, and label
+    every doc with its verified component's min id. Returns a
+    (doc_id, cluster) Dataset — drop rows where doc_id != cluster to
+    keep one representative per semantic group.
+
+    Scale shape: centroids are trained from a bounded sample (or
+    supplied) and ray.put once; assignment is one actor-pool pass;
+    candidate generation is one (list_id)-bucketed groupby with
+    ``bucket_cap`` star-fallback (a degenerate cluster can't go
+    quadratic); verification reuses the embedding_neardup dual route
+    (driver under ``max_broadcast_pairs``, Bloom-pruned pair↔vector
+    bucket join above — no pair-count ceiling); components via
+    ``connected_components``. Vectors never enter a shuffle.
+
+    Inherent approximation (the paper's): a cos ≥ τ pair straddling
+    two k-means cells is never compared. Raise ``n_clusters`` quality
+    vs cost as the corpus grows."""
+    import ray
+    import ray.data
+
+    from beamium_ray.datapipe.similarity import AssignList, train_centroids
+    from beamium_ray.functions.cluster import autoscaling_pool
+
+    if centroids is None:
+        centroids = train_centroids(ds, n_clusters, vec_col=vec_col)
+    cent = np.asarray(centroids, dtype=np.float64)
+    cent_ref = ray.put(cent)
+    assigned = ds.map_batches(
+        AssignList,
+        fn_constructor_args=(cent_ref, vec_col),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=autoscaling_pool(),
     )
-    return out
+
+    def narrow(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(b["list_id"], pa.int64()),
+                "doc_id": pc.cast(b[id_col], pa.int64()),
+            }
+        )
+
+    index_rows = assigned.map_batches(
+        narrow, batch_format="pyarrow", batch_size=None
+    )
+    pair_ds = candidate_pair_ds(
+        index_rows, ["key"], bucket_cap=bucket_cap,
+        num_partitions=num_partitions,
+    ).materialize()
+    n_pairs = pair_ds.count()
+    n_star = _star_count_ds(pair_ds)
+    _warn_capped_count(n_star, "semantic_dedup")
+    verified, path = _verified_cosine_pairs(
+        ds, pair_ds, n_pairs, vec_col, id_col, threshold,
+        max_broadcast_pairs, distributed, num_partitions,
+    )
+
+    def self_edges(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b[id_col], pa.int64())
+        return pa.table({"a": ids, "b": ids})
+
+    edge_ds = ds.map_batches(
+        self_edges, batch_format="pyarrow", batch_size=None
+    )
+    if verified.num_rows:
+        edge_ds = edge_ds.union(
+            ray.data.from_arrow(verified.select(["a", "b"]))
+        )
+    labels = connected_components(edge_ds, num_partitions=num_partitions)
+    _record_metrics(
+        metrics, metrics_path, path=path, candidate_pairs=n_pairs,
+        star_pairs=n_star, verified_pairs=int(verified.num_rows),
+    )
+    return labels
 
 
 # ---------------- chunk-level exact dedup ----------------

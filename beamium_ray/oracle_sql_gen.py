@@ -536,6 +536,51 @@ SELECT i AS vec_id FROM cos ORDER BY c DESC, i LIMIT {k}
 """
 
 
+def semantic_dedup_sql(
+    d: int = 32,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    salt_c: int = 0x1F5AC0DE0001,
+    salt_n: int = 0x1F5AC0DE0002,
+) -> str:
+    """Honest oracle for the SemDeDup gate: regenerate every planted
+    vector (queries._plant_clusters_batch), compute ALL pairwise
+    cosines (no clustering assumption), connect pairs ≥ threshold via
+    a recursive-CTE transitive closure, label each vec with the
+    component min — the engine must land on identical labels through
+    its cluster-pruned candidate path."""
+    smc, cfin = splitmix_cte_steps("cin", "x", "cmx", "i, j", "smc")
+    smn, nfin = splitmix_cte_steps("nin", "x", "nmx", "i, j, cmx", "smn")
+    u = "(CAST({col} % 2000001 AS DOUBLE) / 1000000.0 - 1.0)"
+    return f"""
+WITH RECURSIVE dims AS (SELECT unnest(range(0, {d})) AS j),
+cells AS (SELECT vec_id AS i, j FROM embeddings CROSS JOIN dims),
+cin AS (SELECT i, j,
+  CAST(xor(CAST((i % {n_clusters}) * 1000003 + j AS UBIGINT),
+           CAST({salt_c} AS UBIGINT)) AS HUGEINT) AS x FROM cells),{smc},
+nin AS (SELECT i, j, cmx,
+  CAST(xor(CAST(i * 2097169 + j AS UBIGINT),
+           CAST({salt_n} AS UBIGINT)) AS HUGEINT) AS x FROM {cfin}),{smn},
+vec AS (SELECT i, j,
+  {u.format(col='cmx')} + 0.05 * {u.format(col='nmx')} AS v FROM {nfin}),
+cos AS (
+  SELECT x.i AS a, y.i AS b,
+         sum(x.v * y.v) /
+         (sqrt(sum(x.v * x.v)) * sqrt(sum(y.v * y.v))) AS c
+  FROM vec x JOIN vec y ON x.j = y.j AND x.i < y.i
+  GROUP BY x.i, y.i
+),
+edges AS (SELECT a, b FROM cos WHERE c >= {threshold}),
+e2 AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(doc_id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT reach.doc_id, e2.b FROM reach JOIN e2 ON e2.a = reach.r
+)
+SELECT doc_id, min(r) AS cluster FROM reach GROUP BY doc_id
+"""
+
+
 def hll_registers_sql(table: str = "events", key: str = "user_id",
                       p: int = 12) -> str:
     """Exact SQL recomputation of the HyperLogLog register state

@@ -715,6 +715,26 @@ def simsearch_ivf_pruned_embeddings(sf_dir: str):
     ).select(["vec_id"])
 
 
+def semantic_dedup_embeddings(sf_dir: str):
+    """SemDeDup-style cluster-then-dedup over the planted-cluster
+    corpus (the ivf_pruned fixture: 16 tight clusters, own-cluster
+    cos ≥ 0.997 vs cross ≤ 0.41): assign each vector to its nearest
+    centroid, compare pairs only within a cluster, verify exact
+    cosine ≥ 0.95, and label every vec with its component min. The
+    oracle regenerates every vector, computes ALL pairwise cosines
+    (no clustering assumption), and runs a recursive-CTE transitive
+    closure — so a missed cross-cluster pair or a bad candidate path
+    would hash-mismatch."""
+    from beamium_ray.datapipe.dedup import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id"]).map_batches(
+        _plant_clusters_batch, batch_format="pyarrow", batch_size=None
+    )
+    centers = _ivf_center(np.arange(_IVF_CLUSTERS))
+    cent = centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    return semantic_dedup(ds, centroids=cent, threshold=0.95)
+
+
 def embedding_neardup_embeddings(sf_dir: str):
     """Cosine near-dup over the embeddings table AUGMENTED in-pipeline
     with exact copies (vec_id+1e6 for vec_id%10==0) so the operator has
@@ -1759,6 +1779,7 @@ LIMIT 10
     # pruned (nprobe=4 < n_lists=16) search vs an exhaustive SQL rank
     # over the regenerated planted-cluster vectors
     "simsearch_ivf_pruned_embeddings": _gen.ivf_pruned_sql(),
+    "semantic_dedup_embeddings": _gen.semantic_dedup_sql(),
 }
 
 
@@ -1807,6 +1828,7 @@ QUERIES = {
     "simsearch_topk_embeddings": simsearch_topk_embeddings,
     "simsearch_ivf_embeddings": simsearch_ivf_embeddings,
     "simsearch_ivf_pruned_embeddings": simsearch_ivf_pruned_embeddings,
+    "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "embedding_neardup_embeddings": embedding_neardup_embeddings,
     "embedding_neardup_distributed_embeddings":
         embedding_neardup_distributed_embeddings,

@@ -1049,3 +1049,41 @@ def test_truncate_sequences_filter_and_clip(ray_session):
     empty = truncate_sequences(ray.data.from_arrow(t), min_len=1000)
     assert empty.count() == 0
     assert set(empty.schema().names) == {"ord", "tokens", "n_tok"}
+
+
+def test_semantic_dedup_clusters_and_singletons(ray_session):
+    """Near-identical embedding groups collapse to their min id through
+    the full path (trained centroids -> within-cluster candidates ->
+    exact cosine verify -> components); dissimilar vectors keep their
+    own label; forcing the distributed verify route lands on identical
+    labels."""
+    import ray.data
+
+    from beamium_ray.datapipe.dedup import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(4, 16))
+    rows, ids = [], []
+    vid = 0
+    for g in range(4):
+        copies = 3 if g < 2 else 1  # groups 0,1 have near-dups
+        for c in range(copies):
+            rows.append(base[g] + 0.001 * rng.normal(size=16))
+            ids.append(vid)
+            vid += 1
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([r.tolist() for r in rows],
+                              pa.list_(pa.float64())),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    for forced in (None, True):
+        got = {
+            r["doc_id"]: r["cluster"]
+            for r in semantic_dedup(
+                ds, n_clusters=4, threshold=0.95, distributed=forced
+            ).take_all()
+        }
+        assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3, 6: 6, 7: 7}, (
+            forced, got,
+        )
