@@ -146,6 +146,12 @@ QUERY_NAMES = [
     "pack_offsets_docs",
     "pack_emit_docs",
     "decontaminate_docs",
+    # round-3 late additions
+    "mixture_sample_docs",
+    "token_histogram_docs",
+    "dedup_tokens_docs",
+    "truncate_sequences_docs",
+    "semantic_dedup_embeddings",
 ]
 
 
