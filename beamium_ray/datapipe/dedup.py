@@ -1660,6 +1660,7 @@ def semantic_dedup(
     max_broadcast_pairs: int = 2_000_000,
     num_partitions: int | None = None,
     distributed: bool | None = None,
+    train: str = "sample",
     metrics: dict | None = None,
     metrics_path: str | None = None,
 ):
@@ -1682,15 +1683,26 @@ def semantic_dedup(
 
     Inherent approximation (the paper's): a cos ≥ τ pair straddling
     two k-means cells is never compared. Raise ``n_clusters`` quality
-    vs cost as the corpus grows."""
+    vs cost as the corpus grows.
+
+    ``train`` picks the centroid trainer when ``centroids`` is None:
+    "sample" (one bounded driver sample — SemDeDup's own recipe) or
+    "distributed" (full-corpus Lloyd rounds via narrow partial-sum
+    shuffles — use when no 4k-row sample is representative)."""
     import ray
     import ray.data
 
-    from beamium_ray.datapipe.similarity import AssignList, train_centroids
+    from beamium_ray.datapipe.similarity import (
+        AssignList, train_centroids, train_centroids_distributed,
+    )
     from beamium_ray.functions.cluster import autoscaling_pool
 
     if centroids is None:
-        centroids = train_centroids(ds, n_clusters, vec_col=vec_col)
+        trainer = (
+            train_centroids_distributed if train == "distributed"
+            else train_centroids
+        )
+        centroids = trainer(ds, n_clusters, vec_col=vec_col)
     cent = np.asarray(centroids, dtype=np.float64)
     cent_ref = ray.put(cent)
     assigned = ds.map_batches(

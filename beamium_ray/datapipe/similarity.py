@@ -130,16 +130,135 @@ def train_centroids(
             vec_col
         ]
     )
+    return _kmeans_on_sample(S, n_lists, seed)
+
+
+def _kmeans_on_sample(S: np.ndarray, n_lists: int, seed: int) -> np.ndarray:
+    """Few Lloyd rounds on a driver-resident sample (unit-norm space)."""
     S = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-30)
     rng = np.random.default_rng(seed)
     cent = S[rng.choice(len(S), size=min(n_lists, len(S)), replace=False)]
-    for _ in range(5):  # few Lloyd rounds on the sample
+    for _ in range(5):
         d2 = ((S[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
         assign = d2.argmin(1)
         for c in range(len(cent)):
             m = assign == c
             if m.any():
                 cent[c] = S[m].mean(0)
+    return cent
+
+
+def _block_head_sample(
+    ds, vec_col: str, sample_size: int, per_block: int = 64
+) -> np.ndarray:
+    """Init sample that COVERS the corpus: the first ``per_block`` rows
+    of every block (cheap — no shuffle, no full read of any block),
+    capped at ``sample_size``. A head-only ``limit()`` sample misses
+    whole clusters when the corpus is sorted/partitioned by source —
+    the standard k-means bad-init trap."""
+
+    def head(b: pa.Table) -> pa.Table:
+        return b.select([vec_col]).slice(0, per_block)
+
+    s = ds.map_batches(
+        head, batch_format="pyarrow", batch_size=None
+    ).limit(sample_size)
+    return _mat(
+        pa.concat_tables(list(s.iter_batches(batch_format="pyarrow")))[
+            vec_col
+        ]
+    )
+
+
+def train_centroids_distributed(
+    ds,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    rounds: int = 4,
+    sample_size: int = 4096,
+) -> np.ndarray:
+    """Spherical k-means over the FULL corpus (Lloyd rounds as Ray
+    passes) — removes ``train_centroids``'s dependence on the bounded
+    driver sample when the corpus doesn't fit a representative 4k-row
+    slice.
+
+    Scale shape per round: centroids are ``ray.put`` once; each block
+    assigns its vectors locally and emits PARTIAL (list_id, j, s, n)
+    sum rows — at most n_lists × (d+1) narrow rows per block, so the
+    merge groupby shuffles kilobytes regardless of corpus size; the
+    driver folds only the n_lists × d merged sums. Vectors never
+    shuffle. Initialization = the sample-based trainer (one cheap
+    pass), so with a representative sample this converges in 2-4
+    rounds. Empty lists keep their previous centroid."""
+    import ray
+
+    # init must COVER the corpus: per-block heads, not a head-only
+    # limit() (a corpus sorted by source would hide whole clusters
+    # from the head and strand Lloyd in a merged-centroid minimum)
+    cent = _kmeans_on_sample(
+        _block_head_sample(ds, vec_col, sample_size), n_lists, seed
+    )
+    k, d = cent.shape
+
+    for _ in range(rounds):
+        cent_ref = ray.put(cent)
+
+        def partial(batch: pa.Table, _ref=cent_ref) -> pa.Table:
+            c = ray.get(_ref)
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "list_id": pa.array([], pa.int32()),
+                        "j": pa.array([], pa.int32()),
+                        "s": pa.array([], pa.float64()),
+                    }
+                )
+            M = _mat(batch[vec_col])
+            Mu = M / np.maximum(
+                np.linalg.norm(M, axis=1, keepdims=True), 1e-30
+            )
+            assign = ((Mu[:, None, :] - c[None, :, :]) ** 2).sum(-1).argmin(1)
+            sums = np.zeros((len(c), Mu.shape[1]))
+            np.add.at(sums, assign, Mu)
+            counts = np.bincount(assign, minlength=len(c)).astype(np.float64)
+            # j = d is the count row — same narrow (list, j, s) schema
+            lid = np.repeat(
+                np.arange(len(c), dtype=np.int32), Mu.shape[1] + 1
+            )
+            jj = np.tile(
+                np.arange(Mu.shape[1] + 1, dtype=np.int32), len(c)
+            )
+            s = np.concatenate(
+                [sums, counts[:, None]], axis=1
+            ).ravel()
+            keep = np.repeat(counts > 0, Mu.shape[1] + 1)
+            return pa.table(
+                {
+                    "list_id": pa.array(lid[keep], pa.int32()),
+                    "j": pa.array(jj[keep], pa.int32()),
+                    "s": pa.array(s[keep], pa.float64()),
+                }
+            )
+
+        merged = (
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby(["list_id", "j"])
+            .sum("s")
+        )
+        new = cent.copy()
+        tot = np.zeros(k)
+        sums = np.zeros((k, d))
+        for b in merged.iter_batches(batch_format="pyarrow"):
+            lid = b["list_id"].to_numpy()
+            jj = b["j"].to_numpy()
+            s = b["sum(s)"].to_numpy()
+            cm = jj == d
+            tot[lid[cm]] += s[cm]
+            sums[lid[~cm], jj[~cm]] += s[~cm]
+        nz = tot > 0
+        new[nz] = sums[nz] / tot[nz, None]
+        cent = new
     return cent
 
 
