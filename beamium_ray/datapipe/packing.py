@@ -264,3 +264,94 @@ def truncate_sequences(
         return batch
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def length_bucket_batches(
+    counts_ds,
+    id_col: str = "doc_id",
+    count_col: str = "n_tok",
+    bucket_width: int = 64,
+    batch_size: int = 32,
+    num_buckets: int | None = None,
+):
+    """Dynamic-batching index: group sequences into LENGTH buckets
+    (len_bucket = n_tok // bucket_width) and give each row a stable
+    rank and micro-batch index within its bucket in id order — the
+    batching layout that bounds padding waste by ``bucket_width``
+    (batch mates differ by < bucket_width tokens).
+
+    Same distributed-scan shape as :func:`pack_offsets`, generalized
+    to a two-level key: ids are RANGE-bucketed for parallelism; per
+    (len_bucket, range_bucket) ROW counts merge in one tiny groupby;
+    the driver cumsums each len_bucket's counts across range buckets
+    (L×B small ints — never rows); one groupby.map_groups adds
+    base + local rank. Only the narrow (id, n_tok) table shuffles."""
+    from beamium_ray.functions.cluster import default_partitions
+
+    counts = counts_ds.materialize()
+    b = num_buckets or default_partitions()
+    lo = counts.min(id_col)
+    hi = counts.max(id_col)
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            count_col: pa.array([], pa.int64()),
+            "len_bucket": pa.array([], pa.int64()),
+            "rank_in_bucket": pa.array([], pa.int64()),
+            "batch_idx": pa.array([], pa.int64()),
+        }
+    )
+    if lo is None:
+        return counts.map_batches(
+            lambda t: empty, batch_format="pyarrow", batch_size=None
+        )
+    span = max((int(hi) - int(lo)) // b + 1, 1)
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        n = t[count_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                count_col: t[count_col],
+                "_lb": pa.array(n // bucket_width, pa.int64()),
+                "_rb": pa.array(((ids - lo) // span).astype(np.int64)),
+            }
+        )
+
+    tagged = counts.map_batches(tag, batch_format="pyarrow", batch_size=None)
+    cell_counts = {
+        (r["_lb"], r["_rb"]): r["count()"]
+        for r in tagged.groupby(["_lb", "_rb"]).count().take_all()
+    }
+    base: dict[tuple[int, int], int] = {}
+    acc: dict[int, int] = {}
+    for lb, rb in sorted(cell_counts):
+        base[(lb, rb)] = acc.get(lb, 0)
+        acc[lb] = base[(lb, rb)] + int(cell_counts[(lb, rb)])
+
+    def scan(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:  # hash-shuffle groupbys emit empty blocks
+            return empty
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        n = g[count_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(ids, kind="stable")
+        ids, n = ids[o], n[o]
+        lb = int(g["_lb"][0].as_py())
+        rb = int(g["_rb"][0].as_py())
+        rank = base[(lb, rb)] + np.arange(len(ids), dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                count_col: pa.array(n, pa.int64()),
+                "len_bucket": pa.array(
+                    np.full(len(ids), lb, np.int64), pa.int64()
+                ),
+                "rank_in_bucket": pa.array(rank, pa.int64()),
+                "batch_idx": pa.array(rank // batch_size, pa.int64()),
+            }
+        )
+
+    return tagged.groupby(["_lb", "_rb"]).map_groups(
+        scan, batch_format="pyarrow"
+    )

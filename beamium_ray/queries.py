@@ -554,6 +554,24 @@ def pack_offsets_docs(sf_dir: str):
     )
 
 
+def length_batches_docs(sf_dir: str):
+    """Dynamic-batching index: whitespace token counts → length buckets
+    of width 8 → stable rank + micro-batch index (size 16) within each
+    bucket in doc_id order. Two-level distributed scan (range buckets ×
+    length buckets; driver holds only the L×B cell counts); the oracle
+    is one SQL window function."""
+    from beamium_ray.datapipe.packing import length_bucket_batches
+    from beamium_ray.datapipe.textstats import token_count_batch
+
+    counts = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pyarrow", batch_size=None
+    )
+    return length_bucket_batches(
+        counts, id_col="doc_id", count_col="n_tok_ws",
+        bucket_width=8, batch_size=16,
+    )
+
+
 def quality_filter_docs(sf_dir: str):
     """Composite Gopher-style quality filter: integer reason bitmask
     (short / word-length bounds / top-word share / dup-word fraction /
@@ -1635,6 +1653,24 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
     "token_histogram_docs": _gen.token_histogram_sql(),
     "dedup_tokens_docs": _gen.dedup_tokens_sql(),
     "truncate_sequences_docs": _gen.truncate_tokens_sql(),
+    "length_batches_docs": r"""
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+         END AS n_tok_ws
+  FROM documents
+)
+SELECT doc_id, n_tok_ws,
+       CAST(n_tok_ws // 8 AS BIGINT) AS len_bucket,
+       CAST(row_number() OVER (PARTITION BY n_tok_ws // 8
+                               ORDER BY doc_id) - 1 AS BIGINT)
+         AS rank_in_bucket,
+       CAST((row_number() OVER (PARTITION BY n_tok_ws // 8
+                                ORDER BY doc_id) - 1) // 16 AS BIGINT)
+         AS batch_idx
+FROM tok
+""",
     "repetition_stats_docs": _REP_STATS_SQL,
     "quality_filter_docs": f"""
 WITH rep AS ({_REP_STATS_SQL}),
@@ -1819,6 +1855,7 @@ QUERIES = {
     "token_histogram_docs": token_histogram_docs,
     "dedup_tokens_docs": dedup_tokens_docs,
     "truncate_sequences_docs": truncate_sequences_docs,
+    "length_batches_docs": length_batches_docs,
     "repetition_stats_docs": repetition_stats_docs,
     "quality_filter_docs": quality_filter_docs,
     "pack_offsets_docs": pack_offsets_docs,

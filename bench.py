@@ -152,6 +152,7 @@ QUERY_NAMES = [
     "dedup_tokens_docs",
     "truncate_sequences_docs",
     "semantic_dedup_embeddings",
+    "length_batches_docs",
 ]
 
 

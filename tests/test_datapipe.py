@@ -1134,3 +1134,30 @@ def test_train_centroids_distributed_recovers_clusters(ray_session):
     ).to_pandas()
     lab = dict(zip(labels["doc_id"], labels["cluster"]))
     assert lab[99_000] == 4 * per - 1  # collapsed onto its source row
+
+
+def test_length_bucket_batches_ranks(ray_session):
+    """Ranks are dense, start at 0 per length bucket, follow id order
+    across range buckets and block splits; batch_idx = rank // size;
+    a hot bucket spanning many range buckets still gets global ranks."""
+    import ray.data
+
+    from beamium_ray.datapipe.packing import length_bucket_batches
+
+    rng = np.random.default_rng(5)
+    ids = rng.permutation(200).astype(np.int64)
+    n = np.where(ids % 3 == 0, 10, np.where(ids % 3 == 1, 25, 70))
+    t = pa.table({"doc_id": pa.array(ids), "n_tok": pa.array(n, pa.int64())})
+    got = (
+        length_bucket_batches(
+            ray.data.from_arrow(t).repartition(5),
+            bucket_width=16, batch_size=4, num_buckets=7,
+        )
+        .to_pandas().sort_values(["len_bucket", "rank_in_bucket"])
+    )
+    for lb, g in got.groupby("len_bucket"):
+        assert g["rank_in_bucket"].tolist() == list(range(len(g)))
+        assert g["doc_id"].is_monotonic_increasing  # id order within bucket
+        assert (g["batch_idx"] == g["rank_in_bucket"] // 4).all()
+        assert (g["n_tok"] // 16 == lb).all()
+    assert len(got) == 200
