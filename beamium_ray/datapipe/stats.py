@@ -368,3 +368,83 @@ def token_histogram(ds, list_col: str = "tokens"):
         .repartition(1)
         .map_batches(_histogram_merge, batch_format="pyarrow", batch_size=None)
     )
+
+
+class _TokenRarity:
+    """Actor-pool stage: fetch the broadcast dense count table once per
+    actor, then one segmented reduceat per batch."""
+
+    def __init__(self, counts_ref, list_col: str, id_col: str):
+        import ray
+
+        self.counts = ray.get(counts_ref)
+        self.list_col = list_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        col = batch[self.list_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        vals = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        sums = np.zeros(len(lens), np.int64)
+        if len(vals):
+            starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            per_tok = self.counts[vals]
+            nz = lens > 0
+            sums[nz] = np.add.reduceat(per_tok, starts[nz])
+        return pa.table(
+            {
+                self.id_col: ids,
+                "n_tok": pa.array(lens, pa.int64()),
+                "freq_sum": pa.array(sums, pa.int64()),
+            }
+        )
+
+
+def token_rarity(
+    ds,
+    list_col: str = "tokens",
+    id_col: str = "ord",
+    histogram=None,
+    concurrency=(1, 8),
+):
+    """Per-sequence rarity signal: freq_sum = Σ over the row's tokens
+    of that token's CORPUS-WIDE occurrence count (low sum/n_tok = the
+    row is dominated by rare tokens — the integer-exact cousin of a
+    unigram log-prob filter, used the same way CCNet uses LM
+    perplexity, but oracle-checkable because every term is an int64
+    count, not a transcendental).
+
+    Two passes: :func:`token_histogram` (or a caller-provided one) is
+    folded into ONE dense int64 array of |vocab| entries and
+    ``ray.put`` ONCE (~400 KB for a 50k vocab — the broadcast-lookup
+    pattern, never re-shipped per batch); the scoring pass is a pure
+    actor-pool map over the payload — one ``reduceat`` per block, no
+    shuffle."""
+    import ray
+
+    hist = histogram if histogram is not None else token_histogram(ds, list_col)
+    parts = []
+    for b in hist.iter_batches(batch_format="pyarrow"):
+        parts.append(
+            (b["token"].to_numpy(zero_copy_only=False),
+             b["n"].to_numpy(zero_copy_only=False))
+        )
+    size = 1 + max((int(t.max()) for t, _ in parts if len(t)), default=0)
+    dense = np.zeros(size, np.int64)
+    for t, n in parts:
+        dense[t] += n
+    counts_ref = ray.put(dense)
+    return ds.map_batches(
+        _TokenRarity,
+        fn_constructor_args=(counts_ref, list_col, id_col),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=concurrency,
+    )

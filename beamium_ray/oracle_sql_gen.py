@@ -447,6 +447,39 @@ SELECT ord, pos, CAST(tok_h % {vocab} AS BIGINT) AS token FROM {tok_final}
 """
 
 
+def token_rarity_sql(table: str = "documents", vocab: int = 50257) -> str:
+    """Exact SQL for the token-rarity score: regenerate every token of
+    every derived sequence, build the corpus histogram, and per row sum
+    each token's corpus-wide count — every term an int64, so the join
+    + sum is hash-exact."""
+    chain, final, _ = _splitmix_chain([("ntok_h", 0x5EED_0001)])
+    tok_chain, tok_final = splitmix_cte_steps(
+        "positions", "x", "tok_h", "ord", "sm_tok"
+    )
+    return f"""
+WITH base AS (SELECT CAST(doc_id AS HUGEINT) AS i FROM {table}),
+{chain},
+seqs AS (
+  SELECT CAST(i AS BIGINT) AS ord,
+         CAST(16 + (ntok_h % 497) AS BIGINT) AS n_tok
+  FROM {final}),
+positions0 AS (
+  SELECT ord, unnest(range(0, n_tok)) AS pos FROM seqs),
+positions AS (
+  SELECT ord,
+         CAST(xor(CAST(ord AS UBIGINT) * 1048576, CAST(pos AS UBIGINT))
+              AS HUGEINT) AS x
+  FROM positions0),
+{tok_chain},
+toks AS (
+  SELECT ord, CAST(tok_h % {vocab} AS BIGINT) AS token FROM {tok_final}),
+hist AS (SELECT token, count(*) AS n FROM toks GROUP BY token)
+SELECT t.ord, CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(sum(h.n) AS BIGINT) AS freq_sum
+FROM toks t JOIN hist h USING (token) GROUP BY t.ord
+"""
+
+
 def stage_metrics_sql(table: str = "documents") -> str:
     """Exact SQL for the T5 self-metrics counters over the flagship
     derive: rows_in / rows_out / inf_nan from the bad-value rule."""

@@ -401,6 +401,32 @@ def token_histogram_docs(sf_dir: str):
     return token_histogram(seq, list_col="tokens")
 
 
+def token_rarity_docs(sf_dir: str):
+    """Per-sequence token-rarity score (the integer-exact cousin of a
+    unigram-perplexity filter): freq_sum = Σ corpus-wide count of each
+    of the row's tokens. The histogram folds to one dense array
+    ray.put ONCE; scoring is a pure actor-pool map over the payload —
+    no shuffle. The oracle rebuilds the histogram and the per-row sum
+    entirely in SQL."""
+    from beamium_ray.datapipe.stats import token_rarity
+    from beamium_ray.pipelines.rollup_pipeline import (
+        sequences_from_documents_batch,
+    )
+
+    def ordify(b: pa.Table) -> pa.Table:
+        o = pc.cast(
+            pc.utf8_slice_codeunits(b["doc_id"], 4, 99), pa.int64()
+        )
+        return pa.table({"ord": o, "tokens": b["tokens"]})
+
+    seq = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(sequences_from_documents_batch, batch_format="pyarrow")
+        .map_batches(ordify, batch_format="pyarrow", batch_size=None)
+    ).materialize()  # scored AND histogrammed: tokenize once
+    return token_rarity(seq, list_col="tokens", id_col="ord")
+
+
 def dedup_tokens_docs(sf_dir: str):
     """Exact sequence-level dedup by TOKEN-ARRAY content (not text):
     rows with ord % 7 == 3 are planted with the token array of ord-3,
@@ -1652,6 +1678,7 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
     "mixture_sample_docs": _gen.mixture_sample_sql(),
     "token_histogram_docs": _gen.token_histogram_sql(),
     "dedup_tokens_docs": _gen.dedup_tokens_sql(),
+    "token_rarity_docs": _gen.token_rarity_sql(),
     "truncate_sequences_docs": _gen.truncate_tokens_sql(),
     "length_batches_docs": r"""
 WITH tok AS (
@@ -1856,6 +1883,7 @@ QUERIES = {
     "dedup_tokens_docs": dedup_tokens_docs,
     "truncate_sequences_docs": truncate_sequences_docs,
     "length_batches_docs": length_batches_docs,
+    "token_rarity_docs": token_rarity_docs,
     "repetition_stats_docs": repetition_stats_docs,
     "quality_filter_docs": quality_filter_docs,
     "pack_offsets_docs": pack_offsets_docs,

@@ -153,6 +153,7 @@ QUERY_NAMES = [
     "truncate_sequences_docs",
     "semantic_dedup_embeddings",
     "length_batches_docs",
+    "token_rarity_docs",
 ]
 
 

@@ -177,3 +177,24 @@ def test_token_histogram_counts_and_split_invariance(ray_session):
     assert p.num_rows <= 50
     assert p.num_rows == len(want)
     assert token_histogram_rows(t.slice(0, 0), "tokens").num_rows == 0
+
+
+def test_token_rarity_sums(ray_session):
+    """freq_sum equals the hand-computed sum of corpus counts per row,
+    across block splits; empty lists score 0; a supplied histogram is
+    honored."""
+    import ray.data
+
+    from beamium_ray.datapipe.stats import token_rarity
+
+    lists = [[1, 1, 2], [2], [], [3, 1]]
+    # corpus counts: 1 -> 3, 2 -> 2, 3 -> 1
+    want = {0: 3 + 3 + 2, 1: 2, 2: 0, 3: 1 + 3}
+    t = pa.table({
+        "ord": pa.array(range(4), pa.int64()),
+        "tokens": pa.array(lists, pa.list_(pa.int32())),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    got = token_rarity(ds).to_pandas().set_index("ord")
+    assert got["freq_sum"].to_dict() == want
+    assert got["n_tok"].to_dict() == {0: 3, 1: 1, 2: 0, 3: 2}
