@@ -1697,6 +1697,10 @@ def semantic_dedup(
     )
     from beamium_ray.functions.cluster import autoscaling_pool
 
+    # assignment, cosine-verify vector fetch and self-edges each read
+    # ds — materialize once so a lazy upstream (read + embedding
+    # decode) doesn't re-execute 3×
+    ds = ds.materialize()
     if centroids is None:
         trainer = (
             train_centroids_distributed if train == "distributed"

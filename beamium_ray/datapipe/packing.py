@@ -308,14 +308,18 @@ def length_bucket_batches(
     span = max((int(hi) - int(lo)) // b + 1, 1)
 
     def tag(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         n = t[count_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # ids/counts normalized to int64 here so every downstream block
+        # (including the empty-group table) carries ONE schema — mixed
+        # int32/int64 blocks trip Ray's schema-drift warning and break
+        # downstream joins
         return pa.table(
             {
-                id_col: t[id_col],
-                count_col: t[count_col],
+                id_col: pa.array(ids, pa.int64()),
+                count_col: pa.array(n, pa.int64()),
                 "_lb": pa.array(n // bucket_width, pa.int64()),
-                "_rb": pa.array(((ids - lo) // span).astype(np.int64)),
+                "_rb": pa.array((ids - lo) // span, pa.int64()),
             }
         )
 

@@ -113,6 +113,13 @@ def temperature_rates_ppm(
     the identical integer ppm (the gate relies on this). Other
     temperatures use pow(), which carries no cross-engine
     last-ulp guarantee."""
+    if temperature < 1.0:
+        raise ValueError(
+            "temperature < 1 would UPSAMPLE large sources — impossible "
+            "by pure subsampling (rates are capped at 1e6 ppm, so the "
+            "result silently degrades to keep-everything). Use T >= 1: "
+            "T=1 keeps natural proportions, T→∞ equalizes sources."
+        )
     if not counts:
         return {}
     mn = min(counts.values())

@@ -148,21 +148,32 @@ def _kmeans_on_sample(S: np.ndarray, n_lists: int, seed: int) -> np.ndarray:
     return cent
 
 
+def _nearest_centroid(Mu: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """argmin_c ||x - c||² via the matmul identity
+    argmax_c (x·c − ||c||²/2): an N×k temp instead of the N×k×d
+    broadcast difference (which allocates ~8 GB for a 21k×768 block
+    against 64 centroids — worker-OOM territory)."""
+    return (Mu @ cent.T - 0.5 * (cent * cent).sum(axis=1)).argmax(1)
+
+
 def _block_head_sample(
-    ds, vec_col: str, sample_size: int, per_block: int = 64
+    mat_ds, vec_col: str, sample_size: int
 ) -> np.ndarray:
-    """Init sample that COVERS the corpus: the first ``per_block`` rows
-    of every block (cheap — no shuffle, no full read of any block),
-    capped at ``sample_size``. A head-only ``limit()`` sample misses
-    whole clusters when the corpus is sorted/partitioned by source —
-    the standard k-means bad-init trap."""
+    """Init sample that COVERS the corpus: ``sample_size / num_blocks``
+    rows from the head of EVERY block (cheap — no shuffle, no full read
+    of any block). A head-only ``limit()`` sample misses whole clusters
+    when the corpus is sorted/partitioned by source — the standard
+    k-means bad-init trap (and capping per-block heads with limit()
+    would quietly reintroduce it past sample_size/per_block blocks, so
+    the per-block quota is derived from the actual block count).
+    ``mat_ds`` must be materialized (block count known)."""
+    nb = max(1, mat_ds.num_blocks())
+    per_block = max(1, -(-sample_size // nb))
 
     def head(b: pa.Table) -> pa.Table:
         return b.select([vec_col]).slice(0, per_block)
 
-    s = ds.map_batches(
-        head, batch_format="pyarrow", batch_size=None
-    ).limit(sample_size)
+    s = mat_ds.map_batches(head, batch_format="pyarrow", batch_size=None)
     return _mat(
         pa.concat_tables(list(s.iter_batches(batch_format="pyarrow")))[
             vec_col
@@ -193,6 +204,10 @@ def train_centroids_distributed(
     rounds. Empty lists keep their previous centroid."""
     import ray
 
+    # materialize once: the init sample needs the block count and the
+    # Lloyd rounds re-read the corpus `rounds` times — re-executing a
+    # lazy upstream pipeline per round would multiply its cost
+    ds = ds.materialize()
     # init must COVER the corpus: per-block heads, not a head-only
     # limit() (a corpus sorted by source would hide whole clusters
     # from the head and strand Lloyd in a merged-centroid minimum)
@@ -218,7 +233,7 @@ def train_centroids_distributed(
             Mu = M / np.maximum(
                 np.linalg.norm(M, axis=1, keepdims=True), 1e-30
             )
-            assign = ((Mu[:, None, :] - c[None, :, :]) ** 2).sum(-1).argmin(1)
+            assign = _nearest_centroid(Mu, c)
             sums = np.zeros((len(c), Mu.shape[1]))
             np.add.at(sums, assign, Mu)
             counts = np.bincount(assign, minlength=len(c)).astype(np.float64)
@@ -279,9 +294,9 @@ class AssignList:
             return batch.append_column("list_id", pa.array([], pa.int32()))
         M = _mat(batch[self.vec_col])
         Mu = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
-        d2 = ((Mu[:, None, :] - self.cent[None, :, :]) ** 2).sum(-1)
+        assign = _nearest_centroid(Mu, self.cent)
         return batch.append_column(
-            "list_id", pa.array(d2.argmin(1).astype(np.int32), pa.int32())
+            "list_id", pa.array(assign.astype(np.int32), pa.int32())
         )
 
 

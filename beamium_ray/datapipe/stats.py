@@ -395,7 +395,12 @@ class _TokenRarity:
         sums = np.zeros(len(lens), np.int64)
         if len(vals):
             starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
-            per_tok = self.counts[vals]
+            # tokens absent from the histogram (scoring a new shard
+            # against a reference distribution) count 0, not IndexError
+            in_vocab = vals < len(self.counts)
+            per_tok = np.where(
+                in_vocab, self.counts[np.minimum(vals, len(self.counts) - 1)], 0
+            )
             nz = lens > 0
             sums[nz] = np.add.reduceat(per_tok, starts[nz])
         return pa.table(

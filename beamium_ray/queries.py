@@ -378,7 +378,7 @@ def mixture_sample_docs(sf_dir: str):
         _read(sf_dir, "documents", ["doc_id"])
         .map_batches(sequences_from_documents_batch, batch_format="pyarrow")
         .map_batches(ordify, batch_format="pyarrow", batch_size=None)
-    )
+    ).materialize()  # narrow (ord, source); derive runs ONCE, not per pass
     return mixture_sample(
         seq, key_col="ord", strat_col="source", temperature=2.0
     )

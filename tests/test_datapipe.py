@@ -1161,3 +1161,59 @@ def test_length_bucket_batches_ranks(ray_session):
         assert (g["batch_idx"] == g["rank_in_bucket"] // 4).all()
         assert (g["n_tok"] // 16 == lb).all()
     assert len(got) == 200
+
+
+def test_review_fixes_sampling_and_batching(ray_session):
+    """Round-3 review regressions: temperature<1 raises (silent
+    keep-everything otherwise); token_rarity treats out-of-histogram
+    tokens as count 0 instead of IndexError; length_bucket_batches
+    emits ONE schema (int64 ids) even for int32 inputs with empty
+    groupby blocks; _block_head_sample's quota derives from the block
+    count (no limit() starvation)."""
+    import ray.data
+
+    from beamium_ray.datapipe.sample import temperature_rates_ppm
+    from beamium_ray.datapipe.stats import token_rarity
+    from beamium_ray.datapipe.packing import length_bucket_batches
+    from beamium_ray.datapipe.similarity import _block_head_sample
+
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_rates_ppm({"a": 10}, temperature=0.5)
+
+    # OOV tokens (id 9 absent from the supplied histogram) score 0
+    corpus = pa.table({
+        "ord": pa.array([0, 1], pa.int64()),
+        "tokens": pa.array([[1, 9], [9]], pa.list_(pa.int32())),
+    })
+    hist = ray.data.from_arrow(pa.table({
+        "token": pa.array([1], pa.int64()),
+        "n": pa.array([7], pa.int64()),
+    }))
+    got = token_rarity(
+        ray.data.from_arrow(corpus), histogram=hist
+    ).to_pandas().set_index("ord")["freq_sum"].to_dict()
+    assert got == {0: 7, 1: 0}
+
+    # int32 ids + a forced empty groupby block → uniform int64 schema
+    t32 = pa.table({
+        "doc_id": pa.array(range(50), pa.int32()),
+        "n_tok": pa.array([5] * 50, pa.int32()),
+    })
+    out = length_bucket_batches(
+        ray.data.from_arrow(t32).repartition(4),
+        bucket_width=4, batch_size=8, num_buckets=3,
+    )
+    sch = out.schema()
+    assert dict(zip(sch.names, sch.types))["doc_id"] == pa.int64()
+    df = out.to_pandas()
+    assert sorted(df["rank_in_bucket"]) == list(range(50))
+
+    # per-block quota: 10 blocks, sample_size=5 → 1 head per block
+    v = pa.table({
+        "embedding": pa.array(
+            [[float(i), 1.0] for i in range(100)], pa.list_(pa.float64())
+        )
+    })
+    mat = ray.data.from_arrow(v).repartition(10).materialize()
+    S = _block_head_sample(mat, "embedding", sample_size=5)
+    assert len(S) == 10  # every block contributes, none starved

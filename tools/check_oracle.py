@@ -72,6 +72,12 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    if only is not None:
+        unknown = only - set(qs)
+        if unknown:
+            # a typo'd --only must not report a vacuous "0 pass, 0 fail"
+            print(f"FAIL --only names not in queries(): {sorted(unknown)}")
+            sys.exit(2)
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only is not None and name not in only:
