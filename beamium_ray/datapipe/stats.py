@@ -453,3 +453,65 @@ def token_rarity(
         batch_size=None,
         concurrency=concurrency,
     )
+
+
+def doc_frequency_rows(batch: pa.Table, list_col: str) -> pa.Table:
+    """Per-batch PARTIAL document-frequency rows (token, n) over an
+    ``array<int32>`` column: each row's DISTINCT tokens counted once
+    (one sort + first-occurrence mask + bincount — no per-row Python).
+    Each doc lives in exactly one block, so summing the partials gives
+    exact corpus-wide document frequencies."""
+    empty = pa.table(
+        {"token": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+    )
+    if batch.num_rows == 0:
+        return empty
+    col = batch[list_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    lens = pc.list_value_length(col).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    if len(vals) == 0:
+        return empty
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    rows = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    order = np.lexsort((vals, rows))
+    r, v = rows[order], vals[order]
+    first = np.ones(len(r), bool)
+    first[1:] = (r[1:] != r[:-1]) | (v[1:] != v[:-1])
+    cnt = np.bincount(v[first])
+    nz = np.nonzero(cnt)[0]
+    return pa.table(
+        {
+            "token": pa.array(nz.astype(np.int64), pa.int64()),
+            "n": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def doc_frequency(ds, list_col: str = "tokens"):
+    """Corpus-wide DOCUMENT frequency table (token, n_docs) — how many
+    sequences contain each token at least once (the IDF building
+    block, distinct-per-doc where :func:`token_histogram` counts every
+    occurrence). Same scale shape: vocab-bounded partials per block,
+    two-level bincount merge, payload never shuffles."""
+    from beamium_ray.functions.cluster import shuffle_blocks_for
+
+    out = (
+        ds.map_batches(
+            lambda b: doc_frequency_rows(b, list_col),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .repartition(shuffle_blocks_for())
+        .map_batches(_histogram_merge, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(_histogram_merge, batch_format="pyarrow", batch_size=None)
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["token", "n_docs"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

@@ -447,6 +447,34 @@ SELECT ord, pos, CAST(tok_h % {vocab} AS BIGINT) AS token FROM {tok_final}
 """
 
 
+def doc_frequency_sql(table: str = "documents", vocab: int = 50257) -> str:
+    """Exact SQL for the document-frequency (IDF) table: regenerate
+    every token, count DISTINCT sequences per token."""
+    chain, final, _ = _splitmix_chain([("ntok_h", 0x5EED_0001)])
+    tok_chain, tok_final = splitmix_cte_steps(
+        "positions", "x", "tok_h", "ord", "sm_tok"
+    )
+    return f"""
+WITH base AS (SELECT CAST(doc_id AS HUGEINT) AS i FROM {table}),
+{chain},
+seqs AS (
+  SELECT CAST(i AS BIGINT) AS ord,
+         CAST(16 + (ntok_h % 497) AS BIGINT) AS n_tok
+  FROM {final}),
+positions0 AS (
+  SELECT ord, unnest(range(0, n_tok)) AS pos FROM seqs),
+positions AS (
+  SELECT ord,
+         CAST(xor(CAST(ord AS UBIGINT) * 1048576, CAST(pos AS UBIGINT))
+              AS HUGEINT) AS x
+  FROM positions0),
+{tok_chain}
+SELECT CAST(tok_h % {vocab} AS BIGINT) AS token,
+       CAST(count(DISTINCT ord) AS BIGINT) AS n_docs
+FROM {tok_final} GROUP BY 1
+"""
+
+
 def token_rarity_sql(table: str = "documents", vocab: int = 50257) -> str:
     """Exact SQL for the token-rarity score: regenerate every token of
     every derived sequence, build the corpus histogram, and per row sum

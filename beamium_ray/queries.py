@@ -401,6 +401,23 @@ def token_histogram_docs(sf_dir: str):
     return token_histogram(seq, list_col="tokens")
 
 
+def doc_frequency_docs(sf_dir: str):
+    """Document-frequency (IDF building block): how many derived
+    sequences contain each token at least once — distinct-per-doc
+    where the histogram counts occurrences. Vocab-bounded partials,
+    two-level bincount merge, payload never shuffles. The oracle
+    counts DISTINCT sequences per regenerated token."""
+    from beamium_ray.datapipe.stats import doc_frequency
+    from beamium_ray.pipelines.rollup_pipeline import (
+        sequences_from_documents_batch,
+    )
+
+    seq = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        sequences_from_documents_batch, batch_format="pyarrow"
+    )
+    return doc_frequency(seq, list_col="tokens")
+
+
 def token_rarity_docs(sf_dir: str):
     """Per-sequence token-rarity score (the integer-exact cousin of a
     unigram-perplexity filter): freq_sum = Σ corpus-wide count of each
@@ -1679,6 +1696,7 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
     "token_histogram_docs": _gen.token_histogram_sql(),
     "dedup_tokens_docs": _gen.dedup_tokens_sql(),
     "token_rarity_docs": _gen.token_rarity_sql(),
+    "doc_frequency_docs": _gen.doc_frequency_sql(),
     "truncate_sequences_docs": _gen.truncate_tokens_sql(),
     "length_batches_docs": r"""
 WITH tok AS (
@@ -1884,6 +1902,7 @@ QUERIES = {
     "truncate_sequences_docs": truncate_sequences_docs,
     "length_batches_docs": length_batches_docs,
     "token_rarity_docs": token_rarity_docs,
+    "doc_frequency_docs": doc_frequency_docs,
     "repetition_stats_docs": repetition_stats_docs,
     "quality_filter_docs": quality_filter_docs,
     "pack_offsets_docs": pack_offsets_docs,

@@ -154,6 +154,7 @@ QUERY_NAMES = [
     "semantic_dedup_embeddings",
     "length_batches_docs",
     "token_rarity_docs",
+    "doc_frequency_docs",
 ]
 
 

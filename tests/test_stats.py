@@ -198,3 +198,24 @@ def test_token_rarity_sums(ray_session):
     got = token_rarity(ds).to_pandas().set_index("ord")
     assert got["freq_sum"].to_dict() == want
     assert got["n_tok"].to_dict() == {0: 3, 1: 1, 2: 0, 3: 2}
+
+
+def test_doc_frequency_distinct_per_doc(ray_session):
+    """df counts each token once per doc (repeats inside a doc don't
+    inflate it), merges across blocks, ignores empty lists."""
+    import ray.data
+
+    from beamium_ray.datapipe.stats import doc_frequency
+
+    lists = [[1, 1, 2], [1], [], [2, 3, 2]]
+    want = {1: 2, 2: 2, 3: 1}
+    t = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "tokens": pa.array(lists, pa.list_(pa.int32())),
+    })
+    for parts in (1, 3):
+        got = (
+            doc_frequency(ray.data.from_arrow(t).repartition(parts))
+            .to_pandas().set_index("token")["n_docs"].to_dict()
+        )
+        assert got == want
