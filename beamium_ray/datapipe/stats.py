@@ -515,3 +515,109 @@ def doc_frequency(ds, list_col: str = "tokens"):
         batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def bigram_topk(
+    ds,
+    list_col: str = "tokens",
+    k: int = 20,
+    vocab: int = 50257,
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """EXACT top-k most frequent adjacent token bigrams (boilerplate /
+    tokenizer-merge mining). The bigram space (|vocab|²) is too large
+    to bincount, so the shape is hash-partitioned exact heavy hitters:
+
+    1. per block: one vectorized pass builds within-row adjacent pair
+       keys (a·|vocab| + b, int64) and uniques them — (key, n) partials;
+    2. keys are hash-partitioned, so EACH bigram's total count lives
+       wholly in one partition: per-partition lexsort+reduceat sum and
+       LOCAL top-k are globally correct candidates;
+    3. the driver merges only partitions × k candidate rows.
+
+    Ties break by (count DESC, key ASC) — deterministic and
+    SQL-reproducible. Returns a driver Table (tok_a, tok_b, n): the
+    answer itself, inherently k-sized."""
+    from beamium_ray.functions.cluster import default_partitions
+
+    P = num_partitions or default_partitions()
+    empty = pa.table(
+        {"key": pa.array([], pa.int64()), "n": pa.array([], pa.int64()),
+         "bucket": pa.array([], pa.int32())}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty
+        col = batch[list_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vals = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        lens = pc.list_value_length(col).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        if len(vals) < 2:
+            return empty
+        rows = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        same = rows[:-1] == rows[1:]  # pair stays inside one row
+        keys = vals[:-1][same] * vocab + vals[1:][same]
+        if len(keys) == 0:
+            return empty
+        u, c = np.unique(keys, return_counts=True)
+        return pa.table(
+            {
+                "key": pa.array(u, pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+                "bucket": pa.array(
+                    (u % P).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def local_topk(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty.select(["key", "n"])
+        keys = g["key"].to_numpy(zero_copy_only=False)
+        n = g["n"].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        ks, ns = keys[order], n[order]
+        first = np.ones(len(ks), bool)
+        first[1:] = ks[1:] != ks[:-1]
+        starts = np.nonzero(first)[0]
+        u = ks[starts]
+        s = np.add.reduceat(ns, starts)
+        top = np.lexsort((u, -s))[:k]
+        return pa.table(
+            {
+                "key": pa.array(u[top], pa.int64()),
+                "n": pa.array(s[top], pa.int64()),
+            }
+        )
+
+    cand = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(local_topk, batch_format="pyarrow")
+    )
+    parts = [
+        b for b in cand.iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {"tok_a": pa.array([], pa.int64()), "tok_b": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64())}
+        )
+    t = pa.concat_tables([p.select(["key", "n"]) for p in parts])
+    keys = t["key"].to_numpy()
+    n = t["n"].to_numpy()
+    top = np.lexsort((keys, -n))[:k]
+    return pa.table(
+        {
+            "tok_a": pa.array(keys[top] // vocab, pa.int64()),
+            "tok_b": pa.array(keys[top] % vocab, pa.int64()),
+            "n": pa.array(n[top], pa.int64()),
+        }
+    )

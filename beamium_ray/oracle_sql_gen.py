@@ -475,6 +475,53 @@ FROM {tok_final} GROUP BY 1
 """
 
 
+def bigram_topk_sql(
+    table: str = "documents", vocab: int = 50257, k: int = 20
+) -> str:
+    """Exact SQL for the top-k token-bigram gate: regenerate every
+    row's tokens from its PLANTED source id (ord % 7 = 3 takes ord-3's
+    tokens, so duplicated arrays give real count≥2 bigrams), count
+    adjacent pairs via lead(), rank by (count DESC, pair ASC)."""
+    n_chain, n_final = splitmix_cte_steps("nin", "x", "ntok_h", "ord, i", "smn")
+    t_chain, t_final = splitmix_cte_steps(
+        "positions", "x", "tok_h", "ord, pos", "smt"
+    )
+    return f"""
+WITH planted AS (
+  SELECT CAST(doc_id AS BIGINT) AS ord,
+         CAST(doc_id - CASE WHEN doc_id % 7 = 3 THEN 3 ELSE 0 END
+              AS HUGEINT) AS i
+  FROM {table}),
+nin AS (
+  SELECT ord, i,
+         CAST(xor(CAST(i AS UBIGINT), CAST({0x5EED_0001} AS UBIGINT))
+              AS HUGEINT) AS x
+  FROM planted),{n_chain},
+seqs AS (
+  SELECT ord, i, CAST(16 + (ntok_h % 497) AS BIGINT) AS n_tok
+  FROM {n_final}),
+positions0 AS (
+  SELECT ord, i, unnest(range(0, n_tok)) AS pos FROM seqs),
+positions AS (
+  SELECT ord, pos,
+         CAST(xor(CAST(i AS UBIGINT) * 1048576, CAST(pos AS UBIGINT))
+              AS HUGEINT) AS x
+  FROM positions0),{t_chain},
+toks AS (
+  SELECT ord, pos, CAST(tok_h % {vocab} AS BIGINT) AS token
+  FROM {t_final}),
+pairs AS (
+  SELECT token AS a,
+         lead(token) OVER (PARTITION BY ord ORDER BY pos) AS b
+  FROM toks),
+cnt AS (
+  SELECT a, b, count(*) AS n FROM pairs WHERE b IS NOT NULL GROUP BY a, b)
+SELECT CAST(a AS BIGINT) AS tok_a, CAST(b AS BIGINT) AS tok_b,
+       CAST(n AS BIGINT) AS n
+FROM cnt ORDER BY n DESC, a, b LIMIT {k}
+"""
+
+
 def token_rarity_sql(table: str = "documents", vocab: int = 50257) -> str:
     """Exact SQL for the token-rarity score: regenerate every token of
     every derived sequence, build the corpus histogram, and per row sum

@@ -418,6 +418,35 @@ def doc_frequency_docs(sf_dir: str):
     return doc_frequency(seq, list_col="tokens")
 
 
+def bigram_topk_docs(sf_dir: str):
+    """Exact top-20 most frequent adjacent token bigrams over the
+    planted-duplicate sequence corpus (ord % 7 == 3 rows reuse ord-3's
+    array, so real count≥2 bigrams exist): hash-partitioned heavy
+    hitters — each bigram's total count lives wholly in one partition,
+    so local top-k candidates are globally exact and the driver merges
+    only partitions × k rows. The oracle counts lead() pairs and ranks
+    (count DESC, pair ASC) in SQL."""
+    from beamium_ray.datapipe.stats import bigram_topk
+    from beamium_ray.pipelines.rollup_pipeline import (
+        sequences_from_documents_batch,
+    )
+
+    def plant(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pid = i - np.where(i % 7 == 3, 3, 0)
+        seq = sequences_from_documents_batch(
+            pa.table({"doc_id": pa.array(pid, pa.int64())})
+        )
+        return pa.table(
+            {"ord": pa.array(i, pa.int64()), "tokens": seq["tokens"]}
+        )
+
+    seq = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        plant, batch_format="pyarrow", batch_size=None
+    )
+    return bigram_topk(seq, list_col="tokens", k=20)
+
+
 def token_rarity_docs(sf_dir: str):
     """Per-sequence token-rarity score (the integer-exact cousin of a
     unigram-perplexity filter): freq_sum = Σ corpus-wide count of each
@@ -1697,6 +1726,7 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
     "dedup_tokens_docs": _gen.dedup_tokens_sql(),
     "token_rarity_docs": _gen.token_rarity_sql(),
     "doc_frequency_docs": _gen.doc_frequency_sql(),
+    "bigram_topk_docs": _gen.bigram_topk_sql(),
     "truncate_sequences_docs": _gen.truncate_tokens_sql(),
     "length_batches_docs": r"""
 WITH tok AS (
@@ -1903,6 +1933,7 @@ QUERIES = {
     "length_batches_docs": length_batches_docs,
     "token_rarity_docs": token_rarity_docs,
     "doc_frequency_docs": doc_frequency_docs,
+    "bigram_topk_docs": bigram_topk_docs,
     "repetition_stats_docs": repetition_stats_docs,
     "quality_filter_docs": quality_filter_docs,
     "pack_offsets_docs": pack_offsets_docs,

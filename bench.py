@@ -155,6 +155,7 @@ QUERY_NAMES = [
     "length_batches_docs",
     "token_rarity_docs",
     "doc_frequency_docs",
+    "bigram_topk_docs",
 ]
 
 

@@ -219,3 +219,36 @@ def test_doc_frequency_distinct_per_doc(ray_session):
             .to_pandas().set_index("token")["n_docs"].to_dict()
         )
         assert got == want
+
+
+def test_bigram_topk_exact(ray_session):
+    """Top-k bigrams match a hand-computed ranking with deterministic
+    (count DESC, pair ASC) ties, across block splits; k larger than the
+    distinct-bigram count returns them all; pairs never span rows."""
+    import ray.data
+
+    from beamium_ray.datapipe.stats import bigram_topk
+
+    lists = [
+        [1, 2, 1, 2, 9],   # (1,2)x2, (2,1), (2,9)
+        [1, 2],            # (1,2)
+        [9],               # no pair
+        [3, 4],            # (3,4)
+        [4, 3],            # row boundary: no (4, ...) from prev row's 4
+    ]
+    t = pa.table({
+        "ord": pa.array(range(5), pa.int64()),
+        "tokens": pa.array(lists, pa.list_(pa.int32())),
+    })
+    want = [(1, 2, 3), (2, 1, 1), (2, 9, 1), (3, 4, 1), (4, 3, 1)]
+    for parts in (1, 4):
+        got = bigram_topk(
+            ray.data.from_arrow(t).repartition(parts), k=10, vocab=16
+        )
+        assert [
+            (a, b, n) for a, b, n in
+            zip(got["tok_a"].to_pylist(), got["tok_b"].to_pylist(),
+                got["n"].to_pylist())
+        ] == want
+    top1 = bigram_topk(ray.data.from_arrow(t), k=1, vocab=16)
+    assert top1["n"].to_pylist() == [3]
