@@ -344,29 +344,33 @@ def _histogram_merge(b: pa.Table) -> pa.Table:
     )
 
 
+def _two_level_histogram(ds, rows_fn):
+    """Shared merge chain for vocab-bounded (token, n) partials:
+    coalesce → per-block weighted-bincount merge → single-block final
+    merge. Replaces a groupby-sum — Ray's key-sorted aggregate over
+    the ~|vocab|×blocks partial rows measured 5-10× slower than
+    re-bincounting them (sf0.1: 9.2 s → ~1 s). The final single-task
+    merge folds ≤ coalesce-width × |vocab| rows — trivial at any
+    corpus size."""
+    from beamium_ray.functions.cluster import shuffle_blocks_for
+
+    return (
+        ds.map_batches(rows_fn, batch_format="pyarrow", batch_size=None)
+        .repartition(shuffle_blocks_for())
+        .map_batches(_histogram_merge, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(_histogram_merge, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def token_histogram(ds, list_col: str = "tokens"):
     """Corpus-wide token frequency table (token, n) — the vocabulary
     coverage / distribution stat a tokenized-corpus pipeline reports
     before training. The token payload never crosses a shuffle: each
     block emits ≤ |vocab| (token, n) partial rows via one bincount,
-    then a TWO-LEVEL bincount merge (coalesce → per-block merge →
-    single-block final merge) replaces a groupby — a key-sorted
-    aggregate over the ~|vocab|×blocks partial rows measured 5-10×
-    slower than re-bincounting them (sf0.1: 9.2 s → ~2 s). The final
-    single-task merge folds ≤ coalesce-width × |vocab| rows —
-    trivial at any corpus size."""
-    from beamium_ray.functions.cluster import shuffle_blocks_for
-
-    return (
-        ds.map_batches(
-            lambda b: token_histogram_rows(b, list_col),
-            batch_format="pyarrow",
-            batch_size=None,
-        )
-        .repartition(shuffle_blocks_for())
-        .map_batches(_histogram_merge, batch_format="pyarrow", batch_size=None)
-        .repartition(1)
-        .map_batches(_histogram_merge, batch_format="pyarrow", batch_size=None)
+    merged by the shared two-level bincount chain."""
+    return _two_level_histogram(
+        ds, lambda b: token_histogram_rows(b, list_col)
     )
 
 
@@ -475,7 +479,6 @@ def doc_frequency_rows(batch: pa.Table, list_col: str) -> pa.Table:
     ).astype(np.int64)
     if len(vals) == 0:
         return empty
-    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
     rows = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
     order = np.lexsort((vals, rows))
     r, v = rows[order], vals[order]

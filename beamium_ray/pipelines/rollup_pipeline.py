@@ -34,27 +34,54 @@ from beamium_ray.stages.rollup import rollup_dataset
 PAYLOAD_COLS = ["order", "doc_id", "tokens", "n_tok", "source"]
 
 
-def sequences_from_documents_batch(batch: pa.Table) -> pa.Table:
-    """Deterministically derive the canonical tokenized-sequence table
-    from a ``documents`` table's int64 ``doc_id`` (same splitmix64 rules
-    as sources.tokens.make_chunk, so row content is a pure function of
-    the id). Lets testdata drive the same pipeline as synthetic input."""
-    i = batch["doc_id"].to_numpy().astype(np.uint64)
+def _derive_tokens(i: np.ndarray) -> tuple[np.ndarray, pa.ListArray]:
+    """(n_tok int32, tokens list<int32>) for uint64 ids ``i`` — the
+    fully-vectorized token derivation shared by the canonical derive
+    and the tokens-only fast path (same splitmix64 rules as
+    sources.tokens.make_chunk)."""
     n_tok = (16 + (splitmix64(i ^ _NTOK_SALT) % np.uint64(497))).astype(np.int32)
-    pct = (splitmix64(i ^ _SRC_SALT) % np.uint64(100)).astype(np.int64)
-    source = SOURCES[np.searchsorted(_SOURCE_CUM, pct, side="right")]
     total = int(n_tok.sum(dtype=np.int64))
     rid = np.repeat(i, n_tok)
     off = np.concatenate(([0], np.cumsum(n_tok, dtype=np.int64)))
     row_of = np.repeat(np.arange(len(i), dtype=np.int64), n_tok)
     j = (np.arange(total, dtype=np.int64) - off[row_of]).astype(np.uint64)
     toks = (splitmix64((rid << np.uint64(20)) ^ j) % np.uint64(VOCAB)).astype(np.int32)
+    arr = pa.ListArray.from_arrays(
+        pa.array(off, pa.int32()), pa.array(toks, pa.int32())
+    )
+    return n_tok, arr
+
+
+def sequence_tokens_batch(batch: pa.Table) -> pa.Table:
+    """Tokens-only derive: (ord, tokens, n_tok) from int64 ``doc_id``
+    WITHOUT the per-row doc-id string build or the source lookup —
+    the dominant cost of :func:`sequences_from_documents_batch` for
+    token-payload ops that never read those columns (identical token
+    arrays, pure vectorized)."""
+    i = batch["doc_id"].to_numpy().astype(np.uint64)
+    n_tok, arr = _derive_tokens(i)
+    return pa.table(
+        {
+            "ord": pa.array(i.astype(np.int64), pa.int64()),
+            "tokens": arr,
+            "n_tok": pa.array(n_tok, pa.int32()),
+        }
+    )
+
+
+def sequences_from_documents_batch(batch: pa.Table) -> pa.Table:
+    """Deterministically derive the canonical tokenized-sequence table
+    from a ``documents`` table's int64 ``doc_id`` (same splitmix64 rules
+    as sources.tokens.make_chunk, so row content is a pure function of
+    the id). Lets testdata drive the same pipeline as synthetic input."""
+    i = batch["doc_id"].to_numpy().astype(np.uint64)
+    n_tok, arr = _derive_tokens(i)
+    pct = (splitmix64(i ^ _SRC_SALT) % np.uint64(100)).astype(np.int64)
+    source = SOURCES[np.searchsorted(_SOURCE_CUM, pct, side="right")]
     return pa.table(
         {
             "doc_id": pa.array([f"doc-{k:012d}" for k in i.tolist()], pa.string()),
-            "tokens": pa.ListArray.from_arrays(
-                pa.array(off, pa.int32()), pa.array(toks, pa.int32())
-            ),
+            "tokens": arr,
             "n_tok": pa.array(n_tok, pa.int32()),
             "source": pa.array(source, pa.string()),
         }

@@ -376,7 +376,10 @@ def mixture_sample_docs(sf_dir: str):
 
     seq = (
         _read(sf_dir, "documents", ["doc_id"])
-        .map_batches(sequences_from_documents_batch, batch_format="pyarrow")
+        .map_batches(
+            sequences_from_documents_batch,
+            batch_format="pyarrow", batch_size=None,
+        )
         .map_batches(ordify, batch_format="pyarrow", batch_size=None)
     ).materialize()  # narrow (ord, source); derive runs ONCE, not per pass
     return mixture_sample(
@@ -391,12 +394,10 @@ def token_histogram_docs(sf_dir: str):
     vocabulary size; the token payload never crosses the shuffle. The
     oracle regenerates every token in SQL and counts per token id."""
     from beamium_ray.datapipe.stats import token_histogram
-    from beamium_ray.pipelines.rollup_pipeline import (
-        sequences_from_documents_batch,
-    )
+    from beamium_ray.pipelines.rollup_pipeline import sequence_tokens_batch
 
     seq = _read(sf_dir, "documents", ["doc_id"]).map_batches(
-        sequences_from_documents_batch, batch_format="pyarrow"
+        sequence_tokens_batch, batch_format="pyarrow", batch_size=None
     )
     return token_histogram(seq, list_col="tokens")
 
@@ -408,12 +409,10 @@ def doc_frequency_docs(sf_dir: str):
     two-level bincount merge, payload never shuffles. The oracle
     counts DISTINCT sequences per regenerated token."""
     from beamium_ray.datapipe.stats import doc_frequency
-    from beamium_ray.pipelines.rollup_pipeline import (
-        sequences_from_documents_batch,
-    )
+    from beamium_ray.pipelines.rollup_pipeline import sequence_tokens_batch
 
     seq = _read(sf_dir, "documents", ["doc_id"]).map_batches(
-        sequences_from_documents_batch, batch_format="pyarrow"
+        sequence_tokens_batch, batch_format="pyarrow", batch_size=None
     )
     return doc_frequency(seq, list_col="tokens")
 
@@ -427,14 +426,12 @@ def bigram_topk_docs(sf_dir: str):
     only partitions × k rows. The oracle counts lead() pairs and ranks
     (count DESC, pair ASC) in SQL."""
     from beamium_ray.datapipe.stats import bigram_topk
-    from beamium_ray.pipelines.rollup_pipeline import (
-        sequences_from_documents_batch,
-    )
+    from beamium_ray.pipelines.rollup_pipeline import sequence_tokens_batch
 
     def plant(b: pa.Table) -> pa.Table:
         i = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         pid = i - np.where(i % 7 == 3, 3, 0)
-        seq = sequences_from_documents_batch(
+        seq = sequence_tokens_batch(
             pa.table({"doc_id": pa.array(pid, pa.int64())})
         )
         return pa.table(
@@ -455,20 +452,10 @@ def token_rarity_docs(sf_dir: str):
     no shuffle. The oracle rebuilds the histogram and the per-row sum
     entirely in SQL."""
     from beamium_ray.datapipe.stats import token_rarity
-    from beamium_ray.pipelines.rollup_pipeline import (
-        sequences_from_documents_batch,
-    )
+    from beamium_ray.pipelines.rollup_pipeline import sequence_tokens_batch
 
-    def ordify(b: pa.Table) -> pa.Table:
-        o = pc.cast(
-            pc.utf8_slice_codeunits(b["doc_id"], 4, 99), pa.int64()
-        )
-        return pa.table({"ord": o, "tokens": b["tokens"]})
-
-    seq = (
-        _read(sf_dir, "documents", ["doc_id"])
-        .map_batches(sequences_from_documents_batch, batch_format="pyarrow")
-        .map_batches(ordify, batch_format="pyarrow", batch_size=None)
+    seq = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        sequence_tokens_batch, batch_format="pyarrow", batch_size=None
     ).materialize()  # scored AND histogrammed: tokenize once
     return token_rarity(seq, list_col="tokens", id_col="ord")
 
@@ -482,14 +469,12 @@ def dedup_tokens_docs(sf_dir: str):
     token list in SQL and groups by the LIST itself, so any hash
     collision or order-insensitivity would hash-mismatch."""
     from beamium_ray.datapipe.dedup import exact_dedup_tokens
-    from beamium_ray.pipelines.rollup_pipeline import (
-        sequences_from_documents_batch,
-    )
+    from beamium_ray.pipelines.rollup_pipeline import sequence_tokens_batch
 
     def plant(b: pa.Table) -> pa.Table:
         i = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         pid = i - np.where(i % 7 == 3, 3, 0)
-        seq = sequences_from_documents_batch(
+        seq = sequence_tokens_batch(
             pa.table({"doc_id": pa.array(pid, pa.int64())})
         )
         return pa.table(
@@ -510,17 +495,7 @@ def truncate_sequences_docs(sf_dir: str):
     (ord, pos, token) so the oracle's independent regeneration must
     match token for token."""
     from beamium_ray.datapipe.packing import truncate_sequences
-    from beamium_ray.pipelines.rollup_pipeline import (
-        sequences_from_documents_batch,
-    )
-
-    def ordify(b: pa.Table) -> pa.Table:
-        o = pc.cast(
-            pc.utf8_slice_codeunits(b["doc_id"], 4, 99), pa.int64()
-        )
-        return pa.table(
-            {"ord": o, "tokens": b["tokens"], "n_tok": b["n_tok"]}
-        )
+    from beamium_ray.pipelines.rollup_pipeline import sequence_tokens_batch
 
     def unnest(b: pa.Table) -> pa.Table:
         toks = b["tokens"]
@@ -546,10 +521,8 @@ def truncate_sequences_docs(sf_dir: str):
             }
         )
 
-    seq = (
-        _read(sf_dir, "documents", ["doc_id"])
-        .map_batches(sequences_from_documents_batch, batch_format="pyarrow")
-        .map_batches(ordify, batch_format="pyarrow", batch_size=None)
+    seq = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        sequence_tokens_batch, batch_format="pyarrow", batch_size=None
     )
     return truncate_sequences(
         seq, list_col="tokens", len_col="n_tok", max_len=256, min_len=32
@@ -565,20 +538,10 @@ def pack_emit_docs(sf_dir: str):
     interleaves neighboring documents); the oracle regenerates every
     token and the window prefix sum in SQL."""
     from beamium_ray.datapipe.packing import emit_packed_rows
-    from beamium_ray.pipelines.rollup_pipeline import (
-        sequences_from_documents_batch,
-    )
+    from beamium_ray.pipelines.rollup_pipeline import sequence_tokens_batch
 
-    def ordify(b: pa.Table) -> pa.Table:
-        o = pc.cast(
-            pc.utf8_slice_codeunits(b["doc_id"], 4, 99), pa.int64()
-        )
-        return pa.table({"ord": o, "tokens": b["tokens"]})
-
-    seq = (
-        _read(sf_dir, "documents", ["doc_id"])
-        .map_batches(sequences_from_documents_batch, batch_format="pyarrow")
-        .map_batches(ordify, batch_format="pyarrow", batch_size=None)
+    seq = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        sequence_tokens_batch, batch_format="pyarrow", batch_size=None
     )
     return emit_packed_rows(seq, id_col="ord", seq_len=128)
 
