@@ -1911,3 +1911,151 @@ def chunk_dedup(
         .groupby("bkt")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def frequent_chunk_hashes(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_chunk: int = 10,
+    max_occurrences: int = 1,
+    num_buckets: int = 64,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sorted (h1, h2) 128-bit hash pairs of every chunk occurring more
+    than ``max_occurrences`` times corpus-wide. Only (h1, h2, n) rows
+    cross the shuffle (the chunk text never does); the result is
+    driver-sized by contract — boilerplate is FREQUENT, hence few
+    distinct strings (the RefinedWeb observation)."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = chunk_rows_batch(b, text_col, id_col, words_per_chunk)
+        c = t["chunk"]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        g = pa.table(
+            {
+                "h1": pa.array(hash64(c, seed=42).astype(np.int64)),
+                "h2": pa.array(hash64(c, seed=1337).astype(np.int64)),
+            }
+        ).group_by(["h1", "h2"], use_threads=False).aggregate([([], "count_all")])
+        g = g.rename_columns(["h1", "h2", "n"])
+        g = g.set_column(
+            g.column_names.index("n"), "n", pc.cast(g["n"], pa.int64())
+        )
+        bucket = (
+            g["h1"].to_numpy().astype(np.uint64) % np.uint64(num_buckets)
+        ).astype(np.int32)
+        return g.append_column("bucket", pa.array(bucket, pa.int32()))
+
+    def merge(group: pa.Table) -> pa.Table:
+        g = group.group_by(["h1", "h2"], use_threads=False).aggregate(
+            [("n", "sum")]
+        )
+        g = g.rename_columns(["h1", "h2", "n"])
+        return g.filter(pc.greater(g["n"], max_occurrences)).select(
+            ["h1", "h2"]
+        )
+
+    freq = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    parts = [
+        b for b in freq.iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    if not parts:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    t = pa.concat_tables(parts)
+    h1 = t["h1"].to_numpy()
+    h2 = t["h2"].to_numpy()
+    order = np.lexsort((h2, h1))
+    return h1[order], h2[order]
+
+
+class _DropChunks:
+    """Actor-pool stage: fetch the broadcast frequent-chunk hash set
+    once per actor; per batch re-chunk, membership-test, and reassemble
+    the surviving chunks — all vectorized (binary_join per row)."""
+
+    def __init__(self, freq_ref, text_col, id_col, words_per_chunk):
+        import ray
+
+        self.h1s, self.h2s = ray.get(freq_ref)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.wpc = words_per_chunk
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table(
+                {"doc_id": ids, "text_clean": pa.array([], pa.string())}
+            )
+        t = chunk_rows_batch(batch, self.text_col, self.id_col, self.wpc)
+        c = t["chunk"]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        drop = np.zeros(t.num_rows, bool)
+        if len(self.h1s) and t.num_rows:
+            h1 = hash64(c, seed=42).astype(np.int64)
+            h2 = hash64(c, seed=1337).astype(np.int64)
+            pos = np.searchsorted(self.h1s, h1)
+            pos[pos == len(self.h1s)] = 0
+            # h1 collisions inside the SMALL frequent set are the
+            # accepted ~2^-64 risk (single candidate probe suffices)
+            drop = (self.h1s[pos] == h1) & (self.h2s[pos] == h2)
+        # chunks of one row are contiguous and in chunk_idx order by
+        # construction (chunk_rows_batch); rebuild per-row lists
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        row_first = np.ones(len(did), bool)
+        row_first[1:] = did[1:] != did[:-1]
+        row_of = np.cumsum(row_first) - 1
+        keep = ~drop
+        kept_per_row = np.bincount(
+            row_of[keep], minlength=batch.num_rows
+        )
+        off = np.concatenate(([0], np.cumsum(kept_per_row))).astype(np.int32)
+        kept_chunks = c.filter(pa.array(keep))
+        lists = pa.ListArray.from_arrays(pa.array(off), kept_chunks)
+        joined = pc.binary_join(lists, " ")
+        return pa.table({"doc_id": ids, "text_clean": joined})
+
+
+def drop_frequent_chunks(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_chunk: int = 10,
+    max_occurrences: int = 1,
+    num_buckets: int = 64,
+    concurrency=(1, 8),
+):
+    """RefinedWeb/C4-style BOILERPLATE REMOVAL: delete every chunk that
+    occurs more than ``max_occurrences`` times corpus-wide from EVERY
+    document (where :func:`chunk_dedup` keeps first occurrences, this
+    drops all copies — nav bars, cookie banners, license footers), and
+    reassemble each document from its surviving chunks.
+
+    Two passes: the count pass shuffles only (h1, h2, n) hash rows and
+    collects the frequent set to the driver (small by contract:
+    boilerplate is frequent ⇒ few distinct strings), broadcast once
+    via ray.put; the drop pass is a pure actor-pool map — re-chunk,
+    searchsorted membership, vectorized per-row rejoin. Returns
+    (doc_id, text_clean); a fully-boilerplate doc becomes ''."""
+    import ray
+
+    freq = frequent_chunk_hashes(
+        ds, text_col, id_col, words_per_chunk, max_occurrences, num_buckets
+    )
+    freq_ref = ray.put(freq)
+    return ds.map_batches(
+        _DropChunks,
+        fn_constructor_args=(freq_ref, text_col, id_col, words_per_chunk),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=concurrency,
+    )

@@ -633,6 +633,23 @@ def chunk_dedup_docs(sf_dir: str):
     )
 
 
+def drop_boilerplate_docs(sf_dir: str):
+    """RefinedWeb-style boilerplate removal: every 10-word chunk that
+    occurs more than once corpus-wide is deleted from EVERY document
+    (127 such chunks exist naturally in the gate corpus) and each doc
+    is reassembled from its surviving chunks. The count pass shuffles
+    only 128-bit hash rows; the frequent set broadcasts once; the drop
+    pass is a pure actor-pool map. The oracle recomputes the split,
+    the frequency filter and the rejoin on the chunk STRINGS."""
+    from beamium_ray.datapipe.dedup import drop_frequent_chunks
+
+    return drop_frequent_chunks(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        words_per_chunk=10,
+        max_occurrences=1,
+    )
+
+
 def dedup_minhash_distributed_docs(sf_dir: str):
     """The SAME verified MinHash dedup forced through the DISTRIBUTED
     verification path (pair dedupe, signature prefilter and exact
@@ -1690,6 +1707,32 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
     "token_rarity_docs": _gen.token_rarity_sql(),
     "doc_frequency_docs": _gen.doc_frequency_sql(),
     "bigram_topk_docs": _gen.bigram_topk_sql(),
+    "drop_boilerplate_docs": """
+WITH words AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS wi
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, CAST(wi // 10 AS BIGINT) AS chunk_idx,
+         string_agg(w, ' ' ORDER BY wi) AS chunk
+  FROM words GROUP BY doc_id, wi // 10
+),
+freq AS (
+  SELECT chunk FROM chunks GROUP BY chunk HAVING count(*) > 1
+),
+kept AS (
+  SELECT doc_id, chunk_idx, chunk FROM chunks
+  WHERE chunk NOT IN (SELECT chunk FROM freq)
+),
+agg AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
     "truncate_sequences_docs": _gen.truncate_tokens_sql(),
     "length_batches_docs": r"""
 WITH tok AS (
@@ -1897,6 +1940,7 @@ QUERIES = {
     "token_rarity_docs": token_rarity_docs,
     "doc_frequency_docs": doc_frequency_docs,
     "bigram_topk_docs": bigram_topk_docs,
+    "drop_boilerplate_docs": drop_boilerplate_docs,
     "repetition_stats_docs": repetition_stats_docs,
     "quality_filter_docs": quality_filter_docs,
     "pack_offsets_docs": pack_offsets_docs,

@@ -156,6 +156,7 @@ QUERY_NAMES = [
     "token_rarity_docs",
     "doc_frequency_docs",
     "bigram_topk_docs",
+    "drop_boilerplate_docs",
 ]
 
 

@@ -1217,3 +1217,33 @@ def test_review_fixes_sampling_and_batching(ray_session):
     mat = ray.data.from_arrow(v).repartition(10).materialize()
     S = _block_head_sample(mat, "embedding", sample_size=5)
     assert len(S) == 10  # every block contributes, none starved
+
+
+def test_drop_frequent_chunks_boilerplate(ray_session):
+    """Chunks occurring more than max_occurrences times vanish from
+    EVERY doc (not just non-first copies), survivors rejoin in order,
+    a fully-boilerplate doc becomes '', and unique docs pass through
+    unchanged — across block splits."""
+    import ray.data
+
+    from beamium_ray.datapipe.dedup import drop_frequent_chunks
+
+    bp = " ".join(f"b{i}" for i in range(10))  # one exact 10-word chunk
+    u = [" ".join(f"u{d}w{i}" for i in range(10)) for d in range(4)]
+    t = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array([
+            f"{bp} {u[0]}",   # boilerplate + unique tail
+            f"{bp} {u[1]}",   # boilerplate + unique tail
+            bp,               # pure boilerplate → ''
+            u[3],             # untouched
+        ]),
+    })
+    got = (
+        drop_frequent_chunks(
+            ray.data.from_arrow(t).repartition(3),
+            words_per_chunk=10, max_occurrences=1,
+        )
+        .to_pandas().set_index("doc_id")["text_clean"].to_dict()
+    )
+    assert got == {0: u[0], 1: u[1], 2: "", 3: u[3]}
