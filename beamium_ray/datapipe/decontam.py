@@ -85,6 +85,33 @@ def benchmark_gram_set(
     return np.unique(np.concatenate(parts).astype(np.uint64))
 
 
+def contamination_counts(
+    batch: pa.Table, bench: np.ndarray, text_col: str, g: int
+) -> np.ndarray:
+    """Per-row count of DISTINCT benchmark grams the row contains —
+    one searchsorted probe + one lexsort over the hits (a gram
+    repeated inside one doc counts once, matching the oracle's
+    count(DISTINCT g8) per doc)."""
+    nrows = batch.num_rows
+    cnt = np.zeros(nrows, np.int64)
+    if nrows and len(bench):
+        gh, rows = gram_hashes_batch(batch, text_col=text_col, g=g)
+        if len(gh):
+            pos = np.searchsorted(bench, gh)
+            pos[pos == len(bench)] = 0
+            hit = bench[pos] == gh
+            r, gg = rows[hit], gh[hit]
+            if len(r):
+                order = np.lexsort((gg, r))
+                r, gg = r[order], gg[order]
+                first = np.ones(len(r), bool)
+                first[1:] = (r[1:] != r[:-1]) | (gg[1:] != gg[:-1])
+                cnt = np.bincount(r[first], minlength=nrows).astype(
+                    np.int64
+                )
+    return cnt
+
+
 class _Decontaminate:
     """Actor-pool stage: fetch the broadcast benchmark gram set once
     per actor (__init__), probe per batch with searchsorted."""
@@ -101,28 +128,7 @@ class _Decontaminate:
         ids = batch[self.id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        nrows = batch.num_rows
-        cnt = np.zeros(nrows, np.int64)
-        if nrows and len(self.bench):
-            gh, rows = gram_hashes_batch(
-                batch, text_col=self.text_col, g=self.g
-            )
-            if len(gh):
-                pos = np.searchsorted(self.bench, gh)
-                pos[pos == len(self.bench)] = 0
-                hit = self.bench[pos] == gh
-                r, g = rows[hit], gh[hit]
-                if len(r):
-                    # distinct (doc, gram) pairs: a gram repeated inside
-                    # one doc counts once (matches the oracle's
-                    # count(DISTINCT g8) per doc)
-                    order = np.lexsort((g, r))
-                    r, g = r[order], g[order]
-                    first = np.ones(len(r), bool)
-                    first[1:] = (r[1:] != r[:-1]) | (g[1:] != g[:-1])
-                    cnt = np.bincount(
-                        r[first], minlength=nrows
-                    ).astype(np.int64)
+        cnt = contamination_counts(batch, self.bench, self.text_col, self.g)
         return pa.table(
             {
                 "doc_id": ids,
@@ -132,6 +138,48 @@ class _Decontaminate:
                 "n_bench_grams": pa.array(cnt, pa.int64()),
             }
         )
+
+
+class _DropContaminated:
+    """Actor-pool stage: same broadcast probe, but FILTERS the batch to
+    its clean rows (all original columns pass through) — the composable
+    in-pipeline form of decontamination."""
+
+    def __init__(self, bench_ref, text_col: str, g: int):
+        import ray
+
+        self.bench = ray.get(bench_ref)
+        self.text_col = text_col
+        self.g = g
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        cnt = contamination_counts(batch, self.bench, self.text_col, self.g)
+        return batch.filter(pa.array(cnt == 0))
+
+
+def drop_contaminated(
+    corpus_ds,
+    bench_ds,
+    text_col: str = "text",
+    g: int = 8,
+    concurrency=(1, 8),
+):
+    """Filter ``corpus_ds`` down to rows sharing NO word ``g``-gram
+    with the benchmark set — the in-pipeline (row-filtering) form of
+    :func:`decontaminate`, for composing into a cleaning pipeline.
+    Same broadcast contract; pure actor-pool map, no shuffle."""
+    import ray
+
+    bench_ref = ray.put(benchmark_gram_set(bench_ds, text_col, g))
+    return corpus_ds.map_batches(
+        _DropContaminated,
+        fn_constructor_args=(bench_ref, text_col, g),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=concurrency,
+    )
 
 
 def decontaminate(

@@ -633,6 +633,63 @@ def chunk_dedup_docs(sf_dir: str):
     )
 
 
+def training_pipeline_docs(sf_dir: str):
+    """END-TO-END cleaning pipeline composed in ONE streaming run —
+    what a user actually executes before training: Gopher quality
+    filter (pure map) → drop the benchmark docs (doc_id % 50 == 0)
+    from the training side → train/test decontamination as a row
+    FILTER (broadcast probe) → deterministic stratified sampling
+    (pure map) → whitespace token counts for the survivors. No
+    shuffle anywhere; what this gate verifies is the COMPOSITION
+    (column flow, filter order, determinism) — the oracle chains the
+    same four stages in SQL."""
+    from beamium_ray.datapipe.decontam import drop_contaminated
+    from beamium_ray.datapipe.sample import hash_sample
+    from beamium_ray.datapipe.textstats import (
+        quality_filter_batch, token_count_batch,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def bench_side(b: pa.Table) -> pa.Table:
+        m = b["doc_id"].to_numpy(zero_copy_only=False) % 50 == 0
+        return b.filter(pa.array(m))
+
+    def quality_keep(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        q = quality_filter_batch(b)
+        keep = q["keep"].to_numpy(zero_copy_only=False) == 1
+        nonbench = b["doc_id"].to_numpy(zero_copy_only=False) % 50 != 0
+        return b.filter(pa.array(keep & nonbench))
+
+    bench = docs.map_batches(
+        bench_side, batch_format="pyarrow", batch_size=None
+    )
+    corpus = docs.map_batches(
+        quality_keep, batch_format="pyarrow", batch_size=None
+    )
+    clean = drop_contaminated(corpus, bench, g=8)
+    sampled = hash_sample(
+        clean, key_col="doc_id", rate_ppm=500_000,
+        strat_col="source", rates_ppm=SAMPLE_RATES_PPM,
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        t = token_count_batch(b)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "source": b["source"],
+                "n_tok_ws": t["n_tok_ws"],
+            }
+        )
+
+    return sampled.map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
+
+
 def drop_boilerplate_docs(sf_dir: str):
     """RefinedWeb-style boilerplate removal: every 10-word chunk that
     occurs more than once corpus-wide is deleted from EVERY document
@@ -1534,6 +1591,10 @@ JOIN topw USING (doc_id)
 LEFT JOIN g2 USING (doc_id)
 """
 
+_TRAIN_SMX, _TRAIN_FIN = _gen.splitmix_cte_steps(
+    "sin", "x", "h", "doc_id, source, text", "smp"
+)
+
 ORACLE_SQL: dict[str, str] = {
     "rollup_1m_events": _rollup_sql(US_1M),
     "sliding_rollup_events": f"""
@@ -1707,6 +1768,70 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
     "token_rarity_docs": _gen.token_rarity_sql(),
     "doc_frequency_docs": _gen.doc_frequency_sql(),
     "bigram_topk_docs": _gen.bigram_topk_sql(),
+    "training_pipeline_docs": f"""
+WITH rep AS ({_REP_STATS_SQL}),
+jq AS (
+  SELECT r.*, length(d.text) AS n_chars
+  FROM rep r JOIN documents d USING (doc_id)
+),
+bits AS (
+  SELECT doc_id,
+         CAST(
+           CASE WHEN n_words < 20 THEN 1 ELSE 0 END
+         + CASE WHEN (n_chars - n_words + 1) < 3 * n_words
+                  OR (n_chars - n_words + 1) > 10 * n_words
+                THEN 2 ELSE 0 END
+         + CASE WHEN top_word_n * 8 > n_words THEN 4 ELSE 0 END
+         + CASE WHEN (n_words - n_distinct_words) * 8 > n_words * 5
+                THEN 8 ELSE 0 END
+         + CASE WHEN n_dup_2grams * 20 > n_2grams THEN 16 ELSE 0 END
+         AS BIGINT) AS reasons
+  FROM jq
+),
+keepq AS (SELECT doc_id FROM bits WHERE reasons = 0),
+words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS wi
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         w || ' ' || lead(w,1) OVER win || ' ' || lead(w,2) OVER win
+           || ' ' || lead(w,3) OVER win || ' ' || lead(w,4) OVER win
+           || ' ' || lead(w,5) OVER win || ' ' || lead(w,6) OVER win
+           || ' ' || lead(w,7) OVER win AS g8
+  FROM words
+  WINDOW win AS (PARTITION BY doc_id ORDER BY wi)
+),
+bench AS (
+  SELECT DISTINCT g8 FROM g WHERE doc_id % 50 = 0 AND g8 IS NOT NULL
+),
+hit AS (
+  SELECT DISTINCT doc_id FROM g
+  WHERE doc_id % 50 <> 0 AND g8 IS NOT NULL
+    AND g8 IN (SELECT g8 FROM bench)
+),
+surv AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d JOIN keepq USING (doc_id)
+  WHERE d.doc_id % 50 <> 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM hit)
+),
+sin AS (
+  SELECT doc_id, source, text,
+         CAST(xor(CAST(doc_id AS UBIGINT),
+                  CAST({_gen.SAMPLE_SALT_SQL} AS UBIGINT)) AS HUGEINT) AS x
+  FROM surv
+),{_TRAIN_SMX}
+SELECT doc_id, source,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE CAST(array_length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+       END AS n_tok_ws
+FROM {_TRAIN_FIN}
+WHERE h % 1000000 < CASE source WHEN 'src0' THEN 900000
+                                WHEN 'src1' THEN 100000
+                                ELSE 500000 END
+""",
     "drop_boilerplate_docs": """
 WITH words AS (
   SELECT doc_id,
@@ -1940,6 +2065,7 @@ QUERIES = {
     "token_rarity_docs": token_rarity_docs,
     "doc_frequency_docs": doc_frequency_docs,
     "bigram_topk_docs": bigram_topk_docs,
+    "training_pipeline_docs": training_pipeline_docs,
     "drop_boilerplate_docs": drop_boilerplate_docs,
     "repetition_stats_docs": repetition_stats_docs,
     "quality_filter_docs": quality_filter_docs,

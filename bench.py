@@ -157,6 +157,7 @@ QUERY_NAMES = [
     "doc_frequency_docs",
     "bigram_topk_docs",
     "drop_boilerplate_docs",
+    "training_pipeline_docs",
 ]
 
 

@@ -1247,3 +1247,28 @@ def test_drop_frequent_chunks_boilerplate(ray_session):
         .to_pandas().set_index("doc_id")["text_clean"].to_dict()
     )
     assert got == {0: u[0], 1: u[1], 2: "", 3: u[3]}
+
+
+def test_drop_contaminated_filters_rows(ray_session):
+    """The composable filter form keeps clean rows with ALL original
+    columns and drops any row sharing an 8-gram with the benchmark."""
+    import ray.data
+
+    from beamium_ray.datapipe.decontam import drop_contaminated
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    bench = pa.table({
+        "doc_id": pa.array([100], pa.int64()),
+        "text": pa.array([f"pre {shared} post"]),
+    })
+    corpus = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([f"x {shared} y", "totally clean words here"]),
+        "source": pa.array(["a", "b"]),
+    })
+    got = drop_contaminated(
+        ray.data.from_arrow(corpus).repartition(2),
+        ray.data.from_arrow(bench),
+    ).to_pandas()
+    assert got["doc_id"].tolist() == [1]
+    assert set(got.columns) == {"doc_id", "text", "source"}
