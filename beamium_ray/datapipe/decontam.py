@@ -207,3 +207,130 @@ def decontaminate(
         batch_size=None,
         concurrency=concurrency,
     )
+
+
+# ---------------- token-level decontamination ----------------
+
+
+def token_gram_hashes_batch(
+    batch: pa.Table, list_col: str = "tokens", g: int = 8
+) -> tuple[np.ndarray, np.ndarray]:
+    """(gram hash, row index) for every within-row ``g``-gram of an
+    ``array<int32>`` token column — the tokenized-benchmark analogue of
+    :func:`gram_hashes_batch` (same sliding polynomial combination, per
+    -token splitmix hashes instead of word hashes)."""
+    col = batch[list_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(
+        np.uint64
+    )
+    lens = pc.list_value_length(col).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    if len(vals) < g:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    rows = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    h = splitmix64(vals)
+    n = len(h) - g + 1
+    acc = np.zeros(n, np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(g):  # g rounds, each fully vectorized
+            acc = acc * GRAM_Q + h[k:k + n]
+    valid = rows[:n] == rows[g - 1:]  # gram stays in one row
+    return splitmix64(acc[valid]), rows[:n][valid]
+
+
+def token_benchmark_gram_set(
+    bench_ds, list_col: str = "tokens", g: int = 8
+) -> np.ndarray:
+    """Sorted distinct token-gram hashes of a TOKENIZED benchmark set
+    (same broadcast contract as :func:`benchmark_gram_set`)."""
+
+    def grams(batch: pa.Table) -> pa.Table:
+        gh, _ = token_gram_hashes_batch(batch, list_col=list_col, g=g)
+        return pa.table(
+            {"gram": pa.array(np.unique(gh).astype(np.int64), pa.int64())}
+        )
+
+    parts = [
+        b["gram"].to_numpy(zero_copy_only=False)
+        for b in bench_ds.map_batches(
+            grams, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow")
+    ]
+    if not parts:
+        return np.zeros(0, np.uint64)
+    return np.unique(np.concatenate(parts).astype(np.uint64))
+
+
+class _DecontaminateTokens:
+    """Actor-pool stage: broadcast token-gram set fetched once per
+    actor; per batch one probe + distinct-per-row count."""
+
+    def __init__(self, bench_ref, list_col: str, id_col: str, g: int):
+        import ray
+
+        self.bench = ray.get(bench_ref)
+        self.list_col = list_col
+        self.id_col = id_col
+        self.g = g
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        nrows = batch.num_rows
+        cnt = np.zeros(nrows, np.int64)
+        if nrows and len(self.bench):
+            gh, rows = token_gram_hashes_batch(
+                batch, list_col=self.list_col, g=self.g
+            )
+            if len(gh):
+                pos = np.searchsorted(self.bench, gh)
+                pos[pos == len(self.bench)] = 0
+                hit = self.bench[pos] == gh
+                r, gg = rows[hit], gh[hit]
+                if len(r):
+                    order = np.lexsort((gg, r))
+                    r, gg = r[order], gg[order]
+                    first = np.ones(len(r), bool)
+                    first[1:] = (r[1:] != r[:-1]) | (gg[1:] != gg[:-1])
+                    cnt = np.bincount(r[first], minlength=nrows).astype(
+                        np.int64
+                    )
+        return pa.table(
+            {
+                self.id_col: ids,
+                "contaminated": pa.array(
+                    (cnt > 0).astype(np.int64), pa.int64()
+                ),
+                "n_bench_grams": pa.array(cnt, pa.int64()),
+            }
+        )
+
+
+def decontaminate_tokens(
+    corpus_ds,
+    bench_ds,
+    list_col: str = "tokens",
+    id_col: str = "ord",
+    g: int = 8,
+    concurrency=(1, 8),
+):
+    """Train/test decontamination over TOKEN arrays (decontamination is
+    usually run on the tokenized benchmark, not its text): flag every
+    corpus sequence sharing a ``g``-token gram with the benchmark set,
+    plus the distinct-shared-gram count. Same shape as the text form:
+    benchmark gram hashes broadcast once, corpus side a pure actor-pool
+    map — the token payload never shuffles."""
+    import ray
+
+    bench_ref = ray.put(token_benchmark_gram_set(bench_ds, list_col, g))
+    return corpus_ds.map_batches(
+        _DecontaminateTokens,
+        fn_constructor_args=(bench_ref, list_col, id_col, g),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=concurrency,
+    )

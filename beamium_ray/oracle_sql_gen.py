@@ -522,6 +522,65 @@ FROM cnt ORDER BY n DESC, a, b LIMIT {k}
 """
 
 
+def decontam_tokens_sql(
+    table: str = "documents", vocab: int = 50257, g: int = 8
+) -> str:
+    """Exact SQL for TOKEN-level decontamination: rows with
+    ord % 25 = 7 take the tokens of ord - ord%50 (always a benchmark
+    ord — planted contamination, since random token grams never
+    collide); benchmark = ord % 50 = 0 docs' token g-grams (as
+    comma-joined VALUE strings — the oracle never trusts the engine's
+    hash); corpus docs flagged + distinct-shared-gram counts."""
+    n_chain, n_final = splitmix_cte_steps("nin", "x", "ntok_h", "ord, i", "smn")
+    t_chain, t_final = splitmix_cte_steps(
+        "positions", "x", "tok_h", "ord, pos", "smt"
+    )
+    lead_concat = " || ',' || ".join(
+        f"lead(t, {k}) OVER win" if k else "t" for k in range(g)
+    )
+    return f"""
+WITH planted AS (
+  SELECT CAST(doc_id AS BIGINT) AS ord,
+         CAST(CASE WHEN doc_id % 25 = 7 THEN doc_id - doc_id % 50
+                   ELSE doc_id END AS HUGEINT) AS i
+  FROM {table}),
+nin AS (
+  SELECT ord, i,
+         CAST(xor(CAST(i AS UBIGINT), CAST({0x5EED_0001} AS UBIGINT))
+              AS HUGEINT) AS x
+  FROM planted),{n_chain},
+seqs AS (
+  SELECT ord, i, CAST(16 + (ntok_h % 497) AS BIGINT) AS n_tok
+  FROM {n_final}),
+positions0 AS (
+  SELECT ord, i, unnest(range(0, n_tok)) AS pos FROM seqs),
+positions AS (
+  SELECT ord, pos,
+         CAST(xor(CAST(i AS UBIGINT) * 1048576, CAST(pos AS UBIGINT))
+              AS HUGEINT) AS x
+  FROM positions0),{t_chain},
+toks AS (
+  SELECT ord, pos, CAST(tok_h % {vocab} AS VARCHAR) AS t
+  FROM {t_final}),
+grams AS (
+  SELECT ord, {lead_concat} AS g8
+  FROM toks WINDOW win AS (PARTITION BY ord ORDER BY pos)),
+bench AS (
+  SELECT DISTINCT g8 FROM grams WHERE ord % 50 = 0 AND g8 IS NOT NULL),
+hit AS (
+  SELECT ord, count(DISTINCT g8) AS n FROM grams
+  WHERE ord % 50 <> 0 AND g8 IS NOT NULL
+    AND g8 IN (SELECT g8 FROM bench)
+  GROUP BY ord)
+SELECT s.ord,
+       CAST(CASE WHEN h.ord IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_bench_grams
+FROM seqs s LEFT JOIN hit h USING (ord)
+WHERE s.ord % 50 <> 0
+"""
+
+
 def token_rarity_sql(table: str = "documents", vocab: int = 50257) -> str:
     """Exact SQL for the token-rarity score: regenerate every token of
     every derived sequence, build the corpus histogram, and per row sum

@@ -572,6 +572,46 @@ def decontaminate_docs(sf_dir: str):
     return decontaminate(corpus, bench, g=8)
 
 
+def decontaminate_tokens_docs(sf_dir: str):
+    """TOKEN-level train/test decontamination (benchmarks are usually
+    compared tokenized): rows with ord % 25 == 7 are planted with the
+    token array of ord - ord%50 — always a benchmark ord — so real
+    8-token-gram overlaps exist (random token grams never collide);
+    every other corpus sequence must stay clean. Benchmark token-gram
+    hashes broadcast once; the corpus side is a pure actor-pool map.
+    The oracle regroups by the gram VALUE strings."""
+    from beamium_ray.datapipe.decontam import decontaminate_tokens
+    from beamium_ray.pipelines.rollup_pipeline import sequence_tokens_batch
+
+    def derive(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pid = np.where(i % 25 == 7, i - i % 50, i)
+        seq = sequence_tokens_batch(
+            pa.table({"doc_id": pa.array(pid, pa.int64())})
+        )
+        return pa.table(
+            {"ord": pa.array(i, pa.int64()), "tokens": seq["tokens"]}
+        )
+
+    seq = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        derive, batch_format="pyarrow", batch_size=None
+    )
+
+    def split(keep_bench: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = b["ord"].to_numpy(zero_copy_only=False) % 50 == 0
+            return b.filter(pa.array(m if keep_bench else ~m))
+        return f
+
+    bench = seq.map_batches(
+        split(True), batch_format="pyarrow", batch_size=None
+    )
+    corpus = seq.map_batches(
+        split(False), batch_format="pyarrow", batch_size=None
+    )
+    return decontaminate_tokens(corpus, bench, g=8)
+
+
 def pack_offsets_docs(sf_dir: str):
     """Sequence-packing index (LLM 'concat and chunk'): every doc's
     global token offset in doc_id order — a distributed prefix sum
@@ -1768,6 +1808,7 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
     "token_rarity_docs": _gen.token_rarity_sql(),
     "doc_frequency_docs": _gen.doc_frequency_sql(),
     "bigram_topk_docs": _gen.bigram_topk_sql(),
+    "decontaminate_tokens_docs": _gen.decontam_tokens_sql(),
     "training_pipeline_docs": f"""
 WITH rep AS ({_REP_STATS_SQL}),
 jq AS (
@@ -2066,6 +2107,7 @@ QUERIES = {
     "doc_frequency_docs": doc_frequency_docs,
     "bigram_topk_docs": bigram_topk_docs,
     "training_pipeline_docs": training_pipeline_docs,
+    "decontaminate_tokens_docs": decontaminate_tokens_docs,
     "drop_boilerplate_docs": drop_boilerplate_docs,
     "repetition_stats_docs": repetition_stats_docs,
     "quality_filter_docs": quality_filter_docs,

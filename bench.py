@@ -158,6 +158,7 @@ QUERY_NAMES = [
     "bigram_topk_docs",
     "drop_boilerplate_docs",
     "training_pipeline_docs",
+    "decontaminate_tokens_docs",
 ]
 
 

@@ -1272,3 +1272,33 @@ def test_drop_contaminated_filters_rows(ray_session):
     ).to_pandas()
     assert got["doc_id"].tolist() == [1]
     assert set(got.columns) == {"doc_id", "text", "source"}
+
+
+def test_decontaminate_tokens_gram_overlap(ray_session):
+    """A corpus sequence sharing an 8-token gram with a benchmark
+    sequence is flagged with the right distinct count; 7-token overlap,
+    short rows and clean rows are not; grams never cross rows."""
+    import ray.data
+
+    from beamium_ray.datapipe.decontam import decontaminate_tokens
+
+    shared = list(range(100, 108))  # 8 tokens
+    bench = pa.table({
+        "ord": pa.array([999], pa.int64()),
+        "tokens": pa.array([[1] + shared + [2]], pa.list_(pa.int32())),
+    })
+    corpus = pa.table({
+        "ord": pa.array([0, 1, 2, 3], pa.int64()),
+        "tokens": pa.array([
+            [7, 7] + shared,          # full gram → hit (1 distinct)
+            shared[:7] + [55, 56],    # only 7 shared
+            [9, 9, 9, 9, 9, 9, 9, 9], # clean
+            shared[:4],               # too short
+        ], pa.list_(pa.int32())),
+    })
+    got = decontaminate_tokens(
+        ray.data.from_arrow(corpus).repartition(2),
+        ray.data.from_arrow(bench),
+    ).to_pandas().set_index("ord")
+    assert got["contaminated"].to_dict() == {0: 1, 1: 0, 2: 0, 3: 0}
+    assert got["n_bench_grams"].to_dict() == {0: 1, 1: 0, 2: 0, 3: 0}
