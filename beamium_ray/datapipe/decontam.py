@@ -85,31 +85,36 @@ def benchmark_gram_set(
     return np.unique(np.concatenate(parts).astype(np.uint64))
 
 
+def _distinct_hit_counts(
+    gh: np.ndarray, rows: np.ndarray, bench: np.ndarray, nrows: int
+) -> np.ndarray:
+    """Per-row count of DISTINCT benchmark grams among (gh, rows) —
+    one searchsorted probe + one lexsort over the hits (a gram
+    repeated inside one doc counts once, matching the oracle's
+    count(DISTINCT g8) per doc). Shared by the text and token probes."""
+    cnt = np.zeros(nrows, np.int64)
+    if len(gh) and len(bench):
+        pos = np.searchsorted(bench, gh)
+        pos[pos == len(bench)] = 0
+        hit = bench[pos] == gh
+        r, gg = rows[hit], gh[hit]
+        if len(r):
+            order = np.lexsort((gg, r))
+            r, gg = r[order], gg[order]
+            first = np.ones(len(r), bool)
+            first[1:] = (r[1:] != r[:-1]) | (gg[1:] != gg[:-1])
+            cnt = np.bincount(r[first], minlength=nrows).astype(np.int64)
+    return cnt
+
+
 def contamination_counts(
     batch: pa.Table, bench: np.ndarray, text_col: str, g: int
 ) -> np.ndarray:
-    """Per-row count of DISTINCT benchmark grams the row contains —
-    one searchsorted probe + one lexsort over the hits (a gram
-    repeated inside one doc counts once, matching the oracle's
-    count(DISTINCT g8) per doc)."""
-    nrows = batch.num_rows
-    cnt = np.zeros(nrows, np.int64)
-    if nrows and len(bench):
-        gh, rows = gram_hashes_batch(batch, text_col=text_col, g=g)
-        if len(gh):
-            pos = np.searchsorted(bench, gh)
-            pos[pos == len(bench)] = 0
-            hit = bench[pos] == gh
-            r, gg = rows[hit], gh[hit]
-            if len(r):
-                order = np.lexsort((gg, r))
-                r, gg = r[order], gg[order]
-                first = np.ones(len(r), bool)
-                first[1:] = (r[1:] != r[:-1]) | (gg[1:] != gg[:-1])
-                cnt = np.bincount(r[first], minlength=nrows).astype(
-                    np.int64
-                )
-    return cnt
+    """Per-row distinct-benchmark-gram counts for a TEXT column."""
+    if batch.num_rows == 0 or not len(bench):
+        return np.zeros(batch.num_rows, np.int64)
+    gh, rows = gram_hashes_batch(batch, text_col=text_col, g=g)
+    return _distinct_hit_counts(gh, rows, bench, batch.num_rows)
 
 
 class _Decontaminate:
@@ -225,7 +230,9 @@ def token_gram_hashes_batch(
     vals = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(
         np.uint64
     )
-    lens = pc.list_value_length(col).to_numpy(
+    # a NULL list emits nothing from list_flatten; its length must be
+    # 0, not NaN (gram_hashes_batch fill_nulls its text the same way)
+    lens = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
         zero_copy_only=False
     ).astype(np.int64)
     if len(vals) < g:
@@ -286,19 +293,7 @@ class _DecontaminateTokens:
             gh, rows = token_gram_hashes_batch(
                 batch, list_col=self.list_col, g=self.g
             )
-            if len(gh):
-                pos = np.searchsorted(self.bench, gh)
-                pos[pos == len(self.bench)] = 0
-                hit = self.bench[pos] == gh
-                r, gg = rows[hit], gh[hit]
-                if len(r):
-                    order = np.lexsort((gg, r))
-                    r, gg = r[order], gg[order]
-                    first = np.ones(len(r), bool)
-                    first[1:] = (r[1:] != r[:-1]) | (gg[1:] != gg[:-1])
-                    cnt = np.bincount(r[first], minlength=nrows).astype(
-                        np.int64
-                    )
+            cnt = _distinct_hit_counts(gh, rows, self.bench, nrows)
         return pa.table(
             {
                 self.id_col: ids,

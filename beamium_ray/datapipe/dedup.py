@@ -1993,27 +1993,33 @@ class _DropChunks:
             ids = ids.combine_chunks()
         if batch.num_rows == 0:
             return pa.table(
-                {"doc_id": ids, "text_clean": pa.array([], pa.string())}
+                {self.id_col: ids, "text_clean": pa.array([], pa.string())}
+            )
+        if not len(self.h1s):
+            # no frequent chunks anywhere: re-chunk + rejoin would be
+            # the identity (chunk_rows_batch docstring) — skip the pass
+            text = batch[self.text_col]
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            return pa.table(
+                {self.id_col: ids, "text_clean": pc.fill_null(text, "")}
             )
         t = chunk_rows_batch(batch, self.text_col, self.id_col, self.wpc)
         c = t["chunk"]
         if isinstance(c, pa.ChunkedArray):
             c = c.combine_chunks()
-        drop = np.zeros(t.num_rows, bool)
-        if len(self.h1s) and t.num_rows:
-            h1 = hash64(c, seed=42).astype(np.int64)
-            h2 = hash64(c, seed=1337).astype(np.int64)
-            pos = np.searchsorted(self.h1s, h1)
-            pos[pos == len(self.h1s)] = 0
-            # h1 collisions inside the SMALL frequent set are the
-            # accepted ~2^-64 risk (single candidate probe suffices)
-            drop = (self.h1s[pos] == h1) & (self.h2s[pos] == h2)
+        h1 = hash64(c, seed=42).astype(np.int64)
+        h2 = hash64(c, seed=1337).astype(np.int64)
+        pos = np.searchsorted(self.h1s, h1)
+        pos[pos == len(self.h1s)] = 0
+        # h1 collisions inside the SMALL frequent set are the
+        # accepted ~2^-64 risk (single candidate probe suffices)
+        drop = (self.h1s[pos] == h1) & (self.h2s[pos] == h2)
         # chunks of one row are contiguous and in chunk_idx order by
-        # construction (chunk_rows_batch); rebuild per-row lists
-        did = t["doc_id"].to_numpy(zero_copy_only=False)
-        row_first = np.ones(len(did), bool)
-        row_first[1:] = did[1:] != did[:-1]
-        row_of = np.cumsum(row_first) - 1
+        # construction; chunk_idx == 0 marks each row's first chunk
+        # (doc_id VALUE changes would silently merge duplicate ids)
+        cidx = t["chunk_idx"].to_numpy(zero_copy_only=False)
+        row_of = np.cumsum(cidx == 0) - 1
         keep = ~drop
         kept_per_row = np.bincount(
             row_of[keep], minlength=batch.num_rows
@@ -2022,7 +2028,7 @@ class _DropChunks:
         kept_chunks = c.filter(pa.array(keep))
         lists = pa.ListArray.from_arrays(pa.array(off), kept_chunks)
         joined = pc.binary_join(lists, " ")
-        return pa.table({"doc_id": ids, "text_clean": joined})
+        return pa.table({self.id_col: ids, "text_clean": joined})
 
 
 def drop_frequent_chunks(

@@ -1302,3 +1302,52 @@ def test_decontaminate_tokens_gram_overlap(ray_session):
     ).to_pandas().set_index("ord")
     assert got["contaminated"].to_dict() == {0: 1, 1: 0, 2: 0, 3: 0}
     assert got["n_bench_grams"].to_dict() == {0: 1, 1: 0, 2: 0, 3: 0}
+
+
+def test_review_fixes_chunks_and_token_nulls(ray_session):
+    """Second-review regressions: null token lists don't crash the
+    token decontaminator (count 0); _DropChunks keeps rows separate
+    even with duplicate ids (chunk_idx boundaries, not id changes),
+    honors a custom id_col name, and passes text through untouched
+    when no chunk is frequent."""
+    import ray.data
+
+    from beamium_ray.datapipe.decontam import decontaminate_tokens
+    from beamium_ray.datapipe.dedup import drop_frequent_chunks
+
+    bench = pa.table({
+        "ord": pa.array([9], pa.int64()),
+        "tokens": pa.array([list(range(8))], pa.list_(pa.int32())),
+    })
+    corpus = pa.table({
+        "ord": pa.array([0, 1], pa.int64()),
+        "tokens": pa.array([list(range(8)), None], pa.list_(pa.int32())),
+    })
+    got = decontaminate_tokens(
+        ray.data.from_arrow(corpus), ray.data.from_arrow(bench)
+    ).to_pandas().set_index("ord")
+    assert got["contaminated"].to_dict() == {0: 1, 1: 0}
+
+    bp = " ".join(f"b{i}" for i in range(10))
+    ua = " ".join(f"a{i}" for i in range(10))
+    ub = " ".join(f"c{i}" for i in range(10))
+    dup_ids = pa.table({
+        "id": pa.array([5, 5, 6], pa.int64()),  # duplicate ids, one block
+        "text": pa.array([f"{bp} {ua}", ub, bp]),
+    })
+    got = drop_frequent_chunks(
+        ray.data.from_arrow(dup_ids), id_col="id",
+        words_per_chunk=10, max_occurrences=1,
+    ).to_pandas()
+    assert list(got.columns) == ["id", "text_clean"]
+    assert got["text_clean"].tolist() == [ua, ub, ""]
+
+    # empty frequent set → identity passthrough
+    uniq = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array([ua, ub]),
+    })
+    got = drop_frequent_chunks(
+        ray.data.from_arrow(uniq), max_occurrences=5
+    ).to_pandas()
+    assert got["text_clean"].tolist() == [ua, ub]
