@@ -359,3 +359,56 @@ def length_bucket_batches(
     return tagged.groupby(["_lb", "_rb"]).map_groups(
         scan, batch_format="pyarrow"
     )
+
+
+def split_sequences(
+    ds,
+    list_col: str = "tokens",
+    id_col: str = "ord",
+    max_len: int = 2048,
+):
+    """Split long sequences into consecutive ≤ ``max_len``-token parts
+    (chunking WITHOUT cross-document packing — the lossless alternative
+    to :func:`truncate_sequences`: every token is preserved, long docs
+    just become several rows). Pure map, and ZERO-COPY: each part is a
+    contiguous slice of the block's original values buffer, so the
+    output ListArray reuses it with new cut-point offsets — no token
+    bytes are moved at all."""
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        col = batch[list_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        vals = pc.list_flatten(col)
+        k = np.maximum(1, -(-lens // max_len))  # parts per row (≥1)
+        total = int(k.sum())
+        row_of = np.repeat(np.arange(len(lens), dtype=np.int64), k)
+        part = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(k)))[:-1], k
+        )
+        starts = np.concatenate(([0], np.cumsum(lens)))
+        # cut points: row start + part·max_len, capped at row end; the
+        # final offset is the total value count
+        cut = np.minimum(
+            starts[row_of] + part * max_len, starts[row_of] + lens[row_of]
+        )
+        offs = np.concatenate((cut, [starts[-1]])).astype(np.int32)
+        out_lists = pa.ListArray.from_arrays(pa.array(offs), vals)
+        n_tok = np.diff(offs).astype(np.int32)
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(row_of)),
+                "part": pa.array(part, pa.int64()),
+                list_col: out_lists,
+                "n_tok": pa.array(n_tok, pa.int32()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)

@@ -155,3 +155,37 @@ def mixture_sample(
         ds, key_col, rate_ppm=PPM, strat_col=strat_col,
         rates_ppm=rates, salt=salt,
     )
+
+
+def assign_splits(
+    ds,
+    key_col: str,
+    fractions_ppm: dict[str, int] | None = None,
+    salt: int = SAMPLE_SALT,
+):
+    """Deterministic DISJOINT train/val/test assignment: the same
+    salted-hash draw as :func:`hash_sample`, mapped onto consecutive
+    integer ppm ranges — every row gets exactly one ``split`` label,
+    reproducible across runs and cluster sizes, pure map (no shuffle).
+    ``fractions_ppm`` must sum to exactly 1,000,000 (integer cut points
+    — no float boundary can flip a row); insertion order defines the
+    ranges, so keep it stable across runs."""
+    fr = fractions_ppm or {"train": 980_000, "val": 10_000, "test": 10_000}
+    if sum(fr.values()) != PPM:
+        raise ValueError(
+            f"fractions_ppm must sum to exactly {PPM}, got {sum(fr.values())}"
+        )
+    names = list(fr)
+    cuts = np.cumsum([fr[n] for n in names]).astype(np.int64)  # upper bounds
+
+    def f(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("split", pa.array([], pa.string()))
+        k = batch[key_col].to_numpy(zero_copy_only=False)
+        h = splitmix64(k.astype(np.uint64) ^ np.uint64(salt))
+        draw = (h % np.uint64(PPM)).astype(np.int64)
+        idx = np.searchsorted(cuts, draw, side="right")
+        labels = np.array(names, dtype=object)[idx]
+        return batch.append_column("split", pa.array(labels, pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)

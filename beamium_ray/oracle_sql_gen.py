@@ -581,6 +581,64 @@ WHERE s.ord % 50 <> 0
 """
 
 
+def split_sequences_sql(
+    table: str = "documents", vocab: int = 50257, max_len: int = 100
+) -> str:
+    """Exact SQL for lossless sequence splitting: every token of every
+    derived sequence with part = pos // max_len and its in-part
+    position — the engine's zero-copy chunking must preserve every
+    token (the input_hint token-equality invariant, per part)."""
+    chain, final, _ = _splitmix_chain([("ntok_h", 0x5EED_0001)])
+    tok_chain, tok_final = splitmix_cte_steps(
+        "positions", "x", "tok_h", "ord, pos", "sm_tok"
+    )
+    return f"""
+WITH base AS (SELECT CAST(doc_id AS HUGEINT) AS i FROM {table}),
+{chain},
+seqs AS (
+  SELECT CAST(i AS BIGINT) AS ord,
+         CAST(16 + (ntok_h % 497) AS BIGINT) AS n_tok
+  FROM {final}),
+positions0 AS (
+  SELECT ord, unnest(range(0, n_tok)) AS pos FROM seqs),
+positions AS (
+  SELECT ord, pos,
+         CAST(xor(CAST(ord AS UBIGINT) * 1048576, CAST(pos AS UBIGINT))
+              AS HUGEINT) AS x
+  FROM positions0),
+{tok_chain}
+SELECT ord, CAST(pos // {max_len} AS BIGINT) AS part,
+       CAST(pos % {max_len} AS BIGINT) AS pos_in_part,
+       CAST(tok_h % {vocab} AS BIGINT) AS token
+FROM {tok_final}
+"""
+
+
+def assign_splits_sql(
+    table: str = "documents", key: str = "doc_id",
+    cuts: tuple[tuple[str, int], ...] = (
+        ("train", 900_000), ("val", 950_000), ("test", 1_000_000),
+    ),
+) -> str:
+    """Exact SQL for deterministic split assignment: the same splitmix
+    draw mapped onto consecutive integer ppm ranges."""
+    smx, final = splitmix_cte_steps("sin", "x", "h", key, "sm")
+    cases = " ".join(
+        f"WHEN h % 1000000 < {hi} THEN '{name}'"
+        for name, hi in cuts[:-1]
+    )
+    return f"""
+WITH sin AS (
+  SELECT {key},
+         CAST(xor(CAST({key} AS UBIGINT),
+                  CAST({SAMPLE_SALT_SQL} AS UBIGINT)) AS HUGEINT) AS x
+  FROM {table}
+),{smx}
+SELECT {key}, CASE {cases} ELSE '{cuts[-1][0]}' END AS split
+FROM {final}
+"""
+
+
 def token_rarity_sql(table: str = "documents", vocab: int = 50257) -> str:
     """Exact SQL for the token-rarity score: regenerate every token of
     every derived sequence, build the corpus histogram, and per row sum

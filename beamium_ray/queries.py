@@ -612,6 +612,72 @@ def decontaminate_tokens_docs(sf_dir: str):
     return decontaminate_tokens(corpus, bench, g=8)
 
 
+def split_sequences_docs(sf_dir: str):
+    """Lossless sequence splitting (the chunking alternative to
+    truncation): every derived sequence cut into consecutive ≤100-token
+    parts, ZERO-COPY (each part reuses the block's values buffer via
+    new cut-point offsets), then unnested to (ord, part, pos_in_part,
+    token). Every token must survive — the token-equality invariant
+    per part; the oracle regenerates all tokens with part = pos//100."""
+    from beamium_ray.datapipe.packing import split_sequences
+    from beamium_ray.pipelines.rollup_pipeline import sequence_tokens_batch
+
+    seq = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        sequence_tokens_batch, batch_format="pyarrow", batch_size=None
+    )
+    parts = split_sequences(seq, list_col="tokens", id_col="ord", max_len=100)
+
+    def unnest(b: pa.Table) -> pa.Table:
+        toks = b["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        vals = pc.list_flatten(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        return pa.table(
+            {
+                "ord": pa.array(
+                    np.repeat(
+                        b["ord"].to_numpy(zero_copy_only=False), lens
+                    ),
+                    pa.int64(),
+                ),
+                "part": pa.array(
+                    np.repeat(
+                        b["part"].to_numpy(zero_copy_only=False), lens
+                    ),
+                    pa.int64(),
+                ),
+                "pos_in_part": pa.array(
+                    np.arange(len(vals), dtype=np.int64)
+                    - np.repeat(starts, lens),
+                    pa.int64(),
+                ),
+                "token": pa.array(vals, pa.int64()),
+            }
+        )
+
+    return parts.map_batches(unnest, batch_format="pyarrow", batch_size=None)
+
+
+def assign_splits_docs(sf_dir: str):
+    """Deterministic disjoint train/val/test assignment (90/5/5):
+    the salted-hash draw mapped onto consecutive integer ppm ranges —
+    pure map, reproducible at any cluster size; the oracle recomputes
+    the identical range test per row."""
+    from beamium_ray.datapipe.sample import assign_splits
+
+    return assign_splits(
+        _read(sf_dir, "documents", ["doc_id"]),
+        key_col="doc_id",
+        fractions_ppm={"train": 900_000, "val": 50_000, "test": 50_000},
+    )
+
+
 def pack_offsets_docs(sf_dir: str):
     """Sequence-packing index (LLM 'concat and chunk'): every doc's
     global token offset in doc_id order — a distributed prefix sum
@@ -1809,6 +1875,8 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
     "doc_frequency_docs": _gen.doc_frequency_sql(),
     "bigram_topk_docs": _gen.bigram_topk_sql(),
     "decontaminate_tokens_docs": _gen.decontam_tokens_sql(),
+    "split_sequences_docs": _gen.split_sequences_sql(),
+    "assign_splits_docs": _gen.assign_splits_sql(),
     "training_pipeline_docs": f"""
 WITH rep AS ({_REP_STATS_SQL}),
 jq AS (
@@ -2108,6 +2176,8 @@ QUERIES = {
     "bigram_topk_docs": bigram_topk_docs,
     "training_pipeline_docs": training_pipeline_docs,
     "decontaminate_tokens_docs": decontaminate_tokens_docs,
+    "split_sequences_docs": split_sequences_docs,
+    "assign_splits_docs": assign_splits_docs,
     "drop_boilerplate_docs": drop_boilerplate_docs,
     "repetition_stats_docs": repetition_stats_docs,
     "quality_filter_docs": quality_filter_docs,

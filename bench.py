@@ -159,6 +159,8 @@ QUERY_NAMES = [
     "drop_boilerplate_docs",
     "training_pipeline_docs",
     "decontaminate_tokens_docs",
+    "split_sequences_docs",
+    "assign_splits_docs",
 ]
 
 

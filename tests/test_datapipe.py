@@ -1351,3 +1351,55 @@ def test_review_fixes_chunks_and_token_nulls(ray_session):
         ray.data.from_arrow(uniq), max_occurrences=5
     ).to_pandas()
     assert got["text_clean"].tolist() == [ua, ub]
+
+
+def test_split_sequences_and_assign_splits(ray_session):
+    """split_sequences: lossless ≤max_len parts in order (incl. exact
+    multiples, short rows, empty/null rows), zero tokens lost;
+    assign_splits: disjoint labels, deterministic across block splits,
+    fractions must sum to 1e6."""
+    import ray.data
+
+    from beamium_ray.datapipe.packing import split_sequences
+    from beamium_ray.datapipe.sample import assign_splits
+
+    lists = [list(range(7)), list(range(4)), [], list(range(8)), None]
+    t = pa.table({
+        "ord": pa.array(range(5), pa.int64()),
+        "tokens": pa.array(lists, pa.list_(pa.int32())),
+    })
+    got = (
+        split_sequences(
+            ray.data.from_arrow(t).repartition(3), max_len=4
+        ).to_pandas().sort_values(["ord", "part"]).reset_index(drop=True)
+    )
+    rows = [
+        (r["ord"], r["part"], list(r["tokens"]), r["n_tok"])
+        for _, r in got.iterrows()
+    ]
+    assert rows == [
+        (0, 0, [0, 1, 2, 3], 4), (0, 1, [4, 5, 6], 3),
+        (1, 0, [0, 1, 2, 3], 4),
+        (2, 0, [], 0),
+        (3, 0, [0, 1, 2, 3], 4), (3, 1, [4, 5, 6, 7], 4),
+        (4, 0, [], 0),
+    ]
+
+    n = 10_000
+    ids = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64))})
+    fr = {"train": 900_000, "val": 50_000, "test": 50_000}
+    a = assign_splits(
+        ray.data.from_arrow(ids).repartition(1), "doc_id", fr
+    ).to_pandas()
+    b = assign_splits(
+        ray.data.from_arrow(ids).repartition(9), "doc_id", fr
+    ).to_pandas()
+    assert (
+        a.sort_values("doc_id")["split"].tolist()
+        == b.sort_values("doc_id")["split"].tolist()
+    )
+    frac = a["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.9) < 0.02
+    assert abs(frac["val"] - 0.05) < 0.01
+    with pytest.raises(ValueError, match="sum"):
+        assign_splits(ray.data.from_arrow(ids), "doc_id", {"a": 1})
