@@ -25,6 +25,10 @@ import pyarrow.compute as pc
 from beamium_ray.functions.hashing import splitmix64
 
 SAMPLE_SALT = 0x452821E638D01377  # pi hex digits, < 2^63 (SQL literal)
+# split assignment MUST draw independently of sampling: with a shared
+# salt, sampling survivors all satisfy draw < rate and can never land
+# in the val/test tail ranges (observed live: 1304/1304 rows → train)
+SPLIT_SALT = 0x38D01377452821E6
 PPM = 1_000_000
 
 
@@ -161,7 +165,7 @@ def assign_splits(
     ds,
     key_col: str,
     fractions_ppm: dict[str, int] | None = None,
-    salt: int = SAMPLE_SALT,
+    salt: int = SPLIT_SALT,
 ):
     """Deterministic DISJOINT train/val/test assignment: the same
     salted-hash draw as :func:`hash_sample`, mapped onto consecutive
@@ -169,7 +173,12 @@ def assign_splits(
     reproducible across runs and cluster sizes, pure map (no shuffle).
     ``fractions_ppm`` must sum to exactly 1,000,000 (integer cut points
     — no float boundary can flip a row); insertion order defines the
-    ranges, so keep it stable across runs."""
+    ranges, so keep it stable across runs.
+
+    The default salt differs from ``hash_sample``'s on purpose: a
+    shared salt CORRELATES the draws, so rows surviving an upstream
+    sample (draw < rate) could never land in the val/test tail
+    ranges — every survivor would be 'train'."""
     fr = fractions_ppm or {"train": 980_000, "val": 10_000, "test": 10_000}
     if sum(fr.values()) != PPM:
         raise ValueError(

@@ -620,8 +620,9 @@ def assign_splits_sql(
         ("train", 900_000), ("val", 950_000), ("test", 1_000_000),
     ),
 ) -> str:
-    """Exact SQL for deterministic split assignment: the same splitmix
-    draw mapped onto consecutive integer ppm ranges."""
+    """Exact SQL for deterministic split assignment: an INDEPENDENTLY
+    salted splitmix draw (SPLIT_SALT — correlated with the sampling
+    draw it must not be) mapped onto consecutive integer ppm ranges."""
     smx, final = splitmix_cte_steps("sin", "x", "h", key, "sm")
     cases = " ".join(
         f"WHEN h % 1000000 < {hi} THEN '{name}'"
@@ -631,7 +632,7 @@ def assign_splits_sql(
 WITH sin AS (
   SELECT {key},
          CAST(xor(CAST({key} AS UBIGINT),
-                  CAST({SAMPLE_SALT_SQL} AS UBIGINT)) AS HUGEINT) AS x
+                  CAST({SPLIT_SALT_SQL} AS UBIGINT)) AS HUGEINT) AS x
   FROM {table}
 ),{smx}
 SELECT {key}, CASE {cases} ELSE '{cuts[-1][0]}' END AS split
@@ -839,6 +840,7 @@ CMS_SALTS_SQL = (
     0x082EFA98EC4E6C89,
 )
 SAMPLE_SALT_SQL = 0x452821E638D01377
+SPLIT_SALT_SQL = 0x38D01377452821E6
 
 
 def cms_cells_sql(table: str = "events", key: str = "user_id",

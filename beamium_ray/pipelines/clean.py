@@ -1,0 +1,265 @@
+"""Config-driven training-data CLEANING pipeline: compose the
+gate-verified datapipe stages into one streaming Ray Data job.
+
+The product surface for the training-data op set (the rollup engine's
+sibling): a user describes stages in YAML/JSON and `run_clean`
+executes them as ONE lazy Dataset pipeline — quality filtering,
+boilerplate removal, decontamination, exact dedup, sampling/mixing and
+split assignment, ending in partitioned Parquet.
+
+Stage registry (each maps to a gate-verified operator):
+
+  quality_filter    drop docs failing the Gopher composite rules
+                    (textstats.quality_filter_batch; params: min_words)
+  drop_boilerplate  delete corpus-frequent chunks from every doc
+                    (dedup.drop_frequent_chunks; words_per_chunk,
+                    max_occurrences) — rewrites text in place
+  decontaminate     drop docs sharing a word n-gram with a benchmark
+                    parquet (decontam.drop_contaminated; benchmark, g)
+  dedup_exact       keep one doc per distinct text
+                    (dedup.exact_dedup mode=hash128 keys a broadcast
+                    keep-set — see _apply_dedup_exact for the contract)
+  sample            deterministic (stratified) hash sampling
+                    (sample.hash_sample; rate_ppm, strat_col, rates_ppm)
+  mixture_sample    temperature rebalance (sample.mixture_sample;
+                    strat_col, temperature)
+  assign_splits     add a disjoint train/val/test column
+                    (sample.assign_splits; fractions_ppm)
+
+Scale notes: every stage is a pure map / broadcast probe except
+drop_boilerplate's narrow hash-count groupby and dedup_exact (see its
+contract). Output is written as partitioned Parquet (by `split` when
+present) so a failed run can be re-executed per partition.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+
+VALID_STAGES = {
+    "quality_filter", "drop_boilerplate", "decontaminate",
+    "dedup_exact", "sample", "mixture_sample", "assign_splits",
+}
+
+
+@dataclass
+class CleanConfig:
+    input: str
+    output: str
+    stages: list[dict] = field(default_factory=list)
+    text_col: str = "text"
+    id_col: str = "doc_id"
+
+    @classmethod
+    def from_file(cls, path: str) -> "CleanConfig":
+        if path.endswith((".yaml", ".yml")):
+            import yaml
+
+            raw = yaml.safe_load(open(path))
+        else:
+            raw = json.load(open(path))
+        return cls(**raw)
+
+    def validate(self) -> None:
+        if not self.input:
+            raise ValueError("clean config needs an 'input' parquet path")
+        if not self.output:
+            raise ValueError("clean config needs an 'output' dir")
+        if not self.stages:
+            raise ValueError("clean config needs a non-empty 'stages' list")
+        for st in self.stages:
+            if not isinstance(st, dict) or len(st) != 1:
+                raise ValueError(
+                    f"each stage must be a one-key mapping, got {st!r}"
+                )
+            (name, params), = st.items()
+            if name not in VALID_STAGES:
+                raise ValueError(
+                    f"unknown stage {name!r}; valid: {sorted(VALID_STAGES)}"
+                )
+            if params is not None and not isinstance(params, dict):
+                raise ValueError(f"stage {name!r} params must be a mapping")
+            if name == "decontaminate" and not (params or {}).get(
+                "benchmark"
+            ):
+                raise ValueError(
+                    "decontaminate stage needs a 'benchmark' parquet path"
+                )
+
+
+def _apply_dedup_exact(ds, cfg: CleanConfig, params: dict):
+    """Exact dedup as a row FILTER: run exact_dedup(mode="hash128") —
+    only (h1, h2, id, n) rows shuffle — collect the surviving min-id
+    set, broadcast it sorted, and keep exactly those rows per block.
+
+    Contract: the keep-set is 8 B per DISTINCT text; above
+    ``max_broadcast_reps`` this fails loudly — at that scale write
+    exact_dedup's output ids and join offline instead. For a cleaning
+    pipeline over a shard, the broadcast form is the pragmatic one."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from beamium_ray.datapipe.dedup import exact_dedup
+
+    max_reps = int(params.get("max_broadcast_reps", 50_000_000))
+    reps = exact_dedup(
+        ds, text_col=cfg.text_col, id_col=cfg.id_col, mode="hash128"
+    )
+    ids_parts = []
+    total = 0
+    for b in reps.iter_batches(batch_format="pyarrow", batch_size=None):
+        ids_parts.append(b["doc_id"].to_numpy(zero_copy_only=False))
+        total += b.num_rows
+        if total > max_reps:
+            raise RuntimeError(
+                f"dedup_exact keep-set exceeds max_broadcast_reps="
+                f"{max_reps}; raise it or dedup offline via "
+                "exact_dedup() + a join"
+            )
+    keep = np.sort(np.concatenate(ids_parts)) if ids_parts else (
+        np.zeros(0, np.int64)
+    )
+    keep_ref = ray.put(keep)
+
+    def f(batch: pa.Table, _ref=keep_ref) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        k = ray.get(_ref)
+        ids = batch[cfg.id_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(k, ids)
+        pos[pos == len(k)] = 0
+        m = (k[pos] == ids) if len(k) else np.zeros(len(ids), bool)
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def _apply_drop_boilerplate(ds, cfg: CleanConfig, params: dict):
+    import pyarrow as pa
+
+    from beamium_ray.datapipe.dedup import drop_frequent_chunks
+
+    cleaned = drop_frequent_chunks(
+        ds,
+        text_col=cfg.text_col,
+        id_col=cfg.id_col,
+        words_per_chunk=int(params.get("words_per_chunk", 10)),
+        max_occurrences=int(params.get("max_occurrences", 1)),
+    )
+    # (id, text_clean) → rejoin the cleaned text onto nothing: the
+    # stage REPLACES the doc table's text (other columns are dropped —
+    # boilerplate removal is a text rewrite, run it early)
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns([cfg.id_col, cfg.text_col])
+
+    return cleaned.map_batches(
+        rename, batch_format="pyarrow", batch_size=None
+    )
+
+
+def build_clean_pipeline(cfg: CleanConfig):
+    """Compose the configured stages into one lazy Dataset. Ray must
+    already be initialised."""
+    import ray.data
+
+    from beamium_ray.datapipe.decontam import drop_contaminated
+    from beamium_ray.datapipe.sample import (
+        assign_splits, hash_sample, mixture_sample,
+    )
+    from beamium_ray.datapipe.textstats import quality_filter_batch
+
+    ds = ray.data.read_parquet(cfg.input)
+    for st in cfg.stages:
+        (name, params), = st.items()
+        params = params or {}
+        if name == "quality_filter":
+            import pyarrow as pa
+
+            min_words = int(params.get("min_words", 20))
+
+            def qf(b, _mw=min_words):
+                if b.num_rows == 0:
+                    return b
+                q = quality_filter_batch(
+                    b, text_col=cfg.text_col, id_col=cfg.id_col,
+                    min_words=_mw,
+                )
+                keep = q["keep"].to_numpy(zero_copy_only=False) == 1
+                return b.filter(pa.array(keep))
+
+            ds = ds.map_batches(qf, batch_format="pyarrow", batch_size=None)
+        elif name == "drop_boilerplate":
+            ds = _apply_drop_boilerplate(ds, cfg, params)
+        elif name == "decontaminate":
+            import ray.data as rd
+
+            bench = rd.read_parquet(params["benchmark"])
+            ds = drop_contaminated(
+                ds, bench, text_col=cfg.text_col,
+                g=int(params.get("g", 8)),
+            )
+        elif name == "dedup_exact":
+            ds = _apply_dedup_exact(ds, cfg, params)
+        elif name == "sample":
+            ds = hash_sample(
+                ds,
+                key_col=cfg.id_col,
+                rate_ppm=int(params.get("rate_ppm", 500_000)),
+                strat_col=params.get("strat_col"),
+                rates_ppm=params.get("rates_ppm"),
+            )
+        elif name == "mixture_sample":
+            ds = mixture_sample(
+                ds,
+                key_col=cfg.id_col,
+                strat_col=params["strat_col"],
+                temperature=float(params.get("temperature", 2.0)),
+            )
+        elif name == "assign_splits":
+            ds = assign_splits(
+                ds, key_col=cfg.id_col,
+                fractions_ppm=params.get("fractions_ppm"),
+            )
+    return ds
+
+
+def run_clean(cfg: CleanConfig) -> dict:
+    """Execute the pipeline and write partitioned Parquet (by `split`
+    when an assign_splits stage ran). Returns a one-line summary."""
+    import os
+
+    import ray.data
+
+    cfg.validate()
+    if os.path.isdir(cfg.output) and os.listdir(cfg.output):
+        # mixing runs silently inflates the output (observed live:
+        # rows_out 2608 of rows_in 2000 after a re-run) — refuse
+        raise RuntimeError(
+            f"output dir {cfg.output!r} is not empty; clean runs write "
+            "a fresh directory (delete it or point elsewhere)"
+        )
+    rows_in = ray.data.read_parquet(cfg.input).count()  # footers only
+    ds = build_clean_pipeline(cfg)
+    has_split = any("assign_splits" in st for st in cfg.stages)
+    if has_split:
+        ds.write_parquet(cfg.output, partition_cols=["split"])
+    else:
+        ds.write_parquet(cfg.output)
+    # an all-filtered pipeline writes no files at all — report 0, not
+    # a FileNotFoundError from the count-back
+    rows_out = (
+        ray.data.read_parquet(cfg.output).count()
+        if os.path.isdir(cfg.output) and os.listdir(cfg.output)
+        else 0
+    )
+    return {
+        "input": cfg.input,
+        "output": cfg.output,
+        "stages": [next(iter(st)) for st in cfg.stages],
+        "rows_in": int(rows_in),
+        "rows_out": int(rows_out),
+        "partitioned_by_split": has_split,
+    }

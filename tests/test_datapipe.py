@@ -1403,3 +1403,69 @@ def test_split_sequences_and_assign_splits(ray_session):
     assert abs(frac["val"] - 0.05) < 0.01
     with pytest.raises(ValueError, match="sum"):
         assign_splits(ray.data.from_arrow(ids), "doc_id", {"a": 1})
+
+
+def test_run_clean_pipeline_e2e(ray_session, tmp_path):
+    """The config-driven cleaning pipeline end to end: quality filter,
+    exact dedup, decontamination, split assignment compose into one
+    run; output parquet is partitioned by split; -t validates bad
+    configs without Ray."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from beamium_ray.pipelines.clean import (
+        CleanConfig, build_clean_pipeline, run_clean,
+    )
+
+    # words ≥4 chars so the Gopher mean-word-length rule passes
+    good = " ".join(f"word{i}" for i in range(30))
+    dup = " ".join(f"dupw{i}" for i in range(25))
+    contaminated = " ".join(f"shared{i}" for i in range(24))
+    docs = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array([
+            good,            # survives
+            "too short",     # quality-dropped
+            dup, dup,        # dedup keeps id 2 only
+            contaminated,    # shares an 8-gram with the benchmark
+            good + " tail words here",  # survives
+        ]),
+        "source": pa.array(["a"] * 6),
+    })
+    bench = pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array([" ".join(f"shared{i}" for i in range(8))]),
+    })
+    inp, bpath, out = tmp_path / "in", tmp_path / "bench", tmp_path / "out"
+    import os
+    os.makedirs(inp); os.makedirs(bpath)
+    pq.write_table(docs, f"{inp}/part.parquet")
+    pq.write_table(bench, f"{bpath}/part.parquet")
+
+    cfg = CleanConfig(
+        input=str(inp),
+        output=str(out),
+        stages=[
+            {"quality_filter": {"min_words": 20}},
+            {"dedup_exact": None},
+            {"decontaminate": {"benchmark": f"{bpath}/part.parquet"}},
+            {"assign_splits": {"fractions_ppm":
+                               {"train": 500_000, "val": 500_000}}},
+        ],
+    )
+    res = run_clean(cfg)
+    assert res["rows_in"] == 6
+    assert res["rows_out"] == 3  # good, dup-rep(2), good+tail
+    assert res["partitioned_by_split"]
+    got = ray.data.read_parquet(str(out)).to_pandas()
+    assert sorted(got["doc_id"]) == [0, 2, 5]
+    assert set(got["split"]) <= {"train", "val"}
+
+    # validation catches unknown stages / missing benchmark
+    bad = CleanConfig(input="x", output="y", stages=[{"nope": None}])
+    with pytest.raises(ValueError, match="unknown stage"):
+        bad.validate()
+    bad2 = CleanConfig(input="x", output="y",
+                       stages=[{"decontaminate": {}}])
+    with pytest.raises(ValueError, match="benchmark"):
+        bad2.validate()
