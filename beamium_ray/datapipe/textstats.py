@@ -387,3 +387,75 @@ def repetition_stats_batch(
             "n_dup_2grams": pa.array(n_2grams - g_distinct, pa.int64()),
         }
     )
+
+
+def dataset_report_rows(
+    batch: pa.Table,
+    strat_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Per-block PARTIAL dataset-card rows: per stratum the doc count,
+    whitespace-token total, char total and Gopher-quality keep count —
+    all integer sums, so partials merge exactly."""
+    empty = pa.table({
+        strat_col: pa.array([], pa.string()),
+        "n_docs": pa.array([], pa.int64()),
+        "n_tok_ws": pa.array([], pa.int64()),
+        "n_chars": pa.array([], pa.int64()),
+        "n_keep": pa.array([], pa.int64()),
+    })
+    if batch.num_rows == 0:
+        return empty
+    tok = token_count_batch(batch, text_col)["n_tok_ws"]
+    keep = quality_filter_batch(batch, text_col, id_col)["keep"]
+    chars = pc.cast(pc.utf8_length(batch[text_col]), pa.int64())
+    g = pa.table({
+        strat_col: batch[strat_col],
+        "n_tok_ws": tok,
+        "n_chars": chars,
+        "n_keep": keep,
+    }).group_by([strat_col], use_threads=False).aggregate(
+        [("n_tok_ws", "sum"), ("n_chars", "sum"), ("n_keep", "sum"),
+         ([], "count_all")]
+    )
+    g = g.rename_columns(
+        [strat_col, "n_tok_ws", "n_chars", "n_keep", "n_docs"]
+    )
+    return g.select(
+        [strat_col, "n_docs", "n_tok_ws", "n_chars", "n_keep"]
+    ).set_column(1, "n_docs", pc.cast(g["n_docs"], pa.int64()))
+
+
+def dataset_report(
+    ds,
+    strat_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """The per-source 'dataset card' summary (docs, tokens, chars,
+    quality-keep counts per stratum) — what a corpus release ships
+    next to the data. Per-block integer partials (≤ strata rows leave
+    a block) → one tiny groupby merge; pure map + a strata-sized
+    shuffle."""
+
+    def merge(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g
+        m = g.group_by([strat_col], use_threads=False).aggregate(
+            [("n_docs", "sum"), ("n_tok_ws", "sum"),
+             ("n_chars", "sum"), ("n_keep", "sum")]
+        )
+        return m.rename_columns(
+            [strat_col, "n_docs", "n_tok_ws", "n_chars", "n_keep"]
+        )
+
+    return (
+        ds.map_batches(
+            lambda b: dataset_report_rows(b, strat_col, text_col, id_col),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .groupby(strat_col)
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -40,7 +40,8 @@ from dataclasses import dataclass, field
 
 VALID_STAGES = {
     "quality_filter", "drop_boilerplate", "decontaminate",
-    "dedup_exact", "sample", "mixture_sample", "assign_splits",
+    "dedup_exact", "dedup_minhash", "sample", "mixture_sample",
+    "assign_splits",
 }
 
 
@@ -89,35 +90,33 @@ class CleanConfig:
                 )
 
 
-def _apply_dedup_exact(ds, cfg: CleanConfig, params: dict):
-    """Exact dedup as a row FILTER: run exact_dedup(mode="hash128") —
-    only (h1, h2, id, n) rows shuffle — collect the surviving min-id
-    set, broadcast it sorted, and keep exactly those rows per block.
+def _broadcast_keep_filter(ds, keep_ds, id_out_col: str, id_col: str,
+                           max_reps: int, stage: str, pred=None):
+    """Shared keep-set filter for the dedup stages: stream the
+    representative ids off ``keep_ds`` (column ``id_out_col``; optional
+    row predicate ``pred``), broadcast them sorted, keep exactly those
+    rows of ``ds`` per block.
 
-    Contract: the keep-set is 8 B per DISTINCT text; above
-    ``max_broadcast_reps`` this fails loudly — at that scale write
-    exact_dedup's output ids and join offline instead. For a cleaning
-    pipeline over a shard, the broadcast form is the pragmatic one."""
+    Contract: the keep-set is 8 B per SURVIVOR; above ``max_reps``
+    this fails loudly — at that scale write the dedup labels and join
+    offline instead. For a cleaning pipeline over a shard, the
+    broadcast form is the pragmatic one."""
     import numpy as np
     import pyarrow as pa
     import ray
 
-    from beamium_ray.datapipe.dedup import exact_dedup
-
-    max_reps = int(params.get("max_broadcast_reps", 50_000_000))
-    reps = exact_dedup(
-        ds, text_col=cfg.text_col, id_col=cfg.id_col, mode="hash128"
-    )
     ids_parts = []
     total = 0
-    for b in reps.iter_batches(batch_format="pyarrow", batch_size=None):
-        ids_parts.append(b["doc_id"].to_numpy(zero_copy_only=False))
+    for b in keep_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        if pred is not None:
+            b = pred(b)
+        ids_parts.append(b[id_out_col].to_numpy(zero_copy_only=False))
         total += b.num_rows
         if total > max_reps:
             raise RuntimeError(
-                f"dedup_exact keep-set exceeds max_broadcast_reps="
-                f"{max_reps}; raise it or dedup offline via "
-                "exact_dedup() + a join"
+                f"{stage} keep-set exceeds max_broadcast_reps="
+                f"{max_reps}; raise it or dedup offline via the "
+                "label table + a join"
             )
     keep = np.sort(np.concatenate(ids_parts)) if ids_parts else (
         np.zeros(0, np.int64)
@@ -128,13 +127,58 @@ def _apply_dedup_exact(ds, cfg: CleanConfig, params: dict):
         if batch.num_rows == 0:
             return batch
         k = ray.get(_ref)
-        ids = batch[cfg.id_col].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if not len(k):
+            return batch.filter(pa.array(np.zeros(len(ids), bool)))
         pos = np.searchsorted(k, ids)
         pos[pos == len(k)] = 0
-        m = (k[pos] == ids) if len(k) else np.zeros(len(ids), bool)
-        return batch.filter(pa.array(m))
+        return batch.filter(pa.array(k[pos] == ids))
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def _apply_dedup_exact(ds, cfg: CleanConfig, params: dict):
+    """Exact dedup as a row FILTER: run exact_dedup(mode="hash128") —
+    only (h1, h2, id, n) rows shuffle — then the shared broadcast
+    keep-set filter."""
+    from beamium_ray.datapipe.dedup import exact_dedup
+
+    reps = exact_dedup(
+        ds, text_col=cfg.text_col, id_col=cfg.id_col, mode="hash128"
+    )
+    return _broadcast_keep_filter(
+        ds, reps, "doc_id", cfg.id_col,
+        int(params.get("max_broadcast_reps", 50_000_000)), "dedup_exact",
+    )
+
+
+def _apply_dedup_minhash(ds, cfg: CleanConfig, params: dict):
+    """Near-dup dedup as a row FILTER: minhash_dedup labels every doc
+    with its cluster min; representatives (doc_id == cluster) form the
+    keep-set, applied via the shared broadcast filter. Pass
+    ``verify_threshold`` for exact-Jaccard-verified clusters (the
+    distributed verify route engages automatically above the pair
+    cap)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from beamium_ray.datapipe.dedup import minhash_dedup
+
+    labels = minhash_dedup(
+        ds,
+        text_col=cfg.text_col,
+        id_col=cfg.id_col,
+        verify_threshold=params.get("verify_threshold"),
+    )
+
+    def reps_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["doc_id"], b["cluster"]))
+
+    return _broadcast_keep_filter(
+        ds, labels, "doc_id", cfg.id_col,
+        int(params.get("max_broadcast_reps", 50_000_000)), "dedup_minhash",
+        pred=reps_only,
+    )
 
 
 def _apply_drop_boilerplate(ds, cfg: CleanConfig, params: dict):
@@ -203,6 +247,8 @@ def build_clean_pipeline(cfg: CleanConfig):
             )
         elif name == "dedup_exact":
             ds = _apply_dedup_exact(ds, cfg, params)
+        elif name == "dedup_minhash":
+            ds = _apply_dedup_minhash(ds, cfg, params)
         elif name == "sample":
             ds = hash_sample(
                 ds,

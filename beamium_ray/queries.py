@@ -713,6 +713,18 @@ def length_batches_docs(sf_dir: str):
     )
 
 
+def dataset_report_docs(sf_dir: str):
+    """Per-source dataset-card summary (docs / whitespace tokens /
+    chars / Gopher-quality keeps) — integer partials per block, one
+    strata-sized groupby merge. The oracle recomputes every column
+    from the text in SQL."""
+    from beamium_ray.datapipe.textstats import dataset_report
+
+    return dataset_report(
+        _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    )
+
+
 def quality_filter_docs(sf_dir: str):
     """Composite Gopher-style quality filter: integer reason bitmask
     (short / word-length bounds / top-word share / dup-word fraction /
@@ -1875,6 +1887,32 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
     "doc_frequency_docs": _gen.doc_frequency_sql(),
     "bigram_topk_docs": _gen.bigram_topk_sql(),
     "decontaminate_tokens_docs": _gen.decontam_tokens_sql(),
+    "dataset_report_docs": f"""
+WITH rep AS ({_REP_STATS_SQL}),
+jq AS (
+  SELECT r.*, d.source, length(d.text) AS n_chars,
+         CASE WHEN trim(d.text) = '' THEN 0
+              ELSE CAST(array_length(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT)
+         END AS n_tok_ws
+  FROM rep r JOIN documents d USING (doc_id)
+),
+bits AS (
+  SELECT source, n_tok_ws, n_chars,
+         CASE WHEN n_words < 20 THEN 0
+              WHEN (n_chars - n_words + 1) < 3 * n_words
+                OR (n_chars - n_words + 1) > 10 * n_words THEN 0
+              WHEN top_word_n * 8 > n_words THEN 0
+              WHEN (n_words - n_distinct_words) * 8 > n_words * 5 THEN 0
+              WHEN n_dup_2grams * 20 > n_2grams THEN 0
+              ELSE 1 END AS keep
+  FROM jq
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok_ws) AS BIGINT) AS n_tok_ws,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(keep) AS BIGINT) AS n_keep
+FROM bits GROUP BY source
+""",
     "split_sequences_docs": _gen.split_sequences_sql(),
     "assign_splits_docs": _gen.assign_splits_sql(),
     "training_pipeline_docs": f"""
@@ -2176,6 +2214,7 @@ QUERIES = {
     "bigram_topk_docs": bigram_topk_docs,
     "training_pipeline_docs": training_pipeline_docs,
     "decontaminate_tokens_docs": decontaminate_tokens_docs,
+    "dataset_report_docs": dataset_report_docs,
     "split_sequences_docs": split_sequences_docs,
     "assign_splits_docs": assign_splits_docs,
     "drop_boilerplate_docs": drop_boilerplate_docs,

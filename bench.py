@@ -161,6 +161,7 @@ QUERY_NAMES = [
     "decontaminate_tokens_docs",
     "split_sequences_docs",
     "assign_splits_docs",
+    "dataset_report_docs",
 ]
 
 

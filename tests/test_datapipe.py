@@ -1469,3 +1469,30 @@ def test_run_clean_pipeline_e2e(ray_session, tmp_path):
                        stages=[{"decontaminate": {}}])
     with pytest.raises(ValueError, match="benchmark"):
         bad2.validate()
+
+
+def test_run_clean_dedup_minhash_stage(ray_session, tmp_path):
+    """The near-dup stage keeps one representative per verified minhash
+    cluster inside the composed pipeline."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from beamium_ray.pipelines.clean import CleanConfig, run_clean
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    near = base.replace("lazy", "sleepy")
+    docs = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array([base, near, "completely different words " * 6,
+                          base]),
+    })
+    inp, out = tmp_path / "in", tmp_path / "out"
+    os.makedirs(inp)
+    pq.write_table(docs, f"{inp}/d.parquet")
+    res = run_clean(CleanConfig(
+        input=str(inp), output=str(out),
+        stages=[{"dedup_minhash": {"verify_threshold": 0.5}}],
+    ))
+    assert res["rows_in"] == 4
+    assert res["rows_out"] == 2  # cluster {0,1,3} -> rep 0; unique doc

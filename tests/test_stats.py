@@ -252,3 +252,29 @@ def test_bigram_topk_exact(ray_session):
         ] == want
     top1 = bigram_topk(ray.data.from_arrow(t), k=1, vocab=16)
     assert top1["n"].to_pylist() == [3]
+
+
+def test_dataset_report_sums(ray_session):
+    """Per-source sums equal hand-computed values and merge across
+    block splits (integer partials)."""
+    import ray.data
+
+    from beamium_ray.datapipe.textstats import dataset_report
+
+    good = " ".join(f"word{i}" for i in range(25))
+    t = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array([good, "tiny", good + " extra", "also small"]),
+        "source": pa.array(["a", "a", "b", "b"]),
+    })
+    for parts in (1, 3):
+        got = (
+            dataset_report(ray.data.from_arrow(t).repartition(parts))
+            .to_pandas().set_index("source").sort_index()
+        )
+        assert got.loc["a"].to_dict() == {
+            "n_docs": 2, "n_tok_ws": 26,
+            "n_chars": len(good) + 4, "n_keep": 1,
+        }
+        assert got.loc["b"]["n_docs"] == 2
+        assert got.loc["b"]["n_keep"] == 1
