@@ -1977,33 +1977,43 @@ def frequent_chunk_hashes(
 class _DropChunks:
     """Actor-pool stage: fetch the broadcast frequent-chunk hash set
     once per actor; per batch re-chunk, membership-test, and reassemble
-    the surviving chunks — all vectorized (binary_join per row)."""
+    the surviving chunks — all vectorized (binary_join per row).
 
-    def __init__(self, freq_ref, text_col, id_col, words_per_chunk):
+    output="pair" → (id_col, text_clean); output="replace" → ALL
+    original columns with the text rewritten in place (the composable
+    form — downstream stages keep their source/split columns)."""
+
+    def __init__(self, freq_ref, text_col, id_col, words_per_chunk,
+                 output="pair"):
         import ray
 
         self.h1s, self.h2s = ray.get(freq_ref)
         self.text_col = text_col
         self.id_col = id_col
         self.wpc = words_per_chunk
+        self.output = output
+
+    def _emit(self, batch: pa.Table, ids, joined) -> pa.Table:
+        if self.output == "replace":
+            return batch.set_column(
+                batch.column_names.index(self.text_col),
+                self.text_col, joined,
+            )
+        return pa.table({self.id_col: ids, "text_clean": joined})
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
         if batch.num_rows == 0:
-            return pa.table(
-                {self.id_col: ids, "text_clean": pa.array([], pa.string())}
-            )
+            return self._emit(batch, ids, pa.array([], pa.string()))
         if not len(self.h1s):
             # no frequent chunks anywhere: re-chunk + rejoin would be
             # the identity (chunk_rows_batch docstring) — skip the pass
             text = batch[self.text_col]
             if isinstance(text, pa.ChunkedArray):
                 text = text.combine_chunks()
-            return pa.table(
-                {self.id_col: ids, "text_clean": pc.fill_null(text, "")}
-            )
+            return self._emit(batch, ids, pc.fill_null(text, ""))
         t = chunk_rows_batch(batch, self.text_col, self.id_col, self.wpc)
         c = t["chunk"]
         if isinstance(c, pa.ChunkedArray):
@@ -2028,7 +2038,7 @@ class _DropChunks:
         kept_chunks = c.filter(pa.array(keep))
         lists = pa.ListArray.from_arrays(pa.array(off), kept_chunks)
         joined = pc.binary_join(lists, " ")
-        return pa.table({self.id_col: ids, "text_clean": joined})
+        return self._emit(batch, ids, joined)
 
 
 def drop_frequent_chunks(
@@ -2039,6 +2049,7 @@ def drop_frequent_chunks(
     max_occurrences: int = 1,
     num_buckets: int = 64,
     concurrency=(1, 8),
+    output: str = "pair",
 ):
     """RefinedWeb/C4-style BOILERPLATE REMOVAL: delete every chunk that
     occurs more than ``max_occurrences`` times corpus-wide from EVERY
@@ -2051,7 +2062,10 @@ def drop_frequent_chunks(
     boilerplate is frequent ⇒ few distinct strings), broadcast once
     via ray.put; the drop pass is a pure actor-pool map — re-chunk,
     searchsorted membership, vectorized per-row rejoin. Returns
-    (doc_id, text_clean); a fully-boilerplate doc becomes ''."""
+    (id, text_clean) by default; ``output="replace"`` instead passes
+    every original column through with the text rewritten in place
+    (the composable pipeline form). A fully-boilerplate doc
+    becomes ''."""
     import ray
 
     freq = frequent_chunk_hashes(
@@ -2060,7 +2074,9 @@ def drop_frequent_chunks(
     freq_ref = ray.put(freq)
     return ds.map_batches(
         _DropChunks,
-        fn_constructor_args=(freq_ref, text_col, id_col, words_per_chunk),
+        fn_constructor_args=(
+            freq_ref, text_col, id_col, words_per_chunk, output,
+        ),
         batch_format="pyarrow",
         batch_size=None,
         concurrency=concurrency,

@@ -398,16 +398,19 @@ def dataset_report_rows(
     """Per-block PARTIAL dataset-card rows: per stratum the doc count,
     whitespace-token total, char total and Gopher-quality keep count —
     all integer sums, so partials merge exactly."""
-    empty = pa.table({
-        strat_col: pa.array([], pa.string()),
-        "n_docs": pa.array([], pa.int64()),
-        "n_tok_ws": pa.array([], pa.int64()),
-        "n_chars": pa.array([], pa.int64()),
-        "n_keep": pa.array([], pa.int64()),
-    })
     if batch.num_rows == 0:
-        return empty
-    tok = token_count_batch(batch, text_col)["n_tok_ws"]
+        return pa.table({
+            strat_col: pa.array([], batch.schema.field(strat_col).type),
+            "n_docs": pa.array([], pa.int64()),
+            "n_tok_ws": pa.array([], pa.int64()),
+            "n_chars": pa.array([], pa.int64()),
+            "n_keep": pa.array([], pa.int64()),
+        })
+    # count tokens directly (token_count_batch hardcodes a doc_id
+    # output column — this report must honor any id_col)
+    tok = pc.cast(
+        pc.count_substring_regex(batch[text_col], TOKEN_RE), pa.int64()
+    )
     keep = quality_filter_batch(batch, text_col, id_col)["keep"]
     chars = pc.cast(pc.utf8_length(batch[text_col]), pa.int64())
     g = pa.table({

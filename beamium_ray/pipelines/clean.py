@@ -58,9 +58,11 @@ class CleanConfig:
         if path.endswith((".yaml", ".yml")):
             import yaml
 
-            raw = yaml.safe_load(open(path))
+            with open(path) as f:
+                raw = yaml.safe_load(f)
         else:
-            raw = json.load(open(path))
+            with open(path) as f:
+                raw = json.load(f)
         return cls(**raw)
 
     def validate(self) -> None:
@@ -143,6 +145,9 @@ def _apply_dedup_exact(ds, cfg: CleanConfig, params: dict):
     keep-set filter."""
     from beamium_ray.datapipe.dedup import exact_dedup
 
+    # the keep-set pass AND the final write both read ds — materialize
+    # so the upstream stages don't re-execute per dedup stage
+    ds = ds.materialize()
     reps = exact_dedup(
         ds, text_col=cfg.text_col, id_col=cfg.id_col, mode="hash128"
     )
@@ -164,6 +169,7 @@ def _apply_dedup_minhash(ds, cfg: CleanConfig, params: dict):
 
     from beamium_ray.datapipe.dedup import minhash_dedup
 
+    ds = ds.materialize()  # labels pass + final write both read ds
     labels = minhash_dedup(
         ds,
         text_col=cfg.text_col,
@@ -186,21 +192,16 @@ def _apply_drop_boilerplate(ds, cfg: CleanConfig, params: dict):
 
     from beamium_ray.datapipe.dedup import drop_frequent_chunks
 
-    cleaned = drop_frequent_chunks(
+    # output="replace": the text column is rewritten IN PLACE and every
+    # other column (source, split, …) passes through — downstream
+    # stages and the partitioned writer depend on them
+    return drop_frequent_chunks(
         ds,
         text_col=cfg.text_col,
         id_col=cfg.id_col,
         words_per_chunk=int(params.get("words_per_chunk", 10)),
         max_occurrences=int(params.get("max_occurrences", 1)),
-    )
-    # (id, text_clean) → rejoin the cleaned text onto nothing: the
-    # stage REPLACES the doc table's text (other columns are dropped —
-    # boilerplate removal is a text rewrite, run it early)
-    def rename(b: pa.Table) -> pa.Table:
-        return b.rename_columns([cfg.id_col, cfg.text_col])
-
-    return cleaned.map_batches(
-        rename, batch_format="pyarrow", batch_size=None
+        output="replace",
     )
 
 
@@ -215,8 +216,23 @@ def build_clean_pipeline(cfg: CleanConfig):
     )
     from beamium_ray.datapipe.textstats import quality_filter_batch
 
+    from beamium_ray.datapipe.sample import SAMPLE_SALT
+    from beamium_ray.functions.hashing import splitmix64 as _smx
+
+    import numpy as np
+
+    def _stage_salt(idx: int) -> int:
+        # each sampling stage draws INDEPENDENTLY: a shared salt
+        # correlates the draws (stage-2 rates apply only to stage-1
+        # survivors, all of whom satisfy draw < rate_1 — the same bug
+        # class fixed for assign_splits). Deterministic in stage order.
+        return int(
+            _smx(np.uint64(SAMPLE_SALT) ^ np.uint64(idx + 1))
+            & np.uint64((1 << 63) - 1)
+        )
+
     ds = ray.data.read_parquet(cfg.input)
-    for st in cfg.stages:
+    for idx, st in enumerate(cfg.stages):
         (name, params), = st.items()
         params = params or {}
         if name == "quality_filter":
@@ -256,6 +272,7 @@ def build_clean_pipeline(cfg: CleanConfig):
                 rate_ppm=int(params.get("rate_ppm", 500_000)),
                 strat_col=params.get("strat_col"),
                 rates_ppm=params.get("rates_ppm"),
+                salt=_stage_salt(idx),
             )
         elif name == "mixture_sample":
             ds = mixture_sample(
@@ -263,6 +280,7 @@ def build_clean_pipeline(cfg: CleanConfig):
                 key_col=cfg.id_col,
                 strat_col=params["strat_col"],
                 temperature=float(params.get("temperature", 2.0)),
+                salt=_stage_salt(idx),
             )
         elif name == "assign_splits":
             ds = assign_splits(

@@ -1496,3 +1496,60 @@ def test_run_clean_dedup_minhash_stage(ray_session, tmp_path):
     ))
     assert res["rows_in"] == 4
     assert res["rows_out"] == 2  # cluster {0,1,3} -> rep 0; unique doc
+
+
+def test_clean_stage_composition_fixes(ray_session, tmp_path):
+    """Fourth-review regressions: drop_boilerplate(replace) preserves
+    all columns through the composed pipeline (split partitioning after
+    it works); chained sampling stages draw with independent salts
+    (uniform second-stage rates apply to survivors, not collapse to
+    min(rate1, rate2)); dataset_report honors a custom id_col."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from beamium_ray.datapipe.textstats import dataset_report
+    from beamium_ray.pipelines.clean import CleanConfig, run_clean
+
+    bp = " ".join(f"bword{i}" for i in range(10))
+    docs = pa.table({
+        "doc_id": pa.array(range(400), pa.int64()),
+        "text": pa.array([
+            f"{bp} " + " ".join(f"uniq{d}w{i}" for i in range(25))
+            for d in range(400)
+        ]),
+        "source": pa.array(["a"] * 400),
+    })
+    inp, out = tmp_path / "in", tmp_path / "out"
+    os.makedirs(inp)
+    pq.write_table(docs, f"{inp}/d.parquet")
+    res = run_clean(CleanConfig(
+        input=str(inp), output=str(out),
+        stages=[
+            {"drop_boilerplate": {"max_occurrences": 1}},
+            {"sample": {"rate_ppm": 500_000}},
+            {"sample": {"rate_ppm": 500_000}},
+            {"assign_splits": {"fractions_ppm":
+                               {"train": 500_000, "val": 500_000}}},
+        ],
+    ))
+    # independent draws: two 50% samples ≈ 25% (one shared salt would
+    # give 50%); splits ≈ half each (correlated would give all-train)
+    assert 60 <= res["rows_out"] <= 140, res
+    got = ray.data.read_parquet(str(out)).to_pandas()
+    assert {"doc_id", "text", "source", "split"} <= set(got.columns)
+    assert bp not in got["text"].iloc[0]  # boilerplate actually removed
+    assert got["split"].nunique() == 2
+
+    # dataset_report with a custom id column name
+    t2 = pa.table({
+        "id": pa.array([1], pa.int64()),
+        "body": pa.array([" ".join(f"word{i}" for i in range(25))]),
+        "src": pa.array(["x"]),
+    })
+    rep = dataset_report(
+        ray.data.from_arrow(t2), strat_col="src",
+        text_col="body", id_col="id",
+    ).to_pandas()
+    assert rep["n_tok_ws"].tolist() == [25]
