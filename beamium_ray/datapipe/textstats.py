@@ -462,3 +462,45 @@ def dataset_report(
         .groupby(strat_col)
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+# ---------------- PII redaction ----------------
+
+# default scrub rules (C4/CCNet-style hygiene): each is (pattern,
+# replacement). Both Arrow's replace_substring_regex and DuckDB's
+# regexp_replace(..., 'g') are RE2, so the SAME pattern string yields
+# byte-identical redactions in the engine and the oracle.
+PII_RULES: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    rules: tuple[tuple[str, str], ...] = PII_RULES,
+) -> pa.Table:
+    """Replace PII spans in ``text_col`` IN PLACE (emails, IPv4ish
+    addresses, phone-shaped numbers by default) — one vectorized RE2
+    pass per rule, all other columns untouched. Order matters (rules
+    apply sequentially); keep it stable for reproducibility."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    for pat, repl in rules:
+        text = pc.replace_substring_regex(text, pat, repl)
+    return batch.set_column(
+        batch.column_names.index(text_col), text_col, text
+    )
+
+
+def redact_pii(ds, text_col: str = "text",
+               rules: tuple[tuple[str, str], ...] = PII_RULES):
+    """Dataset form of :func:`redact_pii_batch` — a pure map stage."""
+    return ds.map_batches(
+        lambda b: redact_pii_batch(b, text_col, rules),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

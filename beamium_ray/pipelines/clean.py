@@ -25,6 +25,8 @@ Stage registry (each maps to a gate-verified operator):
                     strat_col, temperature)
   assign_splits     add a disjoint train/val/test column
                     (sample.assign_splits; fractions_ppm)
+  redact_pii        scrub emails/IPs/phone-shaped spans in place
+                    (textstats.redact_pii; optional custom rules)
 
 Scale notes: every stage is a pure map / broadcast probe except
 drop_boilerplate's narrow hash-count groupby and dedup_exact (see its
@@ -41,7 +43,7 @@ from dataclasses import dataclass, field
 VALID_STAGES = {
     "quality_filter", "drop_boilerplate", "decontaminate",
     "dedup_exact", "dedup_minhash", "sample", "mixture_sample",
-    "assign_splits",
+    "assign_splits", "redact_pii",
 }
 
 
@@ -282,6 +284,16 @@ def build_clean_pipeline(cfg: CleanConfig):
                 temperature=float(params.get("temperature", 2.0)),
                 salt=_stage_salt(idx),
             )
+        elif name == "redact_pii":
+            from beamium_ray.datapipe.textstats import redact_pii
+
+            kw = {}
+            if params.get("rules"):
+                kw["rules"] = tuple(
+                    (r["pattern"], r["replacement"])
+                    for r in params["rules"]
+                )
+            ds = redact_pii(ds, text_col=cfg.text_col, **kw)
         elif name == "assign_splits":
             ds = assign_splits(
                 ds, key_col=cfg.id_col,

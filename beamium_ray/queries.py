@@ -713,6 +713,39 @@ def length_batches_docs(sf_dir: str):
     )
 
 
+def redact_pii_docs(sf_dir: str):
+    """PII redaction (C4-style scrubbing): docs with doc_id % 5 == 0
+    get a deterministic email + IP + phone suffix planted in-pipeline,
+    then every rule redacts in place — one vectorized RE2 pass per
+    rule. Arrow and DuckDB both use RE2, so the oracle's chained
+    regexp_replace over the SAME patterns must produce byte-identical
+    text."""
+    from beamium_ray.datapipe.textstats import redact_pii
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        i = ids.to_numpy(zero_copy_only=False)
+        suffix = pc.binary_join_element_wise(
+            " reach doc", pc.cast(ids, pa.string()),
+            "@mail.example.org at 10.0.",
+            pa.array((i % 256).astype(str), pa.string()),
+            ".7 or 555-123-4567 now", "",
+        )
+        planted = pc.if_else(
+            pa.array(i % 5 == 0),
+            pc.binary_join_element_wise(b["text"], suffix, ""),
+            b["text"],
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": planted})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow", batch_size=None
+    )
+    return redact_pii(ds)
+
+
 def dataset_report_docs(sf_dir: str):
     """Per-source dataset-card summary (docs / whitespace tokens /
     chars / Gopher-quality keeps) — integer partials per block, one
@@ -1887,6 +1920,28 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
     "doc_frequency_docs": _gen.doc_frequency_sql(),
     "bigram_topk_docs": _gen.bigram_topk_sql(),
     "decontaminate_tokens_docs": _gen.decontam_tokens_sql(),
+    "redact_pii_docs": r"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' reach doc' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example.org at 10.0.'
+                   || CAST(doc_id % 256 AS VARCHAR)
+                   || '.7 or 555-123-4567 now'
+              ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+           '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+         '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS text
+FROM planted
+""",
     "dataset_report_docs": f"""
 WITH rep AS ({_REP_STATS_SQL}),
 jq AS (
@@ -2215,6 +2270,7 @@ QUERIES = {
     "training_pipeline_docs": training_pipeline_docs,
     "decontaminate_tokens_docs": decontaminate_tokens_docs,
     "dataset_report_docs": dataset_report_docs,
+    "redact_pii_docs": redact_pii_docs,
     "split_sequences_docs": split_sequences_docs,
     "assign_splits_docs": assign_splits_docs,
     "drop_boilerplate_docs": drop_boilerplate_docs,

@@ -162,6 +162,7 @@ QUERY_NAMES = [
     "split_sequences_docs",
     "assign_splits_docs",
     "dataset_report_docs",
+    "redact_pii_docs",
 ]
 
 

@@ -1447,6 +1447,7 @@ def test_run_clean_pipeline_e2e(ray_session, tmp_path):
         output=str(out),
         stages=[
             {"quality_filter": {"min_words": 20}},
+            {"redact_pii": None},
             {"dedup_exact": None},
             {"decontaminate": {"benchmark": f"{bpath}/part.parquet"}},
             {"assign_splits": {"fractions_ppm":
@@ -1553,3 +1554,27 @@ def test_clean_stage_composition_fixes(ray_session, tmp_path):
         text_col="body", id_col="id",
     ).to_pandas()
     assert rep["n_tok_ws"].tolist() == [25]
+
+
+def test_redact_pii_rules():
+    """Emails, IPv4s and phone-shaped numbers are replaced in place
+    (all other columns untouched); clean text passes through; rules
+    apply sequentially."""
+    from beamium_ray.datapipe.textstats import redact_pii_batch
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "mail a.b+c@ex-ample.org or ping 192.168.0.1 or 555-123-4567",
+            "no pii here at all",
+            "edge 1.2.3.4.5 and version 1.2 stay partial",
+        ]),
+        "source": pa.array(["s"] * 3),
+    })
+    got = redact_pii_batch(t)
+    assert got["text"].to_pylist() == [
+        "mail <EMAIL> or ping <IP> or <PHONE>",
+        "no pii here at all",
+        "edge <IP>.5 and version 1.2 stay partial",
+    ]
+    assert got["source"].to_pylist() == ["s"] * 3
