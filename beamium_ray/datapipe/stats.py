@@ -109,22 +109,42 @@ def hll_register_rows(
     )
 
 
+def _hll_max_merge(b: pa.Table) -> pa.Table:
+    """Dense register-max over (reg, rank) partial rows — one
+    maximum.at pass over the 4096 slots instead of a key-sorted
+    groupby (same trick as the histogram merge)."""
+    if b.num_rows == 0:
+        return b
+    reg = b["reg"].to_numpy(zero_copy_only=False)
+    rank = b["rank"].to_numpy(zero_copy_only=False)
+    dense = np.zeros(1 << HLL_P, np.int64)
+    np.maximum.at(dense, reg, rank)
+    nz = np.nonzero(dense)[0]
+    return pa.table(
+        {
+            "reg": pa.array(nz.astype(np.int64), pa.int64()),
+            "rank": pa.array(dense[nz], pa.int64()),
+        }
+    )
+
+
 def hll_sketch(ds, key_col: str):
     """Dataset of the corpus-wide HLL register state (reg, rank):
-    per-batch partials → one tiny groupby-max (≤ 4096 groups)."""
-    merged = (
+    per-batch partials (≤ 4096 rows/block) merged by a two-level
+    dense maximum.at pass — Ray's key-sorted groupby over the
+    bounded partials measured ~3× slower than re-maxing them."""
+    from beamium_ray.functions.cluster import shuffle_blocks_for
+
+    return (
         ds.map_batches(
             lambda b: hll_register_rows(b, key_col),
             batch_format="pyarrow",
             batch_size=None,
         )
-        .groupby("reg")
-        .max("rank")
-    )
-    return merged.map_batches(
-        lambda t: t.rename_columns(["reg", "rank"]),
-        batch_format="pyarrow",
-        batch_size=None,
+        .repartition(shuffle_blocks_for())
+        .map_batches(_hll_max_merge, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(_hll_max_merge, batch_format="pyarrow", batch_size=None)
     )
 
 
@@ -252,25 +272,44 @@ def cms_cell_rows(batch: pa.Table, key_col: str) -> pa.Table:
     )
 
 
+def _cms_sum_merge(b: pa.Table) -> pa.Table:
+    """Dense cell-sum over (row, col, cnt) partial rows via a
+    composite-index add.at — no key-sorted groupby."""
+    if b.num_rows == 0:
+        return b
+    r = b["row"].to_numpy(zero_copy_only=False)
+    c = b["col"].to_numpy(zero_copy_only=False)
+    n = b["cnt"].to_numpy(zero_copy_only=False)
+    dense = np.zeros(CMS_D * CMS_W, np.int64)
+    np.add.at(dense, r * CMS_W + c, n)
+    nz = np.nonzero(dense)[0]
+    return pa.table(
+        {
+            "row": pa.array((nz // CMS_W).astype(np.int64), pa.int64()),
+            "col": pa.array((nz % CMS_W).astype(np.int64), pa.int64()),
+            "cnt": pa.array(dense[nz], pa.int64()),
+        }
+    )
+
+
 def cms_sketch(ds, key_col: str):
     """Dataset of the corpus-wide count-min cell state (row, col, cnt):
-    per-batch partials → one tiny groupby-sum (≤ 4096 groups). The
-    sketch answers point frequency queries (`cms_estimate`) and heavy-
-    hitter checks without ever shuffling the keys themselves — at
-    100 TB only ≤4096-row partials cross the wire per block."""
-    merged = (
+    per-batch partials (≤ 4096 rows/block; keys never shuffle) merged
+    by a two-level dense add.at pass over the D×W slots — Ray's
+    key-sorted groupby over the bounded partials measured ~3× slower
+    than re-summing them."""
+    from beamium_ray.functions.cluster import shuffle_blocks_for
+
+    return (
         ds.map_batches(
             lambda b: cms_cell_rows(b, key_col),
             batch_format="pyarrow",
             batch_size=None,
         )
-        .groupby(["row", "col"])
-        .sum("cnt")
-    )
-    return merged.map_batches(
-        lambda t: t.rename_columns(["row", "col", "cnt"]),
-        batch_format="pyarrow",
-        batch_size=None,
+        .repartition(shuffle_blocks_for())
+        .map_batches(_cms_sum_merge, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(_cms_sum_merge, batch_format="pyarrow", batch_size=None)
     )
 
 
