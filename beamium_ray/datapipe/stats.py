@@ -205,24 +205,59 @@ def hll_group_register_rows(
     )
 
 
+def _hll_group_max_merge(b: pa.Table, group_col: str) -> pa.Table:
+    """Grouped register-max over (group, reg, rank) partial rows: one
+    dictionary-encode + lexsort + first-occurrence pass (groups are
+    few; rows are ≤ groups × 4096 per merge block)."""
+    if b.num_rows == 0:
+        return b
+    g = b[group_col]
+    if isinstance(g, pa.ChunkedArray):
+        g = g.combine_chunks()
+    gd = pc.dictionary_encode(g)
+    codes = gd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    reg = b["reg"].to_numpy(zero_copy_only=False)
+    rank = b["rank"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((-rank, reg, codes))
+    cs, rs, ks = codes[order], reg[order], rank[order]
+    first = np.ones(len(cs), bool)
+    first[1:] = (cs[1:] != cs[:-1]) | (rs[1:] != rs[:-1])
+    return pa.table(
+        {
+            group_col: gd.dictionary.take(pa.array(cs[first])),
+            "reg": pa.array(rs[first], pa.int64()),
+            "rank": pa.array(ks[first], pa.int64()),
+        }
+    )
+
+
 def hll_sketch_by_group(ds, group_col: str, key_col: str):
     """Dataset of per-group HLL register states (group, reg, rank):
-    per-batch partials → one groupby-max over (group, reg). The
-    grouped distinct-count sketch: at 100 TB only ≤4096 rows per
-    (block, group) cross the shuffle, never the keys."""
-    merged = (
+    per-batch partials merged by a two-level lexsort/first-occurrence
+    pass (the grouped form of the dense-merge trick — the key-sorted
+    groupby over the bounded partials was the query's wall time). At
+    100 TB only ≤4096 rows per (block, group) cross the wire, never
+    the keys."""
+    from beamium_ray.functions.cluster import shuffle_blocks_for
+
+    return (
         ds.map_batches(
             lambda b: hll_group_register_rows(b, group_col, key_col),
             batch_format="pyarrow",
             batch_size=None,
         )
-        .groupby([group_col, "reg"])
-        .max("rank")
-    )
-    return merged.map_batches(
-        lambda t: t.rename_columns([group_col, "reg", "rank"]),
-        batch_format="pyarrow",
-        batch_size=None,
+        .repartition(shuffle_blocks_for())
+        .map_batches(
+            lambda b: _hll_group_max_merge(b, group_col),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .repartition(1)
+        .map_batches(
+            lambda b: _hll_group_max_merge(b, group_col),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
     )
 
 
