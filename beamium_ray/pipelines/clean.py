@@ -27,6 +27,9 @@ Stage registry (each maps to a gate-verified operator):
                     (sample.assign_splits; fractions_ppm)
   redact_pii        scrub emails/IPs/phone-shaped spans in place
                     (textstats.redact_pii; optional custom rules)
+  dedup_semantic    SemDeDup keep-one-per-semantic-group over an
+                    embedding column (dedup.semantic_dedup; vec_col,
+                    n_clusters, threshold, train)
 
 Scale notes: every stage is a pure map / broadcast probe except
 drop_boilerplate's narrow hash-count groupby and dedup_exact (see its
@@ -42,8 +45,8 @@ from dataclasses import dataclass, field
 
 VALID_STAGES = {
     "quality_filter", "drop_boilerplate", "decontaminate",
-    "dedup_exact", "dedup_minhash", "sample", "mixture_sample",
-    "assign_splits", "redact_pii",
+    "dedup_exact", "dedup_minhash", "dedup_semantic", "sample",
+    "mixture_sample", "assign_splits", "redact_pii",
 }
 
 
@@ -189,6 +192,37 @@ def _apply_dedup_minhash(ds, cfg: CleanConfig, params: dict):
     )
 
 
+def _apply_dedup_semantic(ds, cfg: CleanConfig, params: dict):
+    """SemDeDup as a row FILTER: semantic_dedup labels every doc with
+    its verified cosine-component min over k-means cells; the
+    representatives form the keep-set (shared broadcast filter).
+    Requires an embedding column (params: vec_col, n_clusters,
+    threshold, train)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from beamium_ray.datapipe.dedup import semantic_dedup
+
+    ds = ds.materialize()  # labels pass + final write both read ds
+    labels = semantic_dedup(
+        ds,
+        n_clusters=int(params.get("n_clusters", 64)),
+        vec_col=params.get("vec_col", "embedding"),
+        id_col=cfg.id_col,
+        threshold=float(params.get("threshold", 0.95)),
+        train=params.get("train", "sample"),
+    )
+
+    def reps_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["doc_id"], b["cluster"]))
+
+    return _broadcast_keep_filter(
+        ds, labels, "doc_id", cfg.id_col,
+        int(params.get("max_broadcast_reps", 50_000_000)),
+        "dedup_semantic", pred=reps_only,
+    )
+
+
 def _apply_drop_boilerplate(ds, cfg: CleanConfig, params: dict):
     import pyarrow as pa
 
@@ -267,6 +301,8 @@ def build_clean_pipeline(cfg: CleanConfig):
             ds = _apply_dedup_exact(ds, cfg, params)
         elif name == "dedup_minhash":
             ds = _apply_dedup_minhash(ds, cfg, params)
+        elif name == "dedup_semantic":
+            ds = _apply_dedup_semantic(ds, cfg, params)
         elif name == "sample":
             ds = hash_sample(
                 ds,

@@ -1578,3 +1578,32 @@ def test_redact_pii_rules():
         "edge <IP>.5 and version 1.2 stay partial",
     ]
     assert got["source"].to_pylist() == ["s"] * 3
+
+
+def test_run_clean_dedup_semantic_stage(ray_session, tmp_path):
+    """The SemDeDup stage keeps one representative per semantic group
+    inside the composed pipeline (embedding column supplied)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from beamium_ray.pipelines.clean import CleanConfig, run_clean
+
+    rng = np.random.default_rng(2)
+    base = rng.normal(size=(2, 12))
+    rows = [base[0], base[0] + 1e-4 * rng.normal(size=12), base[1]]
+    docs = pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(["a", "b", "c"]),
+        "embedding": pa.array([r.tolist() for r in rows],
+                              pa.list_(pa.float64())),
+    })
+    inp, out = tmp_path / "in", tmp_path / "out"
+    os.makedirs(inp)
+    pq.write_table(docs, f"{inp}/d.parquet")
+    res = run_clean(CleanConfig(
+        input=str(inp), output=str(out),
+        stages=[{"dedup_semantic":
+                 {"n_clusters": 2, "threshold": 0.999}}],
+    ))
+    assert res["rows_out"] == 2  # near-identical pair collapsed
