@@ -169,7 +169,7 @@ def drop_contaminated(
     bench_ds,
     text_col: str = "text",
     g: int = 8,
-    concurrency=(1, 8),
+    concurrency=None,
 ):
     """Filter ``corpus_ds`` down to rows sharing NO word ``g``-gram
     with the benchmark set — the in-pipeline (row-filtering) form of
@@ -177,10 +177,11 @@ def drop_contaminated(
     Same broadcast contract; pure actor-pool map, no shuffle."""
     import ray
 
+    from beamium_ray.functions.cluster import cached_stage
+
     bench_ref = ray.put(benchmark_gram_set(bench_ds, text_col, g))
     return corpus_ds.map_batches(
-        _DropContaminated,
-        fn_constructor_args=(bench_ref, text_col, g),
+        cached_stage(_DropContaminated, bench_ref, text_col, g),
         batch_format="pyarrow",
         batch_size=None,
         concurrency=concurrency,
@@ -193,7 +194,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     g: int = 8,
-    concurrency=(1, 8),
+    concurrency=None,
 ):
     """Dataset of (doc_id, contaminated 0/1, n_bench_grams) for every
     corpus doc: contaminated = shares ≥1 word ``g``-gram with any
@@ -204,10 +205,11 @@ def decontaminate(
     shuffle, no driver pass over the corpus."""
     import ray
 
+    from beamium_ray.functions.cluster import cached_stage
+
     bench_ref = ray.put(benchmark_gram_set(bench_ds, text_col, g))
     return corpus_ds.map_batches(
-        _Decontaminate,
-        fn_constructor_args=(bench_ref, text_col, id_col, g),
+        cached_stage(_Decontaminate, bench_ref, text_col, id_col, g),
         batch_format="pyarrow",
         batch_size=None,
         concurrency=concurrency,
@@ -311,7 +313,7 @@ def decontaminate_tokens(
     list_col: str = "tokens",
     id_col: str = "ord",
     g: int = 8,
-    concurrency=(1, 8),
+    concurrency=None,
 ):
     """Train/test decontamination over TOKEN arrays (decontamination is
     usually run on the tokenized benchmark, not its text): flag every
@@ -321,10 +323,11 @@ def decontaminate_tokens(
     map — the token payload never shuffles."""
     import ray
 
+    from beamium_ray.functions.cluster import cached_stage
+
     bench_ref = ray.put(token_benchmark_gram_set(bench_ds, list_col, g))
     return corpus_ds.map_batches(
-        _DecontaminateTokens,
-        fn_constructor_args=(bench_ref, list_col, id_col, g),
+        cached_stage(_DecontaminateTokens, bench_ref, list_col, id_col, g),
         batch_format="pyarrow",
         batch_size=None,
         concurrency=concurrency,

@@ -72,6 +72,55 @@ class BruteForceTopK:
         )
 
 
+class ProbedSearch(BruteForceTopK):
+    """IVF probe stage: BruteForceTopK over pre-filtered probed-list
+    rows, masking each row out of queries that did not probe its list
+    (the ``probe_mask`` is (n_lists, nq), ray.put once)."""
+
+    def __init__(self, queries_ref, k, vec_col, id_col, mask_ref):
+        super().__init__(queries_ref, k, vec_col, id_col)
+        import ray as _ray
+
+        self.probe_mask = (
+            _ray.get(mask_ref)
+            if not isinstance(mask_ref, np.ndarray)
+            else mask_ref
+        )  # (n_lists, nq)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return self._empty()
+        M = _mat(batch[self.vec_col])
+        norms = np.maximum(np.linalg.norm(M, axis=1), 1e-30)
+        qnorms = np.maximum(np.linalg.norm(self.Q, axis=1), 1e-30)
+        sims = (M @ self.Q.T) / (norms[:, None] * qnorms[None, :])
+        import pyarrow.compute as pc
+
+        lc = batch["list_id"]
+        if pa.types.is_dictionary(lc.type):  # hive partition column
+            lc = pc.cast(lc, lc.type.value_type)
+        lists = pc.cast(lc, pa.int64()).to_numpy()
+        # rows outside a query's probed lists are masked out for it
+        sims = np.where(self.probe_mask[lists], sims, -np.inf)
+        n, nq = sims.shape
+        kk = min(self.k, n)
+        idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        flat = idx.ravel(order="F")
+        out_sim = sims[flat, np.repeat(np.arange(nq), kk)]
+        good = out_sim > -np.inf
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[flat][good], pa.int64()),
+                "query": pa.array(
+                    np.repeat(np.arange(nq, dtype=np.int32), kk)[good],
+                    pa.int32(),
+                ),
+                "cosine": pa.array(out_sim[good], pa.float64()),
+            }
+        )
+
+
 def brute_force_topk(
     ds,
     queries: np.ndarray,
@@ -84,18 +133,18 @@ def brute_force_topk(
     (query, vec_id, cosine) sorted by (query, -cosine, vec_id)."""
     import ray
 
-    from beamium_ray.functions.cluster import autoscaling_pool
+    from beamium_ray.functions.cluster import cached_stage
 
     q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
     qref = ray.put(q)
+    # plain tasks + per-process instance cache: the query matrix is
+    # still fetched once per worker, with no per-execution actor-pool
+    # spin-up (cached_stage docstring has the measurements)
     cand = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_args=(qref, k, vec_col, id_col),
+        cached_stage(BruteForceTopK, qref, k, vec_col, id_col),
         batch_format="pyarrow",
         batch_size=4096,
-        # callable class → autoscaling actor pool (1 → cluster-derived
-        # max): fixed pools pay N actor startups even on tiny inputs
-        concurrency=concurrency or autoscaling_pool(),
+        concurrency=concurrency,
     )
     t = pa.concat_tables(list(cand.iter_batches(batch_format="pyarrow")))
     # final tiny reduction on the driver: candidates ≤ k × nblocks
@@ -375,7 +424,7 @@ def build_ivf_index(
     for externally trained quantizers or deterministic fixtures."""
     import ray
 
-    from beamium_ray.functions.cluster import autoscaling_pool
+    from beamium_ray.functions.cluster import cached_stage
 
     cent = (
         np.asarray(centroids, dtype=np.float64)
@@ -384,11 +433,10 @@ def build_ivf_index(
     )
     cref = ray.put(cent)
     assigned = ds.map_batches(
-        AssignList,
-        fn_constructor_args=(cref, vec_col),
+        cached_stage(AssignList, cref, vec_col),
         batch_format="pyarrow",
         batch_size=None,
-        concurrency=concurrency or autoscaling_pool(),
+        concurrency=concurrency,
     )
     if index_path is not None:
         assigned.write_parquet(index_path, partition_cols=["list_id"])
@@ -409,7 +457,7 @@ def ivf_search(
     of unprobed rows, ≤ k×blocks candidates merged on the driver."""
     import ray
 
-    from beamium_ray.functions.cluster import autoscaling_pool
+    from beamium_ray.functions.cluster import cached_stage
 
     q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
@@ -433,53 +481,13 @@ def ivf_search(
 
     qref = ray.put(q)
     mref = ray.put(probe_mask)
-
-    class ProbedSearch(BruteForceTopK):
-        def __init__(self, queries_ref, k, vec_col, id_col, mask_ref):
-            super().__init__(queries_ref, k, vec_col, id_col)
-            import ray as _ray
-
-            self.probe_mask = _ray.get(mask_ref)  # (n_lists, nq)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return self._empty()
-            M = _mat(batch[self.vec_col])
-            norms = np.maximum(np.linalg.norm(M, axis=1), 1e-30)
-            qnorms = np.maximum(np.linalg.norm(self.Q, axis=1), 1e-30)
-            sims = (M @ self.Q.T) / (norms[:, None] * qnorms[None, :])
-            import pyarrow.compute as pc
-
-            lc = batch["list_id"]
-            if pa.types.is_dictionary(lc.type):  # hive partition column
-                lc = pc.cast(lc, lc.type.value_type)
-            lists = pc.cast(lc, pa.int64()).to_numpy()
-            # rows outside a query's probed lists are masked out for it
-            sims = np.where(self.probe_mask[lists], sims, -np.inf)
-            n, nq = sims.shape
-            kk = min(self.k, n)
-            idx = np.argpartition(-sims, kk - 1, axis=0)[:kk]
-            ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-            flat = idx.ravel(order="F")
-            out_sim = sims[flat, np.repeat(np.arange(nq), kk)]
-            good = out_sim > -np.inf
-            return pa.table(
-                {
-                    "vec_id": pa.array(ids[flat][good], pa.int64()),
-                    "query": pa.array(
-                        np.repeat(np.arange(nq, dtype=np.int32), kk)[good],
-                        pa.int32(),
-                    ),
-                    "cosine": pa.array(out_sim[good], pa.float64()),
-                }
-            )
-
     cand = ds.map_batches(
-        ProbedSearch,
-        fn_constructor_args=(qref, k, index.vec_col, index.id_col, mref),
+        cached_stage(
+            ProbedSearch, qref, k, index.vec_col, index.id_col, mref
+        ),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=concurrency or autoscaling_pool(),
+        concurrency=concurrency,
     )
     batches = list(cand.iter_batches(batch_format="pyarrow"))
     t = pa.concat_tables(batches) if batches else empty

@@ -495,7 +495,7 @@ def token_rarity(
     list_col: str = "tokens",
     id_col: str = "ord",
     histogram=None,
-    concurrency=(1, 8),
+    concurrency=None,
 ):
     """Per-sequence rarity signal: freq_sum = Σ over the row's tokens
     of that token's CORPUS-WIDE occurrence count (low sum/n_tok = the
@@ -523,10 +523,11 @@ def token_rarity(
     dense = np.zeros(size, np.int64)
     for t, n in parts:
         dense[t] += n
+    from beamium_ray.functions.cluster import cached_stage
+
     counts_ref = ray.put(dense)
     return ds.map_batches(
-        _TokenRarity,
-        fn_constructor_args=(counts_ref, list_col, id_col),
+        cached_stage(_TokenRarity, counts_ref, list_col, id_col),
         batch_format="pyarrow",
         batch_size=None,
         concurrency=concurrency,

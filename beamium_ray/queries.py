@@ -243,10 +243,10 @@ def bpe_token_count_docs(sf_dir: str):
 
 def lang_id_docs(sf_dir: str):
     from beamium_ray.datapipe.textstats import LangId
-    from beamium_ray.functions.cluster import autoscaling_pool
+    from beamium_ray.functions.cluster import cached_stage
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        LangId, batch_format="pyarrow", concurrency=autoscaling_pool()
+        cached_stage(LangId), batch_format="pyarrow"
     )
 
 

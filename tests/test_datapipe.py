@@ -467,7 +467,15 @@ def test_simhash_metrics_and_metrics_path(ray_session, tmp_path):
     assert m["verified_pairs"] == out.num_rows
     on_disk = json.loads(open(p).read())
     assert on_disk["verified_pairs"] == out.num_rows
-    assert on_disk["path"] == "distributed"
+    assert on_disk["path"] == "driver"  # toy scale routes to the driver
+    # the forced distributed route must agree pair-for-pair
+    m2 = {}
+    out2 = simhash_candidates(ds, distributed=True, metrics=m2)
+    assert m2["path"] == "distributed"
+    assert m2["candidate_pairs"] == m["candidate_pairs"]
+    key = lambda t: sorted(zip(t["a"].to_pylist(), t["b"].to_pylist(),
+                               t["dist"].to_pylist()))
+    assert key(out2) == key(out)
 
 
 def test_numpy_components_matches_unionfind():
