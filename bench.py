@@ -118,51 +118,50 @@ def run_headline() -> dict:
     }
 
 
+# Round-4 note: the gate battery was consolidated 66 → 44 merged
+# queries (variants union into one entry with a tag column so every
+# operator fits the driver's 50-row CORRECTNESS cap). Bench names
+# follow; a merged entry times the union of its former parts, e.g.
+# rollup_tiers_events ≈ old rollup_1m + rollup_1h + rollup_1d +
+# gapfill_1m in one pipeline.
 QUERY_NAMES = [
-    "rollup_1m_events",
+    "rollup_tiers_events",
     "sliding_rollup_events",
     "session_windows_events",
-    "rollup_1h_events",
-    "gapfill_1m_events",
-    "parse_prometheus_events",
     "asof_last_click_events",
+    "parse_prometheus_events",
+    "relabel_events",
+    "filter_selectors_events",
+    "topk_users_events",
+    "distinct_users_events",
+    "quantiles_events",
+    "hll_sketch_events",
+    "cms_users_events",
     "dedup_exact_docs",
     "dedup_minhash_docs",
     "dedup_simhash_docs",
-    "embedding_neardup_embeddings",
-    "token_count_docs",
-    "quality_score_docs",
-    "simsearch_topk_embeddings",
-    "simsearch_ivf_embeddings",
-    # round-3 additions (new ops; headline metric unaffected)
     "chunk_dedup_docs",
-    "quantiles_events",
-    "hll_users_events",
-    "hll_by_type_events",
-    "cms_users_events",
-    "repetition_stats_docs",
-    "quality_filter_docs",
-    "sample_docs",
-    "pack_offsets_docs",
-    "pack_emit_docs",
-    "decontaminate_docs",
-    # round-3 late additions
+    "token_count_docs",
+    "doc_quality_docs",
+    "doc_signals_docs",
+    "sampling_docs",
     "mixture_sample_docs",
-    "token_histogram_docs",
-    "dedup_tokens_docs",
-    "truncate_sequences_docs",
-    "semantic_dedup_embeddings",
-    "length_batches_docs",
-    "token_rarity_docs",
-    "doc_frequency_docs",
-    "bigram_topk_docs",
-    "drop_boilerplate_docs",
-    "training_pipeline_docs",
-    "decontaminate_tokens_docs",
-    "split_sequences_docs",
-    "assign_splits_docs",
-    "dataset_report_docs",
+    "decontaminate_docs",
     "redact_pii_docs",
+    "dataset_report_docs",
+    "training_pipeline_docs",
+    "token_histogram_docs",
+    "doc_frequency_docs",
+    "token_rarity_docs",
+    "bigram_topk_docs",
+    "dedup_tokens_docs",
+    "sequence_chunking_docs",
+    "pack_offsets_docs",
+    "length_batches_docs",
+    "pack_emit_docs",
+    "simsearch_topk_embeddings",
+    "semantic_dedup_embeddings",
+    "embedding_neardup_embeddings",
 ]
 
 
