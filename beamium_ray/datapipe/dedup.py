@@ -142,8 +142,13 @@ def token_content_hash(
     vals = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(
         np.uint64
     )
-    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(
-        np.int64
+    # fill_null: a null list hashes like an empty one (list_flatten
+    # contributes 0 elements for it, so len 0 keeps the two aligned);
+    # without this the cast yields NaN→INT64_MIN and np.repeat blows up
+    lens = (
+        pc.fill_null(pc.list_value_length(col), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
     )
     starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
     fold = np.zeros(len(lens), np.uint64)

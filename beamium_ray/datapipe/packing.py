@@ -164,9 +164,9 @@ def emit_packed_rows(
 
     def counts(t: pa.Table) -> pa.Table:
         ids = _col(t, id_col).to_numpy(zero_copy_only=False)
-        n = pc.list_value_length(_col(t, tokens_col)).to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
+        n = pc.fill_null(
+            pc.list_value_length(_col(t, tokens_col)), 0
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
                 "_bkt": pa.array((ids - lo) // span, pa.int64()),
@@ -198,7 +198,7 @@ def emit_packed_rows(
         ids = _col(g, id_col).to_numpy(zero_copy_only=False)
         order = np.argsort(ids, kind="stable")
         toks = _col(g, tokens_col).take(pa.array(order))
-        n = pc.list_value_length(toks).to_numpy(
+        n = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
             zero_copy_only=False
         ).astype(np.int64)
         vals = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
@@ -399,6 +399,11 @@ def split_sequences(
         cut = np.minimum(
             starts[row_of] + part * max_len, starts[row_of] + lens[row_of]
         )
+        if int(starts[-1]) > (1 << 31) - 1:  # int32 list offsets per block
+            raise ValueError(
+                f"split block of {int(starts[-1])} tokens exceeds the "
+                "2 GiB int32 list-offset limit; reduce the input block size"
+            )
         offs = np.concatenate((cut, [starts[-1]])).astype(np.int32)
         out_lists = pa.ListArray.from_arrays(pa.array(offs), vals)
         n_tok = np.diff(offs).astype(np.int32)

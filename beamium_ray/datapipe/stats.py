@@ -466,7 +466,9 @@ class _TokenRarity:
         col = batch[self.list_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        lens = pc.list_value_length(col).to_numpy(
+        # fill_null: a null list counts as empty (list_flatten emits
+        # nothing for it; NaN->int64 would corrupt np.repeat otherwise)
+        lens = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
             zero_copy_only=False
         ).astype(np.int64)
         vals = pc.list_flatten(col).to_numpy(zero_copy_only=False)
@@ -549,7 +551,7 @@ def doc_frequency_rows(batch: pa.Table, list_col: str) -> pa.Table:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     vals = pc.list_flatten(col).to_numpy(zero_copy_only=False)
-    lens = pc.list_value_length(col).to_numpy(
+    lens = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
         zero_copy_only=False
     ).astype(np.int64)
     if len(vals) == 0:
@@ -633,7 +635,7 @@ def bigram_topk(
         vals = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(
             np.int64
         )
-        lens = pc.list_value_length(col).to_numpy(
+        lens = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
             zero_copy_only=False
         ).astype(np.int64)
         if len(vals) < 2:

@@ -407,12 +407,13 @@ def dataset_report_rows(
             "n_keep": pa.array([], pa.int64()),
         })
     # count tokens directly (token_count_batch hardcodes a doc_id
-    # output column — this report must honor any id_col)
-    tok = pc.cast(
-        pc.count_substring_regex(batch[text_col], TOKEN_RE), pa.int64()
-    )
+    # output column — this report must honor any id_col). fill_null so
+    # a null-text row counts as 0 tokens/0 chars in the SAME rows that
+    # n_docs/n_keep see (quality_filter_batch already fill_nulls).
+    text = pc.fill_null(batch[text_col], "")
+    tok = pc.cast(pc.count_substring_regex(text, TOKEN_RE), pa.int64())
     keep = quality_filter_batch(batch, text_col, id_col)["keep"]
-    chars = pc.cast(pc.utf8_length(batch[text_col]), pa.int64())
+    chars = pc.cast(pc.utf8_length(text), pa.int64())
     g = pa.table({
         strat_col: batch[strat_col],
         "n_tok_ws": tok,

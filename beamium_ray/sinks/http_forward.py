@@ -152,19 +152,36 @@ class _SpoolPoster:
             "n_files": [], "n_bytes": [], "attempts": [], "status": [],
         }
         for paths in batch["paths"].to_pylist():
-            body = b"".join(
-                open(p, "rb").read() for p in paths
-            )
+            # A file missing at open time means a previous attempt of
+            # this task already shipped+deleted it (a retried task after
+            # a partial batch) — at-least-once converges by skipping it,
+            # not crashing on FileNotFoundError.
+            parts: list[bytes] = []
+            alive: list[str] = []
+            for p in paths:
+                try:
+                    with open(p, "rb") as f:
+                        parts.append(f.read())
+                    alive.append(p)
+                except FileNotFoundError:
+                    continue
+            if not alive:  # whole job already acked by a prior attempt
+                rows["n_files"].append(0)
+                rows["n_bytes"].append(0)
+                rows["attempts"].append(0)
+                rows["status"].append(-1)  # sentinel: skipped, pre-acked
+                continue
+            body = b"".join(parts)
             status, attempts, _ = _post_with_backoff(
                 body, self.conf, self.rng, self.opener
             )
             if self.delete:  # only AFTER the 2xx ack (http.rs:168-176)
-                for p in paths:
+                for p in alive:
                     try:
                         os.remove(p)
                     except FileNotFoundError:
                         pass
-            rows["n_files"].append(len(paths))
+            rows["n_files"].append(len(alive))
             rows["n_bytes"].append(len(body))
             rows["attempts"].append(attempts)
             rows["status"].append(status)
@@ -220,14 +237,17 @@ def forward_spool(
         list(stats.iter_batches(batch_format="pyarrow", batch_size=None))
     )
     status_counts: dict[str, int] = {}
+    n_posted_rows = 0
     for s in t["status"].to_pylist():
         status_counts[str(s)] = status_counts.get(str(s), 0) + 1
+        if s != -1:  # -1 = job skipped (files pre-acked by an earlier try)
+            n_posted_rows += 1
     n_req = int(pa.compute.sum(t["attempts"]).as_py() or 0)
     return {
         "files": int(pa.compute.sum(t["n_files"]).as_py() or 0),
         "bytes": int(pa.compute.sum(t["n_bytes"]).as_py() or 0),
         "requests": n_req,
-        "retries": n_req - t.num_rows,
+        "retries": n_req - n_posted_rows,
         "status": status_counts,
     }
 

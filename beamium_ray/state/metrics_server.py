@@ -26,6 +26,9 @@ def render_prometheus(values: Mapping[str, float]) -> str:
     labels already (``name{k="v"}``); invalid chars in bare names are
     sanitized to '_'."""
     out = []
+    typed: set[str] = set()  # one TYPE line per base name — labeled keys
+    # sharing a name would otherwise emit duplicates, which strict
+    # parsers (promtool/OpenMetrics) reject
     for key in sorted(values):
         v = values[key]
         name, brace, rest = key.partition("{")
@@ -34,7 +37,9 @@ def render_prometheus(values: Mapping[str, float]) -> str:
         )
         if not name.startswith(PREFIX):
             name = f"{PREFIX}_{name}"
-        out.append(f"# TYPE {name} counter")
+        if name not in typed:
+            typed.add(name)
+            out.append(f"# TYPE {name} counter")
         out.append(f"{name}{brace}{rest} {float(v):g}")
     return "\n".join(out) + "\n"
 
