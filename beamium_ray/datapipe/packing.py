@@ -137,8 +137,10 @@ def emit_packed_rows(
     else stays narrow: bucket base offsets come from a counts-only
     pass (per-bucket sums, B values on the driver).
 
-    Three passes over the upstream (min/max, counts, emit) — callers
-    with an expensive upstream should materialize it first."""
+    Two passes over the upstream (counts-extract, emit; min/max and the
+    bucket sums both come off the materialized NARROW (id, n) table —
+    16 bytes/doc, never the payload) — callers with an expensive
+    upstream should still materialize it first."""
     import pyarrow.compute as pc
 
     from ray.data.aggregate import Max, Min
@@ -146,7 +148,29 @@ def emit_packed_rows(
     from beamium_ray.functions.cluster import default_partitions
 
     b = num_buckets or default_partitions()
-    agg = ds.aggregate(Min(id_col), Max(id_col))
+
+    def _col(t: pa.Table, name: str):
+        c = t[name]
+        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+    def narrow_counts(t: pa.Table) -> pa.Table:
+        ids = _col(t, id_col).to_numpy(zero_copy_only=False)
+        n = pc.fill_null(
+            pc.list_value_length(_col(t, tokens_col)), 0
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    # ONE upstream pass extracts (id, n); min/max + per-bucket sums are
+    # then computed over this narrow table only
+    narrow = ds.map_batches(
+        narrow_counts, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    agg = narrow.aggregate(Min(id_col), Max(id_col))
     lo, hi = agg[f"min({id_col})"], agg[f"max({id_col})"]
     out_schema = {
         "seq_id": pa.int64(), "pos_in_seq": pa.int64(), "token": pa.int64()
@@ -158,26 +182,19 @@ def emit_packed_rows(
         )
     span = max((int(hi) - int(lo)) // b + 1, 1)
 
-    def _col(t: pa.Table, name: str):
-        c = t[name]
-        return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-
-    def counts(t: pa.Table) -> pa.Table:
+    def bucketize(t: pa.Table) -> pa.Table:
         ids = _col(t, id_col).to_numpy(zero_copy_only=False)
-        n = pc.fill_null(
-            pc.list_value_length(_col(t, tokens_col)), 0
-        ).to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
                 "_bkt": pa.array((ids - lo) // span, pa.int64()),
-                "n": pa.array(n, pa.int64()),
+                "n": t["n"],
             }
         )
 
     totals = {
         r["_bkt"]: int(r["sum(n)"])
-        for r in ds.map_batches(
-            counts, batch_format="pyarrow", batch_size=None
+        for r in narrow.map_batches(
+            bucketize, batch_format="pyarrow", batch_size=None
         ).groupby("_bkt").sum("n").take_all()
     }
     base = {}
