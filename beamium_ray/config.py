@@ -20,6 +20,39 @@ DEFAULT_TIERS: dict[str, int] = {
     "1d": 86_400_000_000,
 }
 
+_DURATION_UNITS_S = {
+    "ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3,
+    "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0,
+}
+
+
+def parse_duration_s(value) -> float:
+    """Humanized duration → seconds, the reference's config form
+    (``humantime``-style strings parsed at ``conf.rs:130,338-342``:
+    ``"500ms"``, ``"1m"``, ``"500s"``, compounds like ``"1m30s"``).
+    Bare numbers (int/float or digit strings) are seconds."""
+    if isinstance(value, (int, float)):
+        return float(value)
+    s = str(value).strip().replace(" ", "")
+    if not s:
+        raise ValueError("empty duration")
+    try:
+        return float(s)
+    except ValueError:
+        pass
+    import re as _re
+
+    total = 0.0
+    pos = 0
+    for m in _re.finditer(r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h|d)", s):
+        if m.start() != pos:
+            break
+        total += float(m.group(1)) * _DURATION_UNITS_S[m.group(2)]
+        pos = m.end()
+    if pos != len(s) or pos == 0:
+        raise ValueError(f"could not parse duration {value!r}")
+    return total
+
 
 @dataclass
 class EngineConfig:
@@ -31,6 +64,14 @@ class EngineConfig:
     metrics_whitelist: list[str] = field(default_factory=list)  # P5 patterns
     labels: str = ""  # static labels to add, "k=v,k=v" (P6)
     filtered_labels: list[str] = field(default_factory=list)  # keys to drop (P7)
+
+    # live scrape endpoint (reference RawScraper url/period/headers,
+    # src/conf.rs:27-31; headers applied on the GET, scraper.rs:100-105).
+    # A scraper with `url` set is fetched by sources/scrape.py; batch
+    # runs that read a spool dir leave these unset.
+    url: str | None = None
+    period: str | float | None = None  # scrape interval ("10s", 10)
+    headers: dict = field(default_factory=dict)  # extra GET headers
 
     # routing (reference sink selectors, src/conf.rs:329-336)
     selector: str | None = None  # anchored-^ class-token regex, None = all
@@ -176,6 +217,11 @@ class SinkConfig:
     url: str | None = None
     token: str = ""
     token_header: str = "X-Warp10-Token"
+    parallel: int = 1  # POST concurrency (conf.rs:374-377)
+    # connection reuse (conf.rs:318-319; defaults true / 3600s)
+    keep_alive: bool = True
+    keep_alive_timeout: str | float | None = None  # duration, e.g. "1h"
+    headers: dict = field(default_factory=dict)  # extra POST headers
 
 
 @dataclass
@@ -353,6 +399,17 @@ def validate_engine_config(cfg: EngineConfig) -> list[str]:
             errors.append(f"{knob} must be 'bytes' or 'bits', got {v!r}")
     if cfg.max_bytes is not None and cfg.max_bytes <= 0:
         errors.append(f"max_bytes must be positive, got {cfg.max_bytes}")
+    if cfg.period is not None:
+        try:
+            if parse_duration_s(cfg.period) <= 0:
+                errors.append(f"period must be positive, got {cfg.period!r}")
+        except ValueError as ex:
+            errors.append(f"period: {ex}")
+    if cfg.headers and not all(
+        isinstance(k, str) and isinstance(v, str)
+        for k, v in dict(cfg.headers).items()
+    ):
+        errors.append("headers must map string names to string values")
     return errors
 
 
@@ -376,6 +433,64 @@ def validate_beamium_config(cfg: BeamiumConfig) -> list[str]:
                 f"sink {name!r}: max_bytes has no batch analog (the DFO "
                 "size bound caps a live disk queue) — remove it"
             )
+        if sk.keep_alive_timeout is not None:
+            try:
+                if parse_duration_s(sk.keep_alive_timeout) <= 0:
+                    errors.append(
+                        f"sink {name!r}: keep-alive-timeout must be "
+                        f"positive, got {sk.keep_alive_timeout!r}"
+                    )
+            except ValueError as ex:
+                errors.append(f"sink {name!r}: keep-alive-timeout: {ex}")
+        if not isinstance(sk.parallel, int) or sk.parallel <= 0:
+            errors.append(
+                f"sink {name!r}: parallel must be a positive int, "
+                f"got {sk.parallel!r}"
+            )
+        if sk.headers and not all(
+            isinstance(k, str) and isinstance(v, str)
+            for k, v in dict(sk.headers).items()
+        ):
+            errors.append(
+                f"sink {name!r}: headers must map string names to "
+                "string values"
+            )
+    # parameters surface the forwarder consumes (conf.rs:120-138):
+    # timeout + backoff.* are durations/floats — catch typos in -t, not
+    # at first POST
+    p = dict(cfg.parameters or {})
+    if "timeout" in p:
+        try:
+            if parse_duration_s(p["timeout"]) <= 0:
+                errors.append(
+                    f"parameters.timeout must be positive, got "
+                    f"{p['timeout']!r}"
+                )
+        except ValueError as ex:
+            errors.append(f"parameters.timeout: {ex}")
+    bo = p.get("backoff")
+    if bo is not None:
+        if not isinstance(bo, dict):
+            errors.append("parameters.backoff must be a mapping")
+        else:
+            for k in ("initial", "max"):
+                if k in bo:
+                    try:
+                        if parse_duration_s(bo[k]) <= 0:
+                            errors.append(
+                                f"parameters.backoff.{k} must be positive"
+                            )
+                    except ValueError as ex:
+                        errors.append(f"parameters.backoff.{k}: {ex}")
+            for k in ("multiplier", "randomization"):
+                if k in bo:
+                    try:
+                        float(bo[k])
+                    except (TypeError, ValueError):
+                        errors.append(
+                            f"parameters.backoff.{k} must be a number, "
+                            f"got {bo[k]!r}"
+                        )
     return errors
 
 

@@ -58,9 +58,12 @@ def main(argv: list[str] | None = None) -> int:
         errors = validate_beamium_config(cfg)
         for name, sub in (raw.get("scrapers") or {}).items():
             inp = (sub or {}).get("input") if isinstance(sub, dict) else None
-            if not inp:
-                errors.append(f"scraper {name!r}: missing 'input' dir")
-            elif not os.path.isdir(str(inp)):
+            has_url = bool(cfg.scrapers.get(name) and cfg.scrapers[name].url)
+            if not inp and not has_url:
+                errors.append(
+                    f"scraper {name!r}: needs an 'input' dir or a 'url'"
+                )
+            elif inp and not os.path.isdir(str(inp)):
                 errors.append(
                     f"scraper {name!r}: input dir does not exist: {inp}"
                 )
@@ -106,9 +109,21 @@ def main(argv: list[str] | None = None) -> int:
     for name, sub in (raw.get("scrapers") or {}).items():
         if isinstance(sub, dict) and sub.get("input"):
             raw_inputs[name] = str(sub["input"])
+    # scrapers with a `url` and no `input` are fetched live (reference
+    # S1): one scrape tick lands spool files under the output root, and
+    # the lines source ingests them like any pre-existing spool
+    for name, scfg in cfg.scrapers.items():
+        if name not in raw_inputs and scfg.url:
+            from beamium_ray.sources.scrape import scrape_scraper
+
+            spool = f"{args.output}/_scrape/{name}"
+            scrape_scraper(scfg, spool, parameters=cfg.parameters)
+            raw_inputs[name] = spool
     missing = set(cfg.scrapers) - set(raw_inputs)
     if missing:
-        raise SystemExit(f"scrapers without an 'input' dir: {sorted(missing)}")
+        raise SystemExit(
+            f"scrapers without an 'input' dir or 'url': {sorted(missing)}"
+        )
 
     inputs = {
         name: read_metric_lines_whole_files(path)
@@ -128,12 +143,15 @@ def main(argv: list[str] | None = None) -> int:
         summary[sink] = {"path": path, "rows": n}
         sk = cfg.sinks.get(sink)
         if args.forward and sk is not None and sk.url and n:
-            from beamium_ray.sinks import HttpSinkConf, forward_parquet_sink
+            from beamium_ray.sinks import (
+                forward_parquet_sink,
+                http_conf_from_config,
+            )
 
+            # full parameter surface: timeout, batch caps, backoff.*,
+            # keep-alive knobs and custom headers all flow from config
             summary[sink]["forwarded"] = forward_parquet_sink(
-                path,
-                HttpSinkConf(url=sk.url, token=sk.token,
-                             token_header=sk.token_header),
+                path, http_conf_from_config(sk, cfg.parameters)
             )
     print(json.dumps({"sinks": summary}))
     ray.shutdown()

@@ -33,8 +33,6 @@ from __future__ import annotations
 import os
 import random
 import time
-import urllib.error
-import urllib.request
 from dataclasses import dataclass, field
 
 import pyarrow as pa
@@ -70,6 +68,150 @@ class HttpSinkConf:
     backoff: BackoffPolicy = field(default_factory=BackoffPolicy)
     max_attempts: int | None = 10  # None = retry forever (daemon mode)
     content_type: str = "text/plain"
+    # connection reuse (ref sink keep-alive knobs, conf.rs:318-319,
+    # wired into hyper's pool at http.rs:83-84)
+    keep_alive: bool = True
+    keep_alive_timeout_s: float = 3600.0  # conf.rs:339 default
+    # arbitrary extra request headers (the scraper form is
+    # conf.rs:31 applied at scraper.rs:100-105; the token header and
+    # Content-Type always win on conflict)
+    headers: dict = field(default_factory=dict)
+
+
+class HttpSession:
+    """Minimal keep-alive HTTP session over stdlib ``http.client``: one
+    cached connection per (scheme, host, port), reused while keep-alive
+    is on and the idle gap stays under ``keep_alive_timeout_s``; with
+    keep-alive off every request sends ``Connection: close`` and tears
+    the socket down (the reference manages hyper's connection pool with
+    the same two knobs, ``conf.rs:318-319`` via ``http.rs:83-84``).
+
+    A stale kept-alive socket (server closed it during the idle gap)
+    fails on first reuse — that one case transparently retries on a
+    fresh connection before counting as a transport failure."""
+
+    def __init__(
+        self,
+        keep_alive: bool = True,
+        keep_alive_timeout_s: float = 3600.0,
+    ):
+        self.keep_alive = keep_alive
+        self.idle_s = keep_alive_timeout_s
+        self._conns: dict[tuple, tuple[object, float]] = {}
+
+    @staticmethod
+    def _connect(scheme: str, host: str, port: int, timeout_s: float):
+        import http.client
+
+        cls = (
+            http.client.HTTPSConnection
+            if scheme == "https"
+            else http.client.HTTPConnection
+        )
+        return cls(host, port, timeout=timeout_s)
+
+    def request(
+        self,
+        method: str,
+        url: str,
+        body: bytes | None,
+        headers: dict,
+        timeout_s: float,
+    ) -> tuple[int, bytes]:
+        """Issue one request; returns (status, body) with status 0 on
+        transport failure (connect/timeout/reset) — the same value the
+        backoff loop treats as retryable."""
+        import http.client
+        from urllib.parse import urlsplit
+
+        u = urlsplit(url)
+        port = u.port or (443 if u.scheme == "https" else 80)
+        key = (u.scheme, u.hostname, port)
+        path = u.path or "/"
+        if u.query:
+            path += "?" + u.query
+        hdrs = dict(headers)
+        if not self.keep_alive:
+            hdrs["Connection"] = "close"
+        conn, last = self._conns.pop(key, (None, 0.0))
+        reused = (
+            conn is not None
+            and self.keep_alive
+            and (time.monotonic() - last) <= self.idle_s
+        )
+        if conn is not None and not reused:
+            try:
+                conn.close()
+            except Exception:
+                pass
+            conn = None
+        while True:
+            if conn is None:
+                conn = self._connect(u.scheme, u.hostname, port, timeout_s)
+            try:
+                conn.request(method, path, body=body, headers=hdrs)
+                resp = conn.getresponse()
+                payload = resp.read()
+                if self.keep_alive and not resp.will_close:
+                    self._conns[key] = (conn, time.monotonic())
+                else:
+                    conn.close()
+                return resp.status, payload
+            except (http.client.HTTPException, OSError):
+                try:
+                    conn.close()
+                except Exception:
+                    pass
+                if reused:  # stale pooled socket: one fresh-conn retry
+                    conn, reused = None, False
+                    continue
+                return 0, b""
+
+    def close(self):
+        for conn, _ in self._conns.values():
+            try:
+                conn.close()
+            except Exception:
+                pass
+        self._conns.clear()
+
+
+def http_conf_from_config(sink, parameters: dict | None) -> HttpSinkConf:
+    """Build an :class:`HttpSinkConf` from a ``SinkConfig`` row plus the
+    config ``parameters`` map, honoring the reference's parameter
+    surface and defaults (``conf.rs:120-138``): ``timeout`` (default
+    500s), ``batch-size``/``batch-count``, ``backoff.{initial,max,
+    multiplier,randomization}`` (defaults 500ms/1m/1.5/0.3), and the
+    sink's ``keep-alive``/``keep-alive-timeout``/``headers``."""
+    from beamium_ray.config import parse_duration_s
+
+    p = dict(parameters or {})
+
+    def get(k: str, d):
+        return p.get(k, p.get(k.replace("-", "_"), d))
+
+    bo = dict(get("backoff", {}) or {})
+    backoff = BackoffPolicy(
+        initial_s=parse_duration_s(bo.get("initial", "500ms")),
+        max_s=parse_duration_s(bo.get("max", "1m")),
+        multiplier=float(bo.get("multiplier", 1.5)),
+        randomization=float(bo.get("randomization", 0.3)),
+    )
+    ka_timeout = getattr(sink, "keep_alive_timeout", None)
+    return HttpSinkConf(
+        url=sink.url,
+        token=sink.token,
+        token_header=sink.token_header,
+        batch_count=int(get("batch-count", 250)),
+        batch_size=int(get("batch-size", 200_000)),
+        timeout_s=parse_duration_s(get("timeout", "500s")),
+        backoff=backoff,
+        keep_alive=getattr(sink, "keep_alive", True),
+        keep_alive_timeout_s=(
+            3600.0 if ka_timeout is None else parse_duration_s(ka_timeout)
+        ),
+        headers=dict(getattr(sink, "headers", None) or {}),
+    )
 
 
 def plan_post_batches(
@@ -96,33 +238,26 @@ def plan_post_batches(
 
 
 def _post_with_backoff(
-    body: bytes, conf: HttpSinkConf, rng: random.Random, opener
+    body: bytes, conf: HttpSinkConf, rng: random.Random, session: HttpSession
 ) -> tuple[int, int, list[int]]:
     """POST one body; returns (final_status, attempts, statuses). A
     non-2xx response or transport error backs off and retries
     (``http.rs:182-208``); raises after ``max_attempts`` with a
     remediation message (files stay on disk, rerun re-ships)."""
+    # custom sink headers first; the token header and Content-Type
+    # always win on conflict (http.rs:141 sets them last)
+    headers = {
+        **conf.headers,
+        conf.token_header: conf.token,
+        "Content-Type": conf.content_type,
+    }
     attempts = 0
     statuses: list[int] = []
     while True:
-        req = urllib.request.Request(
-            conf.url,
-            data=body,
-            method="POST",
-            headers={
-                conf.token_header: conf.token,
-                "Content-Type": conf.content_type,
-            },
-        )
         attempts += 1
-        status = 0  # transport-level failure (connect/timeout)
-        try:
-            with opener.open(req, timeout=conf.timeout_s) as resp:
-                status = resp.status
-        except urllib.error.HTTPError as e:
-            status = e.code
-        except (urllib.error.URLError, OSError, TimeoutError):
-            status = 0
+        status, _ = session.request(
+            "POST", conf.url, body, headers, conf.timeout_s
+        )
         statuses.append(status)
         if 200 <= status < 300:
             return status, attempts, statuses
@@ -144,7 +279,7 @@ class _SpoolPoster:
     def __init__(self, conf: HttpSinkConf, delete_after_ack: bool = True):
         self.conf = conf
         self.delete = delete_after_ack
-        self.opener = urllib.request.build_opener()
+        self.session = HttpSession(conf.keep_alive, conf.keep_alive_timeout_s)
         self.rng = random.Random(0xBEA41)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -173,7 +308,7 @@ class _SpoolPoster:
                 continue
             body = b"".join(parts)
             status, attempts, _ = _post_with_backoff(
-                body, self.conf, self.rng, self.opener
+                body, self.conf, self.rng, self.session
             )
             if self.delete:  # only AFTER the 2xx ack (http.rs:168-176)
                 for p in alive:
@@ -264,7 +399,7 @@ class _LinePoster:
 
     def __init__(self, conf: HttpSinkConf):
         self.conf = conf
-        self.opener = urllib.request.build_opener()
+        self.session = HttpSession(conf.keep_alive, conf.keep_alive_timeout_s)
         self.rng = random.Random(0xBEA42)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -293,7 +428,7 @@ class _LinePoster:
                               > self.conf.batch_size):
                 chunk = b"".join(cur)
                 status, attempts, _ = _post_with_backoff(
-                    chunk, self.conf, self.rng, self.opener
+                    chunk, self.conf, self.rng, self.session
                 )
                 out["n_rows"].append(len(cur))
                 out["attempts"].append(attempts)

@@ -23,18 +23,30 @@ FAST = BackoffPolicy(initial_s=0.01, max_s=0.02, randomization=0.0)
 
 
 class _SinkRecorder:
-    """Loopback sink: records acked POST bodies+headers; optionally
-    500s the first ``fail_first`` requests (global), like a sink that
-    comes back after a blip."""
+    """Loopback sink: records acked POST bodies+headers (and serves
+    ``body_to_serve`` on GET, for scrape tests); optionally 500s the
+    first ``fail_first`` requests (global), like a sink that comes
+    back after a blip. HTTP/1.1, so keep-alive connection reuse is
+    observable via ``connections`` (one Handler per TCP connection)."""
 
-    def __init__(self, fail_first: int = 0):
+    def __init__(self, fail_first: int = 0, body_to_serve: bytes = b""):
         self.lock = threading.Lock()
         self.requests = 0
+        self.connections = 0
         self.acked: list[dict] = []
+        self.gets: list[dict] = []
         self.fail_first = fail_first
+        self.body_to_serve = body_to_serve
         recorder = self
 
         class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def setup(self):
+                super().setup()
+                with recorder.lock:
+                    recorder.connections += 1
+
             def do_POST(self):
                 n = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(n)
@@ -45,6 +57,7 @@ class _SinkRecorder:
                         recorder.acked.append({
                             "body": body,
                             "token": self.headers.get("X-Warp10-Token"),
+                            "headers": dict(self.headers),
                         })
                 if fail:
                     self.send_error(500)
@@ -52,6 +65,17 @@ class _SinkRecorder:
                     self.send_response(200)
                     self.send_header("Content-Length", "0")
                     self.end_headers()
+
+            def do_GET(self):
+                with recorder.lock:
+                    recorder.requests += 1
+                    recorder.gets.append({"headers": dict(self.headers)})
+                self.send_response(200)
+                self.send_header(
+                    "Content-Length", str(len(recorder.body_to_serve))
+                )
+                self.end_headers()
+                self.wfile.write(recorder.body_to_serve)
 
             def log_message(self, *a):
                 pass
@@ -246,3 +270,181 @@ def test_forward_dataset_line_granular_chunks(ray_session):
         f"{1700000000000000 + i}// seq.live{{a=b}} {i}.25"
         for i in range(40))
     assert all(len(a["body"]) <= 500 for a in sink.acked)
+
+
+def test_http_session_keep_alive_reuses_connection():
+    """keep_alive=True pools the socket across requests (one TCP
+    connection for N posts); keep_alive=False sends Connection: close
+    and dials fresh every time (conf.rs:318-319 semantics)."""
+    from beamium_ray.sinks import HttpSession
+
+    sink = _SinkRecorder()
+    try:
+        s = HttpSession(keep_alive=True)
+        for _ in range(3):
+            status, _ = s.request("POST", sink.url, b"x", {}, 5.0)
+            assert status == 200
+        assert sink.connections == 1
+        s.close()
+
+        nk = HttpSession(keep_alive=False)
+        for _ in range(2):
+            status, _ = nk.request("POST", sink.url, b"x", {}, 5.0)
+            assert status == 200
+        assert sink.connections == 3  # two fresh dials
+        assert all(
+            a["headers"].get("Connection") == "close"
+            for a in sink.acked[3:]
+        )
+    finally:
+        sink.close()
+
+
+def test_http_session_keep_alive_timeout_expires():
+    """An idle gap over keep-alive-timeout drops the pooled socket and
+    the next request dials fresh (conf.rs:338-342)."""
+    import time as _time
+
+    from beamium_ray.sinks import HttpSession
+
+    sink = _SinkRecorder()
+    try:
+        s = HttpSession(keep_alive=True, keep_alive_timeout_s=0.05)
+        assert s.request("POST", sink.url, b"x", {}, 5.0)[0] == 200
+        _time.sleep(0.1)
+        assert s.request("POST", sink.url, b"x", {}, 5.0)[0] == 200
+        assert sink.connections == 2
+        s.close()
+    finally:
+        sink.close()
+
+
+def test_custom_headers_on_forward(ray_session, tmp_path):
+    """Arbitrary configured headers ride every POST (the scraper form
+    is conf.rs:31/scraper.rs:100-105); the token header still wins."""
+    spool, _ = _spool(tmp_path, 1)
+    sink = _SinkRecorder()
+    try:
+        conf = HttpSinkConf(
+            url=sink.url, token="tok-h", backoff=FAST,
+            headers={"X-Scope-OrgID": "team-42", "X-Warp10-Token": "loser"},
+        )
+        forward_spool(str(spool), conf, concurrency=1)
+    finally:
+        sink.close()
+    assert sink.acked, "nothing shipped"
+    h = sink.acked[0]["headers"]
+    assert h.get("X-Scope-Orgid", h.get("X-Scope-OrgID")) == "team-42"
+    assert sink.acked[0]["token"] == "tok-h"  # token header wins
+
+
+def test_scrape_to_spool_headers_and_chunking(tmp_path):
+    """Live scrape (S1): GET with custom headers, body landed as
+    .metrics spool files under the byte cap with the '='-continuation
+    guard, tmp+rename atomic (scraper.rs:100-105,236-265)."""
+    from beamium_ray.sources.scrape import chunk_lines, scrape_to_spool
+
+    body = b"m_a{} 1 1700000000000\nm_b{} 2 1700000000000\n"
+    sink = _SinkRecorder(body_to_serve=body)
+    try:
+        paths = scrape_to_spool(
+            sink.url, str(tmp_path / "spool"), "s1",
+            headers={"Authorization": "Bearer tok-s"},
+            now_us=1700000000000000,
+        )
+    finally:
+        sink.close()
+    assert sink.gets and sink.gets[0]["headers"]["Authorization"] == \
+        "Bearer tok-s"
+    assert [p.rsplit("/", 1)[1] for p in paths] == \
+        ["s1-1700000000000000-0.metrics"]
+    with open(paths[0]) as f:
+        assert f.read() == body.decode()
+    # chunker: '='-continuation lines never start a new file
+    chunks = chunk_lines(["a" * 10, "=cont", "b" * 10, "c" * 10], 12)
+    assert chunks == [["a" * 10, "=cont"], ["b" * 10], ["c" * 10]]
+
+
+def test_run_multi_scrapes_url_scraper(tmp_path):
+    """run_multi with a url scraper (no input dir): one scrape tick
+    lands the endpoint body in the spool and the topology routes it."""
+    import os
+    import subprocess
+    import sys
+
+    body = b"seq.keep{} 1.5 1700000000000\nother.drop{} 9 1700000000000\n"
+    sink = _SinkRecorder(body_to_serve=body)
+    conf = tmp_path / "conf.yaml"
+    conf.write_text(
+        "scrapers:\n"
+        "  s1:\n"
+        f"    url: {sink.url}\n"
+        "    format: prometheus\n"
+        "    headers:\n"
+        "      X-Scrape-Auth: sekrit\n"
+        "sinks:\n"
+        "  w10:\n"
+        "    selector: seq.*\n"
+        "parameters:\n"
+        "  timeout: 5s\n"
+    )
+    env = {**os.environ, "PYTHONPATH": os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))}
+    try:
+        p = subprocess.run(
+            [sys.executable, "-m", "beamium_ray.run_multi",
+             "--config", str(conf), "--output", str(tmp_path / "out"),
+             "--num-cpus", "4"],
+            capture_output=True, text=True, env=env, timeout=300,
+        )
+    finally:
+        sink.close()
+    assert p.returncode == 0, p.stderr[-2000:]
+    summary = json.loads(p.stdout.strip().splitlines()[-1])["sinks"]
+    assert summary["w10"]["rows"] == 1  # selector dropped other.drop
+    assert sink.gets[0]["headers"]["X-Scrape-Auth"] == "sekrit"
+
+
+def test_http_conf_from_config_parameter_surface():
+    """timeout / batch caps / backoff.* / keep-alive knobs / headers all
+    flow from the config maps into HttpSinkConf (conf.rs:120-138)."""
+    from beamium_ray.config import SinkConfig
+    from beamium_ray.sinks import http_conf_from_config
+
+    sk = SinkConfig(
+        name="w", url="http://x/api", token="t", keep_alive=False,
+        keep_alive_timeout="2s", headers={"X-A": "1"},
+    )
+    params = {
+        "timeout": "5s",
+        "batch-size": 1000,
+        "batch-count": 7,
+        "backoff": {"initial": "10ms", "max": "1s",
+                    "multiplier": 2.0, "randomization": 0.1},
+    }
+    c = http_conf_from_config(sk, params)
+    assert c.timeout_s == 5.0 and c.batch_size == 1000 and c.batch_count == 7
+    assert c.backoff.initial_s == 0.01 and c.backoff.max_s == 1.0
+    assert c.backoff.multiplier == 2.0 and c.backoff.randomization == 0.1
+    assert c.keep_alive is False and c.keep_alive_timeout_s == 2.0
+    assert c.headers == {"X-A": "1"}
+    # defaults match the reference's (conf.rs:120-138,338-342)
+    d = http_conf_from_config(SinkConfig(name="d", url="http://y"), {})
+    assert d.timeout_s == 500.0 and d.keep_alive is True
+    assert d.keep_alive_timeout_s == 3600.0
+    assert d.backoff.initial_s == 0.5 and d.backoff.max_s == 60.0
+    assert d.backoff.randomization == 0.3
+
+
+def test_parse_duration_forms():
+    from beamium_ray.config import parse_duration_s
+
+    assert parse_duration_s("500ms") == 0.5
+    assert parse_duration_s("1m") == 60.0
+    assert parse_duration_s("1m30s") == 90.0
+    assert parse_duration_s("500s") == 500.0
+    assert parse_duration_s(7) == 7.0
+    assert parse_duration_s("2.5") == 2.5
+    for bad in ("", "xyz", "1x", "s"):
+        with pytest.raises(ValueError):
+            parse_duration_s(bad)

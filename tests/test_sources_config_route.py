@@ -428,3 +428,46 @@ def test_check_mode_validates_without_ray(tmp_path, capsys):
     mt_empty.write_text("sinks: {}\n")
     assert run_multi_mod.main(["--check", "--config", str(mt_empty)]) == 1
     assert "no scrapers" in capsys.readouterr().err
+
+
+def test_check_mode_validates_forwarder_knobs(tmp_path, capsys):
+    """-t catches bad durations/backoff in the forwarder parameter
+    surface (conf.rs:120-138) and bad sink keep-alive knobs, and
+    accepts a url-scraper with headers (conf.rs:27-31)."""
+    from beamium_ray import run_multi as run_multi_mod
+
+    spool = tmp_path / "sp"
+    spool.mkdir()
+    good = tmp_path / "g.yaml"
+    good.write_text(
+        "scrapers:\n"
+        "  s1:\n"
+        "    url: http://127.0.0.1:1/metrics\n"
+        "    headers: {X-A: '1'}\n"
+        "    period: 10s\n"
+        "sinks:\n"
+        "  w:\n"
+        "    keep-alive: false\n"
+        "    keep-alive-timeout: 2s\n"
+        "    headers: {X-B: '2'}\n"
+        "parameters:\n"
+        "  timeout: 5s\n"
+        "  backoff: {initial: 10ms, max: 1s, multiplier: 2.0}\n"
+    )
+    assert run_multi_mod.main(["--check", "--config", str(good)]) == 0
+    assert "configuration is healthy" in capsys.readouterr().out
+
+    bad = tmp_path / "b.yaml"
+    bad.write_text(
+        "scrapers:\n"
+        f"  s1: {{input: {spool}, period: bogus}}\n"
+        "sinks:\n"
+        "  w: {keep-alive-timeout: nope}\n"
+        "parameters:\n"
+        "  timeout: huh\n"
+        "  backoff: {initial: '-3x', multiplier: many}\n"
+    )
+    assert run_multi_mod.main(["--check", "--config", str(bad)]) == 1
+    err = capsys.readouterr().err
+    assert "period" in err and "keep-alive-timeout" in err
+    assert "parameters.timeout" in err and "backoff" in err
