@@ -995,3 +995,67 @@ SELECT CAST(gp // {seq_len} AS BIGINT) AS seq_id,
        CAST(tok_h % {vocab} AS BIGINT) AS token
 FROM {tok_final}
 """
+
+
+def bpe_doc_counts_sql(
+    merges: list[tuple[str, str]],
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "n_tok_bpe_exact",
+) -> str:
+    """Exact BPE token count per document, recomputed from first
+    principles: the merges table rides in as VALUES and a recursive CTE
+    replays the engine's rank-greedy loop per DISTINCT word (each step
+    merges the lowest-rank pair present, leftmost occurrence first),
+    then per-doc counts come from a word join. Pre-tokenization is the
+    same whitespace split the engine uses."""
+    vals = ", ".join(
+        "('{}', '{}', {})".format(
+            left.replace("'", "''"), right.replace("'", "''"), i
+        )
+        for i, (left, right) in enumerate(merges)
+    )
+    # tie-break key: rank first, then leftmost position (positions are
+    # bounded by the word length, far below the 2^20 scale factor)
+    best = (
+        "(SELECT arg_min(p.i, m.rnk * 1048576 + p.i) "
+        "FROM (SELECT unnest(range(1, len(syms))) AS i) p "
+        "JOIN merges m ON m.l = syms[p.i] AND m.r = syms[p.i+1])"
+    )
+    return rf"""
+WITH RECURSIVE
+merges(l, r, rnk) AS (VALUES {vals}),
+words AS (
+  SELECT DISTINCT unnest(
+    regexp_split_to_array(coalesce({text_col}, ''), '\s+')) AS w
+  FROM {table}
+),
+rec(w, syms) AS (
+  SELECT w, regexp_extract_all(w, '.') AS syms FROM words WHERE w <> ''
+  UNION ALL
+  SELECT w,
+    list_concat(
+      list_concat(syms[1:best_i-1], [syms[best_i] || syms[best_i+1]]),
+      syms[best_i+2:]
+    )
+  FROM (SELECT w, syms, {best} AS best_i FROM rec)
+  WHERE best_i IS NOT NULL
+),
+word_tok AS (
+  SELECT w, len(syms) AS n
+  FROM (SELECT w, syms, {best} AS best_i FROM rec)
+  WHERE best_i IS NULL
+),
+doc_words AS (
+  SELECT {id_col}, unnest(
+    regexp_split_to_array(coalesce({text_col}, ''), '\s+')) AS w
+  FROM {table}
+)
+SELECT d.{id_col},
+       CAST(COALESCE(
+         SUM(CASE WHEN d.w = '' THEN 0 ELSE wt.n END), 0) AS BIGINT)
+         AS {out_col}
+FROM doc_words d LEFT JOIN word_tok wt ON wt.w = d.w
+GROUP BY d.{id_col}
+"""

@@ -19,6 +19,7 @@ import pyarrow.compute as pc
 
 import beamium_ray.oracle_sql_gen as _gen
 from beamium_ray.config import EngineConfig
+from beamium_ray.datapipe.bpe import default_merges as _bpe_default_merges
 from beamium_ray.stages.filters import route_batch, whitelist_batch
 from beamium_ray.stages.parse import parse_table
 from beamium_ray.stages.relabel import relabel_batch
@@ -260,26 +261,45 @@ def dedup_exact_docs(sf_dir: str):
 
 
 def token_count_docs(sf_dir: str):
-    """Whitespace + BPE-regex token counts, one wide per-doc row (both
-    are pure map kernels over the same read)."""
-    from beamium_ray.datapipe.textstats import (
-        bpe_token_count_batch, token_count_batch,
+    """Whitespace, BPE-regex (pre-tokenizer piece proxy) AND exact-BPE
+    token counts, one wide per-doc row. The exact column runs the real
+    merge loop under the shipped merges artifact — memoized per
+    distinct word per worker — and the oracle replays the identical
+    rank-greedy loop with a recursive CTE over the same merges."""
+    from beamium_ray.datapipe.bpe import default_merges
+    from beamium_ray.functions.cluster import cached_stage
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        cached_stage(_WideTokenCounts, tuple(default_merges())),
+        batch_format="pyarrow",
     )
 
-    def go(b: pa.Table) -> pa.Table:
+
+class _WideTokenCounts:
+    """Per-worker stage for token_count_docs (module-scoped so the
+    cached_stage instance survives across executions)."""
+
+    def __init__(self, merges: tuple):
+        from beamium_ray.datapipe.bpe import _BpeCounter
+
+        self.bpe = _BpeCounter(merges, "text", "doc_id")
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        from beamium_ray.datapipe.textstats import (
+            bpe_token_count_batch, token_count_batch,
+        )
+
         ws = token_count_batch(b)
-        bpe = bpe_token_count_batch(b)
+        approx = bpe_token_count_batch(b)
+        exact = self.bpe(b)
         return pa.table(
             {
                 "doc_id": ws["doc_id"],
                 "n_tok_ws": ws["n_tok_ws"],
-                "n_tok_bpe": bpe["n_tok_bpe"],
+                "n_tok_bpe": approx["n_tok_bpe"],
+                "n_tok_bpe_exact": exact["n_tok_bpe"],
             }
         )
-
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        go, batch_format="pyarrow"
-    )
 
 
 class _DocSignals:
@@ -1895,14 +1915,19 @@ UNION ALL
 SELECT 'hash128', min(doc_id), count(*) FROM documents GROUP BY text
 """,
     "token_count_docs": r"""
-SELECT doc_id,
-       CASE WHEN trim(text) = '' THEN 0
-            ELSE CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
-       END AS n_tok_ws,
-       CAST(len(regexp_extract_all(text,
-         '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))
-         AS BIGINT) AS n_tok_bpe
-FROM documents
+SELECT c.doc_id, c.n_tok_ws, c.n_tok_bpe, e.n_tok_bpe_exact
+FROM (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(array_length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+         END AS n_tok_ws,
+         CAST(len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+'))
+           AS BIGINT) AS n_tok_bpe
+  FROM documents
+) c JOIN ("""
+    + _gen.bpe_doc_counts_sql(_bpe_default_merges())
+    + """) e ON e.doc_id = c.doc_id
 """,
     # all four flagship paths (pipeline / blocks / append / watch) under
     # the SAME full derive→relabel→rollup(gapfill) SQL recomputation
