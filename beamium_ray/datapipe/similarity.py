@@ -182,19 +182,24 @@ def train_centroids(
     return _kmeans_on_sample(S, n_lists, seed)
 
 
-def _kmeans_on_sample(S: np.ndarray, n_lists: int, seed: int) -> np.ndarray:
-    """Few Lloyd rounds on a driver-resident sample (unit-norm space)."""
-    S = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-30)
+def _lloyd(S: np.ndarray, k: int, seed: int, rounds: int = 5) -> np.ndarray:
+    """Few Lloyd rounds on a driver-resident sample, raw space (no
+    normalization — PQ subspaces are not unit vectors)."""
     rng = np.random.default_rng(seed)
-    cent = S[rng.choice(len(S), size=min(n_lists, len(S)), replace=False)]
-    for _ in range(5):
-        d2 = ((S[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-        assign = d2.argmin(1)
+    cent = S[rng.choice(len(S), size=min(k, len(S)), replace=False)].copy()
+    for _ in range(rounds):
+        assign = _nearest_centroid(S, cent)
         for c in range(len(cent)):
             m = assign == c
             if m.any():
                 cent[c] = S[m].mean(0)
     return cent
+
+
+def _kmeans_on_sample(S: np.ndarray, n_lists: int, seed: int) -> np.ndarray:
+    """Few Lloyd rounds on a driver-resident sample (unit-norm space)."""
+    S = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-30)
+    return _lloyd(S, n_lists, seed)
 
 
 def _nearest_centroid(Mu: np.ndarray, cent: np.ndarray) -> np.ndarray:
@@ -370,8 +375,10 @@ class IvfIndex:
         self.vec_col = vec_col
         self.id_col = id_col
 
-    def probed_dataset(self, lists: set[int]):
-        """Dataset of rows in the probed lists (pruned read if persisted)."""
+    def probed_dataset(self, lists: set[int], columns: list[str] | None = None):
+        """Dataset of rows in the probed lists (pruned read if
+        persisted). ``columns`` prunes the read further — the PQ probe
+        pass reads only (id, code) and never the float vectors."""
         if self.index_path is not None:
             import ray.data
             from ray.data.datasource.partitioning import PathPartitionFilter
@@ -384,9 +391,14 @@ class IvfIndex:
             filt = PathPartitionFilter.of(
                 lambda kv: kv.get("list_id") in want
             )
+            read_cols = None
+            if columns is not None:
+                # list_id rides along: the probe stages mask by it
+                read_cols = list(dict.fromkeys([*columns, "list_id"]))
             try:
                 ds = ray.data.read_parquet(
-                    self.index_path, partition_filter=filt
+                    self.index_path, partition_filter=filt,
+                    columns=read_cols,
                 )
                 if not ds.input_files():  # metadata-only emptiness check
                     return None
@@ -396,11 +408,17 @@ class IvfIndex:
             # partition column; ProbedSearch casts it to int
             return ds
         want = pa.array(sorted(lists), pa.int32())
+        cols = (
+            None
+            if columns is None
+            else list(dict.fromkeys([*columns, "list_id"]))
+        )
 
         def keep(b: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
-            return b.filter(pc.is_in(b["list_id"], value_set=want))
+            b = b.filter(pc.is_in(b["list_id"], value_set=want))
+            return b.select(cols) if cols is not None else b
 
         return self.assigned.map_batches(
             keep, batch_format="pyarrow", batch_size=None
@@ -522,3 +540,335 @@ def ivf_topk(
         centroids=centroids,
     )
     return ivf_search(index, queries, k, nprobe)
+
+
+# ---------------------------------------------------------------------------
+# IVF + product quantization (Jégou, Douze & Schmid 2011): at 100 TB the
+# float vectors dominate storage and probe traffic; PQ codes cut the
+# ADC-scan bytes per vector from 4·d to m (e.g. 256 B → 8 B at d=64,
+# m=8), and an exact re-rank over the tiny shortlist restores accuracy.
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    sample: np.ndarray,
+    m: int = 8,
+    k_sub: int = 16,
+    seed: int = 42,
+) -> np.ndarray:
+    """Per-subspace codebooks (m, k_sub, d/m) from a driver-resident
+    sample (the standard recipe — PQ codebooks train on a bounded
+    sample, like the coarse quantizer). Vectors are unit-normalized
+    first so ADC approximates COSINE via dot products."""
+    S = np.asarray(sample, dtype=np.float64)
+    S = S / np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-30)
+    d = S.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    if k_sub > 256:
+        raise ValueError("k_sub > 256 does not fit uint8 codes")
+    dsub = d // m
+    return np.stack(
+        [
+            _lloyd(S[:, j * dsub:(j + 1) * dsub], k_sub, seed + j)
+            for j in range(m)
+        ]
+    )
+
+
+def _codes_to_arrow(codes: np.ndarray) -> pa.Array:
+    """(n, m) uint8 → FixedSizeBinary(m), zero-copy from the row-major
+    buffer."""
+    n, m = codes.shape
+    buf = pa.py_buffer(np.ascontiguousarray(codes).tobytes())
+    return pa.Array.from_buffers(pa.binary(m), n, [None, buf])
+
+
+def _codes_from_arrow(col) -> np.ndarray:
+    """FixedSizeBinary(m) column → (n, m) uint8 view."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    m = col.type.byte_width
+    data = np.frombuffer(col.buffers()[1], dtype=np.uint8)
+    off = col.offset * m
+    return data[off:off + len(col) * m].reshape(len(col), m)
+
+
+class PqEncode:
+    """Cached stage: append ``pq_code`` (FixedSizeBinary(m)) — each
+    vector unit-normalized and each subspace snapped to its nearest
+    codebook entry. Codebooks fetched once per worker."""
+
+    def __init__(self, books_ref, vec_col: str):
+        import ray
+
+        self.books = (
+            ray.get(books_ref)
+            if not isinstance(books_ref, np.ndarray)
+            else books_ref
+        )  # (m, k_sub, dsub)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = self.books.shape[0]
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "pq_code", pa.array([], pa.binary(m))
+            )
+        M = _mat(batch[self.vec_col])
+        Mu = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+        dsub = Mu.shape[1] // m
+        codes = np.empty((len(Mu), m), dtype=np.uint8)
+        for j in range(m):
+            codes[:, j] = _nearest_centroid(
+                Mu[:, j * dsub:(j + 1) * dsub], self.books[j]
+            ).astype(np.uint8)
+        return batch.append_column("pq_code", _codes_to_arrow(codes))
+
+
+class AdcShortlist:
+    """Cached stage: asymmetric-distance (ADC) scan over PQ codes —
+    score(q, x) = Σ_j LUT_j[code_j(x)] with LUT_j = q_sub_j · book_j^T
+    (approximate cosine on unit vectors); per block emit the top
+    ``shortlist`` candidate ids per query. Reads ONLY (id, code,
+    list_id) — the float vectors never enter this pass."""
+
+    def __init__(self, queries_ref, books_ref, mask_ref, shortlist: int,
+                 id_col: str):
+        import ray
+
+        def get(r, t=np.ndarray):
+            return ray.get(r) if not isinstance(r, t) else r
+
+        q = np.asarray(get(queries_ref), dtype=np.float64)
+        self.books = get(books_ref)
+        self.mask = get(mask_ref)  # (n_lists, nq)
+        self.shortlist = shortlist
+        self.id_col = id_col
+        qu = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+        m, _, dsub = self.books.shape
+        # (m, nq, k_sub) lookup tables, built once per worker
+        self.lut = np.stack(
+            [
+                qu[:, j * dsub:(j + 1) * dsub] @ self.books[j].T
+                for j in range(m)
+            ]
+        )
+
+    def _empty(self) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "query": pa.array([], pa.int32()),
+                "adc": pa.array([], pa.float64()),
+            }
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0:
+            return self._empty()
+        codes = _codes_from_arrow(batch["pq_code"])
+        n, m = codes.shape
+        nq = self.lut.shape[1]
+        scores = np.zeros((n, nq))
+        for j in range(m):
+            scores += self.lut[j][:, codes[:, j]].T  # (n, nq)
+        lc = batch["list_id"]
+        if pa.types.is_dictionary(lc.type):
+            lc = pc.cast(lc, lc.type.value_type)
+        lists = pc.cast(lc, pa.int64()).to_numpy()
+        scores = np.where(self.mask[lists], scores, -np.inf)
+        kk = min(self.shortlist, n)
+        idx = np.argpartition(-scores, kk - 1, axis=0)[:kk]
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        flat = idx.ravel(order="F")
+        out = scores[flat, np.repeat(np.arange(nq), kk)]
+        good = out > -np.inf
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[flat][good], pa.int64()),
+                "query": pa.array(
+                    np.repeat(np.arange(nq, dtype=np.int32), kk)[good],
+                    pa.int32(),
+                ),
+                "adc": pa.array(out[good], pa.float64()),
+            }
+        )
+
+
+class IvfPqIndex(IvfIndex):
+    """IVF index whose rows additionally carry PQ codes; searches run
+    ADC over the codes and re-rank the shortlist exactly."""
+
+    def __init__(self, centroids, codebooks, assigned=None,
+                 index_path=None, vec_col="embedding", id_col="vec_id"):
+        super().__init__(centroids, assigned, index_path, vec_col, id_col)
+        self.codebooks = codebooks
+
+
+def build_ivfpq_index(
+    ds,
+    n_lists: int = 16,
+    m: int = 8,
+    k_sub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    sample_size: int = 4096,
+    index_path: str | None = None,
+    centroids: np.ndarray | None = None,
+    concurrency: int | None = None,
+) -> IvfPqIndex:
+    """Coarse centroids + PQ codebooks (both from a bounded sample),
+    then ONE pass assigns every vector a list and a code. Persisted
+    layout: parquet partitioned by ``list_id`` carrying (id, vec,
+    code) — probes prune the read by partition AND by column."""
+    import ray
+
+    from beamium_ray.functions.cluster import cached_stage
+
+    ds = ds.materialize()  # sampled twice + encoded once
+    sample = _block_head_sample(ds, vec_col, sample_size)
+    cent = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else _kmeans_on_sample(sample, n_lists, seed)
+    )
+    books = train_pq_codebooks(sample, m, k_sub, seed)
+    cref, bref = ray.put(cent), ray.put(books)
+    assigned = ds.map_batches(
+        cached_stage(AssignList, cref, vec_col),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=concurrency,
+    ).map_batches(
+        cached_stage(PqEncode, bref, vec_col),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=concurrency,
+    )
+    if index_path is not None:
+        assigned.write_parquet(index_path, partition_cols=["list_id"])
+        return IvfPqIndex(cent, books, None, index_path, vec_col, id_col)
+    return IvfPqIndex(cent, books, assigned.materialize(), None,
+                      vec_col, id_col)
+
+
+def ivfpq_search(
+    index: IvfPqIndex,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 128,
+    concurrency: int | None = None,
+    return_stats: bool = False,
+):
+    """Two-pass probed search: (1) ADC scan over PQ CODES of the probed
+    lists → per-query shortlist (float vectors untouched); (2) exact
+    cosine re-rank over only the shortlisted ids → top-k. Returns the
+    same (query, vec_id, cosine) contract as ivf_search; with
+    ``return_stats`` also a dict evidencing the probe-side byte
+    reduction (code bytes vs float bytes for the same scanned rows)."""
+    import ray
+
+    from beamium_ray.functions.cluster import cached_stage
+
+    q = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    qu = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-30)
+    qd2 = ((qu[:, None, :] - index.centroids[None, :, :]) ** 2).sum(-1)
+    probed = np.argsort(qd2, axis=1)[:, :nprobe]
+    union: set[int] = set(probed.ravel().tolist())
+    mask = np.zeros((len(index.centroids), len(q)), dtype=bool)
+    for qi, row in enumerate(probed):
+        mask[row, qi] = True
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "query": pa.array([], pa.int32()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+    code_ds = index.probed_dataset(union, columns=[index.id_col, "pq_code"])
+    if code_ds is None:
+        return (empty, {}) if return_stats else empty
+    qref, bref, mref = ray.put(q), ray.put(index.codebooks), ray.put(mask)
+    cand = code_ds.map_batches(
+        cached_stage(AdcShortlist, qref, bref, mref, shortlist,
+                     index.id_col),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=concurrency,
+    )
+    batches = list(cand.iter_batches(batch_format="pyarrow"))
+    t = (
+        pa.concat_tables(batches)
+        if batches
+        else pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "query": pa.array([], pa.int32()),
+                "adc": pa.array([], pa.float64()),
+            }
+        )
+    )
+    if t.num_rows == 0:
+        return (empty, {}) if return_stats else empty
+    # per-query shortlist truncation, then the UNION of shortlists is
+    # re-ranked exactly (a superset per query — only helps recall)
+    t = t.sort_by(
+        [("query", "ascending"), ("adc", "descending"),
+         ("vec_id", "ascending")]
+    )
+    qcol = t["query"].to_numpy()
+    keep = np.zeros(len(qcol), dtype=bool)
+    for qi in np.unique(qcol):
+        keep[np.flatnonzero(qcol == qi)[:shortlist]] = True
+    short_ids = pa.compute.unique(t.filter(pa.array(keep))["vec_id"])
+
+    vec_ds = index.probed_dataset(union, columns=[index.id_col,
+                                                  index.vec_col])
+    want = ray.put(short_ids)
+
+    def rerank_filter(b: pa.Table, _want=want) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = ray.get(_want)
+        return b.filter(pc.is_in(b[index.id_col], value_set=ids))
+
+    rer = vec_ds.map_batches(
+        rerank_filter, batch_format="pyarrow", batch_size=None
+    ).map_batches(
+        cached_stage(BruteForceTopK, qref, k, index.vec_col, index.id_col),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=concurrency,
+    )
+    rb = list(rer.iter_batches(batch_format="pyarrow"))
+    rt = pa.concat_tables(rb) if rb else empty
+    if rt.num_rows == 0:
+        return (empty, {}) if return_stats else empty
+    rt = rt.sort_by(
+        [("query", "ascending"), ("cosine", "descending"),
+         ("vec_id", "ascending")]
+    )
+    qcol = rt["query"].to_numpy()
+    keep = np.zeros(len(qcol), dtype=bool)
+    for qi in np.unique(qcol):
+        keep[np.flatnonzero(qcol == qi)[:k]] = True
+    out = rt.filter(pa.array(keep))
+    if not return_stats:
+        return out
+    n_scanned = int(t.num_rows and sum(b.num_rows for b in batches))
+    m = index.codebooks.shape[0]
+    d = index.codebooks.shape[0] * index.codebooks.shape[2]
+    stats = {
+        "rows_adc_scanned": n_scanned,
+        "rows_reranked": len(short_ids),
+        "probe_bytes_pq": n_scanned * m,
+        "probe_bytes_float_equiv": n_scanned * d * 4,
+        "bytes_reduction_x": round(d * 4 / m, 2),
+    }
+    return out, stats

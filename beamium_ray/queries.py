@@ -974,10 +974,16 @@ def simsearch_topk_embeddings(sf_dir: str):
       is cluster 3's exact center, so pruned search must reproduce the
       exhaustive top-10 exactly (recall 1.0). The oracle regenerates
       every planted vector from splitmix64 in SQL and ranks ALL vectors
-      by cosine — it assumes nothing about pruning."""
+      by cosine — it assumes nothing about pruning.
+    - method='ivfpq': the PQ path over the same planted corpus — ADC
+      scan of 8-byte codes over the pruned probes → shortlist-64 →
+      exact re-rank — must ALSO reproduce the exhaustive top-10
+      exactly (a shortlist miss of any true neighbor hash-fails)."""
     import pyarrow.parquet as pq
 
-    from beamium_ray.datapipe.similarity import brute_force_topk, ivf_topk
+    from beamium_ray.datapipe.similarity import (
+        brute_force_topk, build_ivfpq_index, ivf_topk, ivfpq_search,
+    )
 
     qt = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -999,11 +1005,18 @@ def simsearch_topk_embeddings(sf_dir: str):
         planted, centers[3], k=10, n_lists=_IVF_CLUSTERS, nprobe=4,
         centroids=cent,
     ).select(["vec_id"])
+    pq_index = build_ivfpq_index(
+        planted, n_lists=_IVF_CLUSTERS, m=8, k_sub=16, centroids=cent,
+    )
+    pq_hits = ivfpq_search(
+        pq_index, centers[3], k=10, nprobe=4, shortlist=64
+    ).select(["vec_id"])
     return _union(
         [
             _tag(brute, "method", "brute"),
             _tag(ivf, "method", "ivf"),
             _tag(pruned, "method", "ivf_pruned"),
+            _tag(pq_hits, "method", "ivfpq"),
         ]
     )
 
@@ -2288,6 +2301,8 @@ UNION ALL
 SELECT 'ivf', vec_id FROM ({_TOPK_SQL})
 UNION ALL
 SELECT 'ivf_pruned', vec_id FROM ({_gen.ivf_pruned_sql()})
+UNION ALL
+SELECT 'ivfpq', vec_id FROM ({_gen.ivf_pruned_sql()})
 """,
     "semantic_dedup_embeddings": _gen.semantic_dedup_sql(),
 }

@@ -1,0 +1,116 @@
+"""IVF+PQ: codebook training, code round-trip, persisted
+partition+column-pruned probes, recall vs the exhaustive search, and
+the probe-side byte reduction."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from beamium_ray.datapipe.similarity import (
+    _codes_from_arrow,
+    _codes_to_arrow,
+    brute_force_topk,
+    build_ivfpq_index,
+    ivfpq_search,
+    train_pq_codebooks,
+)
+
+
+def test_codes_arrow_roundtrip():
+    codes = np.arange(24, dtype=np.uint8).reshape(3, 8)
+    arr = _codes_to_arrow(codes)
+    assert arr.type == pa.binary(8)
+    assert np.array_equal(_codes_from_arrow(arr), codes)
+    # sliced column (non-zero offset) decodes correctly
+    assert np.array_equal(_codes_from_arrow(arr.slice(1, 2)), codes[1:])
+
+
+def test_train_pq_codebooks_shape_and_guards():
+    import pytest
+
+    S = np.random.default_rng(0).normal(size=(200, 32))
+    books = train_pq_codebooks(S, m=8, k_sub=16, seed=1)
+    assert books.shape == (8, 16, 4)
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq_codebooks(S, m=5)
+    with pytest.raises(ValueError, match="uint8"):
+        train_pq_codebooks(S, m=8, k_sub=300)
+
+
+def _clustered_corpus(n=400, d=32, n_clusters=8, seed=3):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    lab = np.arange(n) % n_clusters
+    V = centers[lab] + 0.05 * rng.normal(size=(n, d))
+    off = np.arange(0, (n + 1) * d, d, dtype=np.int32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.ListArray.from_arrays(
+                pa.array(off, pa.int32()),
+                pa.array(V.ravel(), pa.float64()),
+            ),
+        }
+    )
+    return t, V, centers
+
+
+def test_ivfpq_recall_and_bytes_reduction(ray_session, tmp_path):
+    import ray.data
+
+    t, V, centers = _clustered_corpus()
+    ds = ray.data.from_arrow(t)
+    queries = V[[0, 5, 13]]  # three member vectors as queries
+
+    exact = brute_force_topk(ray.data.from_arrow(t), queries, k=10)
+
+    index = build_ivfpq_index(
+        ds, n_lists=8, m=8, k_sub=16, centroids=centers,
+        index_path=str(tmp_path / "pq_idx"),
+    )
+    got, stats = ivfpq_search(
+        index, queries, k=10, nprobe=2, shortlist=64, return_stats=True
+    )
+
+    def hits(tbl):
+        out = {}
+        for q, v in zip(tbl["query"].to_pylist(), tbl["vec_id"].to_pylist()):
+            out.setdefault(q, set()).add(v)
+        return out
+
+    eh, gh = hits(exact), hits(got)
+    recall = sum(len(eh[q] & gh.get(q, set())) for q in eh) / sum(
+        len(eh[q]) for q in eh
+    )
+    assert recall >= 0.95, recall
+
+    # probe-side byte reduction: 8-byte codes vs 32×4-byte floats
+    assert stats["bytes_reduction_x"] == 16.0
+    assert stats["probe_bytes_pq"] * 16 == stats["probe_bytes_float_equiv"]
+    # pruned probes scanned a strict subset of the corpus
+    assert 0 < stats["rows_adc_scanned"] < len(t)
+    assert stats["rows_reranked"] <= 3 * 64
+
+    # persisted layout is hive-partitioned by listered id
+    parts = sorted(p.name for p in (tmp_path / "pq_idx").iterdir())
+    assert any(p.startswith("list_id=") for p in parts)
+
+
+def test_ivfpq_in_memory_matches_persisted(ray_session, tmp_path):
+    import ray.data
+
+    t, V, centers = _clustered_corpus(n=160, seed=9)
+    q = V[[7]]
+    mem_idx = build_ivfpq_index(
+        ray.data.from_arrow(t), n_lists=8, m=8, k_sub=16, centroids=centers
+    )
+    disk_idx = build_ivfpq_index(
+        ray.data.from_arrow(t), n_lists=8, m=8, k_sub=16, centroids=centers,
+        index_path=str(tmp_path / "idx2"),
+    )
+    a = ivfpq_search(mem_idx, q, k=5, nprobe=8, shortlist=32)
+    b = ivfpq_search(disk_idx, q, k=5, nprobe=8, shortlist=32)
+    assert a["vec_id"].to_pylist() == b["vec_id"].to_pylist()
+    assert a["cosine"].to_pylist() == b["cosine"].to_pylist()
