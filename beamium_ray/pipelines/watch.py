@@ -82,6 +82,7 @@ class DirectoryWatcher:
         loader=None,
         config_path: str | None = None,
         order_col: str | None = None,
+        appender=None,
     ):
         self.input_dir = input_dir
         self.cfg = cfg
@@ -96,6 +97,12 @@ class DirectoryWatcher:
         self.loader = loader or (
             lambda files: metrics_datapoints(files, self.cfg, self.now_us)
         )
+        # `appender(dataset) -> run manifest` replaces the rollup append
+        # for non-rollup watch flows (e.g. incremental dedup over a
+        # document landing dir) while keeping the two-phase pending/seen
+        # exactly-once protocol. The appender must be IDEMPOTENT per
+        # file batch — a crash between append and promotion replays it.
+        self.appender = appender
         self.state_path = os.path.join(out_dir, "_run", "watch.json")
         self.config_path = config_path
         self.reload_count = 0  # the reference's beamium_reload_count
@@ -238,9 +245,11 @@ class DirectoryWatcher:
         }
 
     def _append(self, files: list[str]) -> dict:
+        dp = self.loader(files)
+        if self.appender is not None:
+            return self.appender(dp)
         from beamium_ray.pipelines.persist import append_rollup
 
-        dp = self.loader(files)
         run, _rows = append_rollup(
             dp, self.cfg, files, self.out_dir, order_col=self.order_col
         )

@@ -337,14 +337,40 @@ def doc_signals_docs(sf_dir: str):
 def dedup_minhash_docs(sf_dir: str):
     """MinHash-LSH near-dup clusters, candidate edges VERIFIED with
     exact 5-gram Jaccard ≥ 0.8 (hash-oracled: the SQL recomputes the
-    same Jaccard + connected components from first principles). BOTH
+    same Jaccard + connected components from first principles). THREE
     routes in one gate entry: the size-routed default (driver verify at
-    toy scale) and the forced DISTRIBUTED path (Bloom-pruned bucket
+    toy scale), the forced DISTRIBUTED path (Bloom-pruned bucket
     joins — the 100 TB mode where nothing pair-shaped touches the
-    driver) must land on identical clusters."""
+    driver), and the INCREMENTAL two-tick path (watch-mode durable
+    band index: the corpus split in half by doc_id, tick 2 dedups
+    against tick 1's committed index without re-shingling it) must all
+    land on identical clusters."""
+    import tempfile
+
     from beamium_ray.datapipe.dedup import minhash_dedup
+    from beamium_ray.datapipe.incdedup import IncrementalMinHashDedup
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    mid = int(docs.count()) // 2
+    inc = IncrementalMinHashDedup(
+        tempfile.mkdtemp(prefix="beamium_incdedup_"), threshold=0.8
+    )
+
+    def half(lo: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = (
+                pc.less(b["doc_id"], mid)
+                if lo
+                else pc.greater_equal(b["doc_id"], mid)
+            )
+            return b.filter(m)
+
+        return docs.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+    inc.tick(half(True))
+    incremental = inc.tick(half(False))
+
     return _union(
         [
             _tag(
@@ -354,6 +380,7 @@ def dedup_minhash_docs(sf_dir: str):
                 minhash_dedup(docs, verify_threshold=0.8, distributed=True),
                 "route", "distributed",
             ),
+            _tag(incremental, "route", "incremental"),
         ]
     )
 
@@ -1980,7 +2007,7 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
     "dedup_minhash_docs": "\nUNION ALL\n".join(
         f"SELECT '{route}' AS route, * FROM "
         f"({_gen.jaccard_clusters_sql(threshold=0.8)})"
-        for route in ("auto", "distributed")
+        for route in ("auto", "distributed", "incremental")
     ),
     "hll_sketch_events": f"""
 SELECT '*' AS event_type, reg, "rank" FROM ({_gen.hll_registers_sql()})

@@ -1,0 +1,212 @@
+"""Incremental MinHash dedup: cross-tick duplicates, committed-cluster
+merges, equality with one-shot dedup, and durable-store replay."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from beamium_ray.datapipe.incdedup import IncrementalMinHashDedup
+
+def _doc(i: int, variant: str = "") -> str:
+    """Docs are mostly UNIQUE content (seeded word soup per i), so two
+    different ids sit far below the 0.8 Jaccard threshold; identical
+    ids produce identical text (exact dups)."""
+    rng = np.random.default_rng(1000 + i)
+    words = [f"w{rng.integers(0, 5000):04d}" for _ in range(120)]
+    return " ".join(words) + " " + variant
+
+
+def _ds(rows: list[tuple[int, str]]):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def _assign_dict(ds) -> dict[int, int]:
+    t = pa.concat_tables(
+        list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    return dict(zip(t["doc_id"].to_pylist(), t["cluster"].to_pylist()))
+
+
+def test_cross_tick_duplicate_caught(ray_session, tmp_path):
+    inc = IncrementalMinHashDedup(str(tmp_path / "idx"), threshold=0.8)
+    # tick 1: three distinct docs
+    inc.tick(_ds([(1, _doc(1)), (2, _doc(2)), (30, _doc(30, "unique a"))]))
+    # tick 2: 41 duplicates doc 2 (near-identical), 50 is fresh
+    out = inc.tick(_ds([(41, _doc(2)), (50, _doc(50, "unique b"))]))
+    a = _assign_dict(out)
+    assert a[41] == 2, a  # cross-tick dup resolved WITHOUT re-shingling 2
+    assert a[1] == 1 and a[30] == 30 and a[50] == 50
+    assert len(a) == 5
+
+
+def test_cross_tick_cluster_merge_relabels_committed(ray_session, tmp_path):
+    """A tick-2 doc similar to members of TWO committed clusters merges
+    them — every committed member of the absorbed cluster relabels."""
+    inc = IncrementalMinHashDedup(str(tmp_path / "idx"), threshold=0.8)
+    # two separate committed clusters: {5, 6} and {10, 11}
+    inc.tick(_ds([(5, _doc(5)), (6, _doc(5)), (10, _doc(10, "x " * 12)),
+                  (11, _doc(10, "x " * 12))]))
+    a1 = _assign_dict(inc.assignments())
+    assert a1 == {5: 5, 6: 5, 10: 10, 11: 10}
+    # 20 is a near-dup of BOTH (text between the two variants is not
+    # needed — make it an exact dup of cluster-10's text AND similar
+    # enough to 5's: use cluster-10 text, then a second bridge doc)
+    out = inc.tick(_ds([(20, _doc(10, "x " * 12)), (21, _doc(5))]))
+    a2 = _assign_dict(out)
+    assert a2[20] == 10 and a2[21] == 5
+    # now a doc that duplicates cluster 10's text arrives with id 3
+    # (smaller than every committed member): the whole committed
+    # cluster must relabel to 3
+    out3 = inc.tick(_ds([(3, _doc(10, "x " * 12))]))
+    a3 = _assign_dict(out3)
+    assert a3[3] == 3 and a3[10] == 3 and a3[11] == 3 and a3[20] == 3
+    assert a3[5] == 5 and a3[6] == 5 and a3[21] == 5
+
+
+def test_incremental_equals_one_shot(ray_session, tmp_path):
+    """Two-tick incremental assignments == one-shot verified
+    minhash_dedup over the union corpus."""
+    import ray.data
+
+    from beamium_ray.datapipe.dedup import minhash_dedup
+
+    rows = []
+    for i in range(40):
+        # plant dup families: i % 7 == 3 duplicates i - 3
+        if i % 7 == 3 and i >= 3:
+            rows.append((i, _doc(i - 3)))
+        else:
+            rows.append((i, _doc(i)))
+    t1, t2 = rows[:23], rows[23:]
+
+    inc = IncrementalMinHashDedup(str(tmp_path / "idx"), threshold=0.8)
+    inc.tick(_ds(t1))
+    got = _assign_dict(inc.tick(_ds(t2)))
+
+    ref = minhash_dedup(_ds(rows), verify_threshold=0.8)
+    rt = pa.concat_tables(
+        list(ref.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    want = dict(zip(rt["doc_id"].to_pylist(), rt["cluster"].to_pylist()))
+    assert got == want
+    # sanity: the plant actually produced non-trivial clusters
+    assert any(v != k for k, v in want.items())
+
+
+def test_replayed_tick_is_idempotent(ray_session, tmp_path):
+    """A crash AFTER the tick's files but BEFORE the manifest promotion
+    replays the same batch: deterministic filenames overwrite, and the
+    final state matches a clean run."""
+    store = str(tmp_path / "idx")
+    inc = IncrementalMinHashDedup(store, threshold=0.8)
+    inc.tick(_ds([(1, _doc(1)), (2, _doc(2))]))
+    man_path = inc._manifest_path
+    before = json.load(open(man_path))
+
+    # simulate the crash: run tick 2, then roll the manifest back
+    batch2 = [(9, _doc(2)), (12, _doc(12))]
+    inc.tick(_ds(batch2))
+    with open(man_path, "w") as f:
+        json.dump(before, f)
+
+    # replay tick 2 (same batch) on a fresh handle
+    inc2 = IncrementalMinHashDedup(store, threshold=0.8)
+    out = _assign_dict(inc2.tick(_ds(batch2)))
+    assert out == {1: 1, 2: 2, 9: 2, 12: 12}
+    # no duplicated assignment rows from the replay
+    t = pa.concat_tables(
+        list(
+            inc2.assignments().iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    assert t.num_rows == 4
+
+
+def test_directory_watcher_incremental_dedup(ray_session, tmp_path):
+    """DirectoryWatcher with a dedup appender: parquet files landing
+    across ticks dedup incrementally against the committed index; the
+    batch_key makes a replayed pending batch a no-op."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from beamium_ray.pipelines.watch import DirectoryWatcher
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = tmp_path / "out"
+    inc = IncrementalMinHashDedup(str(out / "dedup_index"), threshold=0.8)
+
+    state = {"files": None}
+
+    def loader(files):
+        state["files"] = list(files)
+        return ray.data.read_parquet(files)
+
+    def appender(ds):
+        key = hashlib.sha256(
+            "\n".join(sorted(state["files"])).encode()
+        ).hexdigest()
+        inc.tick(ds, batch_key=key)
+        return {"batch": key}
+
+    w = DirectoryWatcher(
+        str(landing), None, str(out), file_extension="parquet",
+        loader=loader, appender=appender,
+    )
+
+    def land(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            ),
+            landing / name,
+        )
+
+    land("t1.parquet", [(1, _doc(1)), (2, _doc(2))])
+    r1 = w.tick()
+    assert [f.rsplit("/", 1)[1] for f in r1["applied"]] == ["t1.parquet"]
+
+    land("t2.parquet", [(7, _doc(2)), (9, _doc(9))])
+    r2 = w.tick()
+    assert [f.rsplit("/", 1)[1] for f in r2["applied"]] == ["t2.parquet"]
+    a = _assign_dict(inc.assignments())
+    assert a == {1: 1, 2: 2, 7: 2, 9: 9}
+
+    # crash replay: force the watcher state back to pending and re-tick
+    # — the dedup manifest's batch_key makes it a no-op
+    st = w._load_state()
+    st["pending"] = {"files": r2["applied"]}
+    st["seen"] = [f for f in st["seen"] if f not in r2["applied"]]
+    w._save_state(st)
+    r3 = w.tick()
+    assert r3["replayed"] == r2["applied"]
+    t = pa.concat_tables(
+        list(
+            inc.assignments().iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    )
+    assert t.num_rows == 4  # no duplicate rows from the replay
+    assert _assign_dict(inc.assignments()) == {1: 1, 2: 2, 7: 2, 9: 9}
