@@ -4,11 +4,12 @@ Images/audio/video are ``binary`` columns with sidecar metadata
 (format, width/height/duration). Decode / feature-extract / resize /
 frame-sample are actor-pool ``map_batches`` stages: the Ray-side
 plumbing (schema, batch sizing for large payloads, actor signature,
-output layout) is real and tested; the codec itself is STUBBED —
-the image/audio libraries are not in this container — behind
-``decoder="fake"`` (deterministic synthetic pixels derived from the
-payload bytes) or ``decoder="pil"``/"ffmpeg" which raise
-``NotImplementedError`` with a clear message until the lib is present.
+output layout) is real and tested. ``decoder="fake"`` derives
+deterministic synthetic pixels from the payload bytes (the
+value-verified gate path); ``decoder="pil"`` and ``decoder="ffmpeg"``
+are REAL decode paths, import-guarded — they raise
+``NotImplementedError`` with a clear message only when Pillow / the
+ffmpeg binary is genuinely absent (as in this container).
 
 Batch-size guidance (ray_guide "Memory-aware"): with payloads of ~B
 bytes, pick ``batch_size ≈ min(256, 64MiB // B)`` and
@@ -63,11 +64,27 @@ class DecodeImage:
     def __init__(self, decoder: str = "fake", thumb: int = 8):
         if decoder == "fake":
             self._decode = self._decode_fake
-        elif decoder in ("pil", "ffmpeg"):
-            raise NotImplementedError(
-                f"decoder '{decoder}' needs the {decoder} library, which is "
-                "not available in this environment; use decoder='fake'"
-            )
+        elif decoder == "pil":
+            # real code path, import-guarded: loads the codec ONCE per
+            # actor; only a genuinely-absent library raises
+            try:
+                from PIL import Image
+            except ImportError as ex:
+                raise NotImplementedError(
+                    "decoder 'pil' needs Pillow, which is not installed "
+                    "in this environment; use decoder='fake'"
+                ) from ex
+            self._pil_image = Image
+            self._decode = self._decode_pil
+        elif decoder == "ffmpeg":
+            import shutil
+
+            if shutil.which("ffmpeg") is None:
+                raise NotImplementedError(
+                    "decoder 'ffmpeg' needs the ffmpeg binary, which is "
+                    "not installed in this environment; use decoder='fake'"
+                )
+            self._decode = self._decode_ffmpeg
         else:
             raise ValueError(f"unknown decoder {decoder!r}")
         self.thumb = thumb
@@ -78,6 +95,34 @@ class DecodeImage:
         if len(raw) < need:
             raw = np.resize(raw, need)
         return raw[:need].reshape(h, w).astype(np.float32)
+
+    def _decode_pil(self, payload: bytes, w: int, h: int) -> np.ndarray:
+        """Real image decode: payload bytes → grayscale float32 matrix.
+        The image's own dimensions win; the metadata (w, h) is a HINT
+        from the sidecar columns, not trusted."""
+        import io
+
+        img = self._pil_image.open(io.BytesIO(payload)).convert("L")
+        return np.asarray(img, dtype=np.float32)
+
+    def _decode_ffmpeg(self, payload: bytes, w: int, h: int) -> np.ndarray:
+        """Real video first-frame decode via the ffmpeg binary:
+        payload → one grayscale frame at the metadata dimensions."""
+        import subprocess
+
+        out = subprocess.run(
+            [
+                "ffmpeg", "-v", "error", "-i", "pipe:0",
+                "-frames:v", "1", "-f", "rawvideo",
+                "-pix_fmt", "gray", "pipe:1",
+            ],
+            input=payload, capture_output=True, check=True,
+        ).stdout
+        raw = np.frombuffer(out, dtype=np.uint8)
+        if len(raw) < w * h:  # codec emitted its own geometry
+            side = int(len(raw) ** 0.5)
+            return raw[: side * side].reshape(side, side).astype(np.float32)
+        return raw[: w * h].reshape(h, w).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()

@@ -208,8 +208,98 @@ def main():
         "points_rolled": head["points_rolled"],
         "points_per_sec": head["points_per_sec"],
     }
+    # attach the latest interleaved A/B comparison (bench.py --paired
+    # <prev_ref>) so the per-round BENCH snapshot carries
+    # ratio_vs_prev measured under the variance protocol
+    paired_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_paired.json"
+    )
+    if os.path.exists(paired_path):
+        try:
+            with open(paired_path) as f:
+                result["paired"] = json.load(f)
+        except Exception:
+            pass
     print(json.dumps(result))
     ray.shutdown()
+
+
+def paired(prev_ref: str, pairs: int = 2):
+    """Interleaved A/B/A/B comparison against a previous git ref — the
+    host throttles 10-20x in windows of minutes, so back-to-back
+    alternation is the only way a round-over-round ratio means
+    anything (BASELINE.md variance protocol). Checks the ref out as a
+    /tmp worktree, alternates FULL bench runs (HEAD, prev, HEAD, prev,
+    ...), and reports per-query and headline ratios computed from the
+    per-side MIN (least-throttled window), plus the spread of per-pair
+    headline ratios as a noise gauge. Writes BENCH_paired.json."""
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    short = re.sub(r"[^A-Za-z0-9_.-]", "_", prev_ref)[:24]
+    wt = f"/tmp/beamium_paired_{short}"
+    if not os.path.isdir(wt):
+        subprocess.run(
+            ["git", "-C", here, "worktree", "add", "--detach", wt, prev_ref],
+            check=True, capture_output=True, text=True,
+        )
+
+    def run_once(code_dir: str) -> dict:
+        env = dict(os.environ, PYTHONPATH=code_dir)
+        out = subprocess.run(
+            [sys.executable, os.path.join(code_dir, "bench.py")],
+            env=env, cwd=code_dir, capture_output=True, text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    runs_new, runs_prev = [], []
+    for _ in range(pairs):
+        runs_new.append(run_once(here))
+        runs_prev.append(run_once(wt))
+
+    def best(runs: list[dict], key: str | None = None) -> dict | float:
+        if key is not None:
+            return min(r["value"] for r in runs)
+        out: dict[str, float] = {}
+        for r in runs:
+            for q, s in r.get("queries", {}).items():
+                out[q] = min(out.get(q, float("inf")), s)
+        return out
+
+    qn, qp = best(runs_new), best(runs_prev)
+    shared = sorted(set(qn) & set(qp))
+    ratios = {q: round(qn[q] / qp[q], 3) for q in shared if qp[q] > 0}
+    head_new = best(runs_new, "value")
+    head_prev = best(runs_prev, "value")
+    pair_ratios = [
+        round(a["value"] / b["value"], 3)
+        for a, b in zip(runs_new, runs_prev)
+    ]
+    spread = (
+        round((max(pair_ratios) - min(pair_ratios))
+              / max(1e-9, sum(pair_ratios) / len(pair_ratios)), 3)
+        if pair_ratios
+        else None
+    )
+    result = {
+        "metric": "paired_bench",
+        "prev_ref": prev_ref,
+        "pairs": pairs,
+        "sf": sf_name(),
+        "num_cpus": NUM_CPUS,
+        "headline_sec_new": head_new,
+        "headline_sec_prev": head_prev,
+        "headline_ratio": round(head_new / head_prev, 3),
+        "pair_headline_ratios": pair_ratios,
+        "pair_ratio_spread": spread,
+        "ratio_vs_prev": ratios,
+        "queries_only_new": sorted(set(qn) - set(qp)),
+        "queries_only_prev": sorted(set(qp) - set(qn)),
+    }
+    with open(os.path.join(here, "BENCH_paired.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
 
 
 def scaling():
@@ -251,5 +341,10 @@ def scaling():
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--paired" in sys.argv:
+        i = sys.argv.index("--paired")
+        ref = sys.argv[i + 1] if len(sys.argv) > i + 1 else "HEAD~1"
+        n = int(sys.argv[i + 2]) if len(sys.argv) > i + 2 else 2
+        paired(ref, n)
     else:
         main()

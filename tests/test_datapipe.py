@@ -354,9 +354,44 @@ def test_multimodal_decode(ray_session):
     ds = ray.data.from_arrow(media).repartition(2)
     rows = decode_dataset(ds, batch_size=16, concurrency=2).take_all()
     assert len(rows) == 64
-    # real decoders are stubbed with a clear error
-    with pytest.raises(NotImplementedError):
-        DecodeImage(decoder="pil")
+    # real decoder paths are import-guarded: with the lib present they
+    # construct (and decode a real image, below); absent they raise the
+    # clear install message
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if have_pil:
+        import io
+
+        from PIL import Image
+
+        img = Image.new("L", (8, 6))
+        img.putdata(list(range(48)))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        one = pa.table(
+            {
+                "media_id": pa.array([1], pa.int64()),
+                "payload": pa.array([buf.getvalue()], pa.binary()),
+                "format": pa.array(["image/png"], pa.string()),
+                "width": pa.array([8], pa.int32()),
+                "height": pa.array([6], pa.int32()),
+            }
+        )
+        got = DecodeImage(decoder="pil")(one)
+        assert got["n_px"].to_pylist() == [48]
+        assert got["px_sum"].to_pylist() == [sum(range(48))]
+    else:
+        with pytest.raises(NotImplementedError, match="not installed"):
+            DecodeImage(decoder="pil")
+    import shutil as _sh
+
+    if _sh.which("ffmpeg") is None:
+        with pytest.raises(NotImplementedError, match="not installed"):
+            DecodeImage(decoder="ffmpeg")
 
 
 def test_frame_sampling():
