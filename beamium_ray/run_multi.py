@@ -38,6 +38,11 @@ def main(argv: list[str] | None = None) -> int:
         help="validate the configuration and exit WITHOUT starting Ray "
         "(the reference's `-t`, src/cmd.rs:40-42)",
     )
+    ap.add_argument(
+        "-v", "--verbose", action="count", default=0,
+        help="raise the CONSOLE log level (stacking, the reference's "
+        "-v; file/syslog stay at parameters.log-level)",
+    )
     args = ap.parse_args(argv)
 
     if args.check:
@@ -105,6 +110,19 @@ def main(argv: list[str] | None = None) -> int:
 
     raw = load_raw_config(args.config)
     cfg = BeamiumConfig.from_dict(raw)
+
+    # parameters.log-file / log-level / syslog (conf.rs:78-82, log.rs).
+    # An unconfigured log-file defaults under the OUTPUT root (a batch
+    # job's logs belong next to its artifacts, not in whatever cwd the
+    # scheduler launched from — the one divergence from the reference's
+    # ./beamium.log default).
+    from beamium_ray.state.logsetup import initialize_logging
+
+    log_params = dict(cfg.parameters or {})
+    if "log-file" not in log_params and "log_file" not in log_params:
+        log_params["log-file"] = f"{args.output}/_run/beamium.log"
+    log_guard = initialize_logging(log_params, verbose=args.verbose)
+
     raw_inputs: dict[str, str] = {}
     for name, sub in (raw.get("scrapers") or {}).items():
         if isinstance(sub, dict) and sub.get("input"):
@@ -154,6 +172,7 @@ def main(argv: list[str] | None = None) -> int:
                 path, http_conf_from_config(sk, cfg.parameters)
             )
     print(json.dumps({"sinks": summary}))
+    log_guard.close()
     ray.shutdown()
     return 0
 

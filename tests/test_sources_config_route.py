@@ -471,3 +471,40 @@ def test_check_mode_validates_forwarder_knobs(tmp_path, capsys):
     err = capsys.readouterr().err
     assert "period" in err and "keep-alive-timeout" in err
     assert "parameters.timeout" in err and "backoff" in err
+
+
+def test_logging_parameters(tmp_path, capsys):
+    """parameters.log-file / log-level / -v: console gates at
+    log-level+verbose, the file at log-level (conf.rs:78-82, log.rs)."""
+    import logging
+    import os
+
+    from beamium_ray.state.logsetup import initialize_logging
+
+    logf = tmp_path / "logs" / "b.log"
+    g = initialize_logging(
+        {"log-file": str(logf), "log-level": 3}, verbose=1
+    )
+    try:
+        lg = logging.getLogger("beamium_ray.test")
+        lg.warning("warn-line")
+        lg.info("info-line")      # console yes (3+1=info), file no
+        lg.debug("debug-line")    # neither
+        for h in g.handlers:
+            h.flush()
+        body = logf.read_text()
+        assert "warn-line" in body
+        assert "info-line" not in body and "debug-line" not in body
+        # parent dir auto-created, file mode 0o640 (log.rs:34-42,53)
+        assert (os.stat(logf).st_mode & 0o777) == 0o640
+    finally:
+        g.close()
+
+    # syslog without /dev/log errors loudly like the reference
+    if not os.path.exists("/dev/log"):
+        import pytest
+
+        with pytest.raises(ValueError, match="syslog"):
+            initialize_logging(
+                {"log-file": str(tmp_path / "x.log"), "syslog": True}
+            )
