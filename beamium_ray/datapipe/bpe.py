@@ -243,3 +243,110 @@ def train_bpe_from_dataset(
         for r in b.to_pylist()
     }
     return train_bpe(freqs, n_merges)
+
+
+class _BpeEncoder:
+    """Cached stage: text → list<int32> token ids under a merges/vocab
+    table. Same memoized per-distinct-word loop as the counter; the
+    per-doc id lists are assembled with one numpy gather over the
+    block's dictionary-encoded words."""
+
+    def __init__(self, merges_ref, text_col: str, id_col: str):
+        import ray
+
+        merges = (
+            ray.get(merges_ref)
+            if not isinstance(merges_ref, (list, tuple))
+            else merges_ref
+        )
+        self.ranks = {pair: i for i, pair in enumerate(merges)}
+        self.vocab = build_vocab(list(merges))
+        self.text_col = text_col
+        self.id_col = id_col
+        self.cache: dict[str, np.ndarray] = {}
+
+    def _ids(self, word: str) -> np.ndarray:
+        got = self.cache.get(word)
+        if got is None:
+            got = np.array(
+                [
+                    self.vocab.get(s, min(ord(s[0]), 255))
+                    for s in encode_word(word, self.ranks)
+                ],
+                np.int32,
+            )
+            self.cache[word] = got
+        return got
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch[self.text_col], "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern_regex(text, r"\s+")
+        lens = pc.fill_null(pc.list_value_length(words), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = pc.list_flatten(words)
+        d = flat.dictionary_encode()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        uniq = d.dictionary.to_pylist()
+        per_word = [
+            np.zeros(0, np.int32) if w == "" else self._ids(w) for w in uniq
+        ]
+        w_len = np.array([len(p) for p in per_word], np.int64)
+        idx = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # flat token stream: gather each word's ids in order
+        tok_per_word = w_len[idx] if len(idx) else np.zeros(0, np.int64)
+        total = int(tok_per_word.sum())
+        if total:
+            cat = np.concatenate(per_word) if per_word else np.zeros(
+                0, np.int32
+            )
+            w_start = np.concatenate(([0], np.cumsum(w_len)))[:-1]
+            starts = w_start[idx]
+            pos = np.arange(total, dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(tok_per_word)))[:-1],
+                tok_per_word,
+            )
+            vals = cat[np.repeat(starts, tok_per_word) + pos]
+        else:
+            vals = np.zeros(0, np.int32)
+        # per-doc offsets: sum of word token counts per row
+        starts_row = np.concatenate(([0], np.cumsum(lens)))
+        doc_tok = np.add.reduceat(
+            np.concatenate((tok_per_word, [0])), starts_row[:-1]
+        ) * (lens > 0) if len(lens) else np.zeros(0, np.int64)
+        off = np.concatenate(([0], np.cumsum(doc_tok))).astype(np.int32)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "tokens": pa.ListArray.from_arrays(
+                    pa.array(off, pa.int32()),
+                    pa.array(vals, pa.int32()),
+                ),
+                "n_tok": pa.array(doc_tok.astype(np.int32), pa.int32()),
+            }
+        )
+
+
+def bpe_encode(
+    ds,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Tokenize a text Dataset into ``(id, tokens list<int32>, n_tok)``
+    — the bridge from the text ops to the packing/stats family (the
+    output shape is the canonical tokenized-sequence table). Pure map;
+    merges broadcast once."""
+    import ray
+
+    from beamium_ray.functions.cluster import cached_stage
+
+    merges_ref = ray.put(merges if merges is not None else default_merges())
+    return ds.map_batches(
+        cached_stage(_BpeEncoder, merges_ref, text_col, id_col),
+        batch_format="pyarrow",
+        batch_size=None,
+    )

@@ -137,3 +137,52 @@ def test_word_histogram_and_dataset_training(ray_session):
     assert got["d0"] == 5 * len(encode_word("low", ranks))
     assert got["d4"] == 2 * len(encode_word("lower", ranks))
     assert got["d5"] == 0  # null text
+
+
+def test_bpe_encode_ids_roundtrip(ray_session):
+    import pyarrow.compute as pc
+    import ray.data
+
+    from beamium_ray.datapipe.bpe import bpe_encode, default_merges
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["table value", "value  table zz", None]),
+        }
+    )
+    merges = default_merges()
+    out = pa.concat_tables(
+        list(
+            bpe_encode(ray.data.from_arrow(docs), merges).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+    ).sort_by("doc_id")
+    vocab = build_vocab(merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def ids_of(text):
+        out_ids = []
+        for w in text.split():
+            out_ids.extend(vocab[s] for s in encode_word(w, ranks))
+        return out_ids
+
+    toks = out["tokens"].to_pylist()
+    assert toks[0] == ids_of("table value")
+    assert toks[1] == ids_of("value table zz")
+    assert toks[2] == []
+    assert out["n_tok"].to_pylist() == [len(toks[0]), len(toks[1]), 0]
+    # n_tok agrees with the counting stage
+    from beamium_ray.datapipe.bpe import bpe_token_count
+
+    cnt = pa.concat_tables(
+        list(
+            bpe_token_count(
+                ray.data.from_arrow(docs), merges
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    ).sort_by("doc_id")
+    assert cnt["n_tok_bpe"].to_pylist() == [
+        int(x) for x in out["n_tok"].to_pylist()
+    ]
