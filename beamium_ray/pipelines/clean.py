@@ -30,6 +30,10 @@ Stage registry (each maps to a gate-verified operator):
   dedup_semantic    SemDeDup keep-one-per-semantic-group over an
                     embedding column (dedup.semantic_dedup; vec_col,
                     n_clusters, threshold, train)
+  tokenize          BPE-tokenize the text column into tokens
+                    (list<int32>) + n_tok, the canonical sequence-table
+                    shape for the packing ops (bpe.bpe_encode;
+                    n_merges, keep_text)
 
 Scale notes: every stage is a pure map / broadcast probe except
 drop_boilerplate's narrow hash-count groupby and dedup_exact (see its
@@ -46,8 +50,31 @@ from dataclasses import dataclass, field
 VALID_STAGES = {
     "quality_filter", "drop_boilerplate", "decontaminate",
     "dedup_exact", "dedup_minhash", "dedup_semantic", "sample",
-    "mixture_sample", "assign_splits", "redact_pii",
+    "mixture_sample", "assign_splits", "redact_pii", "tokenize",
 }
+
+
+class _TokenizeStage:
+    """Cached stage for the `tokenize` clean step: BPE-encode the text
+    column, PRESERVING every other column (split partitioning and
+    stratification columns must survive), optionally dropping the raw
+    text afterwards (the normal end-state of a tokenize step)."""
+
+    def __init__(self, merges: tuple, text_col: str, id_col: str,
+                 keep_text: bool):
+        from beamium_ray.datapipe.bpe import _BpeEncoder
+
+        self.enc = _BpeEncoder(merges, text_col, id_col)
+        self.text_col = text_col
+        self.keep_text = keep_text
+
+    def __call__(self, batch):
+        out = self.enc(batch)
+        if not self.keep_text:
+            batch = batch.drop_columns([self.text_col])
+        return batch.append_column(
+            "tokens", out["tokens"]
+        ).append_column("n_tok", out["n_tok"])
 
 
 @dataclass
@@ -334,6 +361,21 @@ def build_clean_pipeline(cfg: CleanConfig):
             ds = assign_splits(
                 ds, key_col=cfg.id_col,
                 fractions_ppm=params.get("fractions_ppm"),
+            )
+        elif name == "tokenize":
+            from beamium_ray.datapipe.bpe import default_merges
+            from beamium_ray.functions.cluster import cached_stage
+
+            merges = tuple(
+                default_merges(int(params.get("n_merges", 48)))
+            )
+            ds = ds.map_batches(
+                cached_stage(
+                    _TokenizeStage, merges, cfg.text_col, cfg.id_col,
+                    bool(params.get("keep_text", False)),
+                ),
+                batch_format="pyarrow",
+                batch_size=None,
             )
     return ds
 

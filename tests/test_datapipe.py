@@ -1650,3 +1650,48 @@ def test_run_clean_dedup_semantic_stage(ray_session, tmp_path):
                  {"n_clusters": 2, "threshold": 0.999}}],
     ))
     assert res["rows_out"] == 2  # near-identical pair collapsed
+
+
+def test_run_clean_tokenize_stage(ray_session, tmp_path):
+    """tokenize stage: BPE ids in the canonical sequence shape, other
+    columns (split) preserved so the partitioned write still works."""
+    import pyarrow.parquet as pq_
+
+    from beamium_ray.datapipe.bpe import build_vocab, default_merges, encode_word
+    from beamium_ray.pipelines.clean import CleanConfig, run_clean
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["table value table", "big query"]),
+                "source": pa.array(["web", "code"]),
+            }
+        ),
+        src / "d.parquet",
+    )
+    out = tmp_path / "out"
+    res = run_clean(
+        CleanConfig(
+            input=str(src),
+            output=str(out),
+            stages=[{"assign_splits": None}, {"tokenize": None}],
+        )
+    )
+    assert res["rows_out"] == 2
+    got = pq_.read_table(str(out)).sort_by("doc_id")
+    assert "text" not in got.column_names  # keep_text defaults off
+    assert set(got.column_names) >= {"doc_id", "source", "split",
+                                     "tokens", "n_tok"}
+    merges = default_merges()
+    vocab = build_vocab(merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    want = [
+        vocab[s]
+        for w in "table value table".split()
+        for s in encode_word(w, ranks)
+    ]
+    assert got["tokens"].to_pylist()[0] == want
+    assert got["n_tok"].to_pylist()[0] == len(want)
