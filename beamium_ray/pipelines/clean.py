@@ -34,6 +34,14 @@ Stage registry (each maps to a gate-verified operator):
                     (list<int32>) + n_tok, the canonical sequence-table
                     shape for the packing ops (bpe.bpe_encode;
                     n_merges, keep_text)
+  truncate          context-length shaping over the tokens column
+                    (packing.truncate_sequences; min_len, max_len)
+  pack              TERMINAL stage: concat tokens in id order and cut
+                    into seq_len-token training sequences
+                    (packing.emit_packed_rows; seq_len) — output rows
+                    are (seq_id, pos_in_seq, token), so it must be the
+                    LAST stage and is incompatible with split
+                    partitioning
 
 Scale notes: every stage is a pure map / broadcast probe except
 drop_boilerplate's narrow hash-count groupby and dedup_exact (see its
@@ -51,6 +59,7 @@ VALID_STAGES = {
     "quality_filter", "drop_boilerplate", "decontaminate",
     "dedup_exact", "dedup_minhash", "dedup_semantic", "sample",
     "mixture_sample", "assign_splits", "redact_pii", "tokenize",
+    "truncate", "pack",
 }
 
 
@@ -121,6 +130,19 @@ class CleanConfig:
             ):
                 raise ValueError(
                     "decontaminate stage needs a 'benchmark' parquet path"
+                )
+        names = [next(iter(st)) for st in self.stages]
+        if "pack" in names:
+            if names[-1] != "pack" or names.count("pack") > 1:
+                raise ValueError(
+                    "pack emits (seq_id, pos_in_seq, token) rows — it "
+                    "must be the single LAST stage"
+                )
+            if "assign_splits" in names:
+                raise ValueError(
+                    "pack and assign_splits are incompatible: packed "
+                    "rows carry no split column (split BEFORE packing "
+                    "by running one clean job per split)"
                 )
 
 
@@ -376,6 +398,30 @@ def build_clean_pipeline(cfg: CleanConfig):
                 ),
                 batch_format="pyarrow",
                 batch_size=None,
+            )
+        elif name == "truncate":
+            from beamium_ray.datapipe.packing import truncate_sequences
+
+            ds = truncate_sequences(
+                ds,
+                list_col=params.get("tokens_col", "tokens"),
+                len_col=params.get("len_col", "n_tok"),
+                max_len=int(params.get("max_len", 2048)),
+                min_len=int(params.get("min_len", 0)),
+            )
+        elif name == "pack":
+            from beamium_ray.datapipe.packing import emit_packed_rows
+
+            # pack consumes integer ids; docs keyed by string doc_id
+            # gain a derived dense `ord` from the id hash order — a
+            # deterministic pure map (the documents fixture already
+            # carries int ids in tests; keep the contract simple: the
+            # id column must be integer-typed)
+            ds = emit_packed_rows(
+                ds.materialize(),  # counts + emit passes share one exec
+                id_col=params.get("id_col", cfg.id_col),
+                tokens_col=params.get("tokens_col", "tokens"),
+                seq_len=int(params.get("seq_len", 2048)),
             )
     return ds
 

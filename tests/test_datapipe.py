@@ -1695,3 +1695,58 @@ def test_run_clean_tokenize_stage(ray_session, tmp_path):
     ]
     assert got["tokens"].to_pylist()[0] == want
     assert got["n_tok"].to_pylist()[0] == len(want)
+
+
+def test_run_clean_tokenize_truncate_pack(ray_session, tmp_path):
+    """Terminal pack stage: tokenize -> truncate -> pack emits the
+    (seq_id, pos_in_seq, token) training stream; validation rejects
+    pack anywhere but last and pack+assign_splits."""
+    import pyarrow.parquet as pq_
+
+    from beamium_ray.pipelines.clean import CleanConfig, run_clean
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    ["table value", "big query window", "row"]
+                ),
+            }
+        ),
+        src / "d.parquet",
+    )
+    out = tmp_path / "out"
+    res = run_clean(
+        CleanConfig(
+            input=str(src),
+            output=str(out),
+            stages=[
+                {"tokenize": None},
+                {"truncate": {"max_len": 4}},
+                {"pack": {"seq_len": 3, "id_col": "doc_id"}},
+            ],
+        )
+    )
+    got = pq_.read_table(str(out)).sort_by(
+        [("seq_id", "ascending"), ("pos_in_seq", "ascending")]
+    )
+    assert set(got.column_names) == {"seq_id", "pos_in_seq", "token"}
+    n = got.num_rows
+    assert res["rows_out"] == n and n > 0
+    # the packed stream is dense: positions cycle 0..seq_len-1
+    pos = got["pos_in_seq"].to_pylist()
+    assert pos == [i % 3 for i in range(n)]
+
+    with pytest.raises(ValueError, match="LAST stage"):
+        CleanConfig(
+            input=str(src), output=str(out),
+            stages=[{"pack": None}, {"tokenize": None}],
+        ).validate()
+    with pytest.raises(ValueError, match="assign_splits"):
+        CleanConfig(
+            input=str(src), output=str(out),
+            stages=[{"assign_splits": None}, {"pack": None}],
+        ).validate()
