@@ -54,28 +54,15 @@ def _atomic_write_table(t: pa.Table, path: str) -> None:
     os.replace(tmp, path)
 
 
-class IncrementalMinHashDedup:
-    def __init__(
-        self,
-        store_dir: str,
-        *,
-        num_perm: int = 128,
-        bands: int = 32,
-        k: int = 5,
-        threshold: float = 0.8,
-        num_buckets: int = 64,
-        bucket_cap: int = 256,
-        text_col: str = "text",
-        id_col: str = "doc_id",
-    ):
+class _IncrementalDedupBase:
+    """Shared durable-assignment machinery for incremental dedup
+    stores: the manifest (pointer-switch commit), the full (id,
+    cluster) table, and the per-tick component merge + committed-root
+    remap. Subclasses implement candidate generation + verification
+    and write their own index/payload partitions inside the commit."""
+
+    def __init__(self, store_dir: str, id_col: str):
         self.dir = store_dir
-        self.num_perm = num_perm
-        self.bands = bands
-        self.k = k
-        self.threshold = threshold
-        self.B = num_buckets
-        self.bucket_cap = bucket_cap
-        self.text_col = text_col
         self.id_col = id_col
         os.makedirs(os.path.join(store_dir, "assign"), exist_ok=True)
 
@@ -92,7 +79,7 @@ class IncrementalMinHashDedup:
             return {"tick": 0, "assign": None}
 
     def assignments(self):
-        """Current full (doc_id, cluster) Dataset (None before tick 1)."""
+        """Current full (id, cluster) Dataset (None before tick 1)."""
         import ray.data
 
         man = self._manifest()
@@ -101,6 +88,148 @@ class IncrementalMinHashDedup:
         return ray.data.read_parquet(
             os.path.join(self.dir, "assign", man["assign"])
         )
+
+    # -- shared commit -----------------------------------------------------
+    def _commit_tick(
+        self,
+        tick: int,
+        new_id_set: set[int],
+        edges_a,
+        edges_b,
+        write_store,
+        batch_key: str | None,
+    ):
+        """Components over (verified edges ∪ committed-root binding
+        edges) → new assignments + a broadcast root-remap over the
+        committed table; then the subclass's ``write_store(tick)``
+        appends its index/payload partitions; the manifest rename is
+        LAST so a crashed tick is invisible and its deterministic
+        files overwrite on replay. Returns the new assignment
+        Dataset."""
+        import ray
+        import ray.data
+
+        from beamium_ray.datapipe.dedup import _numpy_components
+
+        prev = self.assignments()
+        remap: dict[int, int] = {}
+        new_labels: dict[int, int] = {}
+        graph_a = np.asarray(edges_a, np.int64)
+        graph_b = np.asarray(edges_b, np.int64)
+        if prev is not None and len(graph_a):
+            # bind each committed partner to its current cluster root
+            part = np.unique(np.concatenate([graph_a, graph_b]))
+            part = part[~np.isin(part, list(new_id_set))]
+            if len(part):
+                rows = [
+                    b
+                    for b in prev.map_batches(
+                        lambda t, _w=pa.array(part, pa.int64()): t.filter(
+                            pc.is_in(t[self.id_col], value_set=_w)
+                        ),
+                        batch_format="pyarrow",
+                        batch_size=None,
+                    ).iter_batches(batch_format="pyarrow", batch_size=None)
+                ]
+                if rows:
+                    bt = pa.concat_tables(rows)
+                    graph_a = np.concatenate(
+                        [graph_a, bt[self.id_col].to_numpy()]
+                    )
+                    graph_b = np.concatenate(
+                        [graph_b, bt["cluster"].to_numpy()]
+                    )
+        if len(graph_a):
+            nodes, labels = _numpy_components(graph_a, graph_b)
+            for n, lb in zip(nodes.tolist(), labels.tolist()):
+                if n in new_id_set:
+                    new_labels[n] = lb
+                elif n != lb:
+                    # a committed node relabeled; if it was a cluster
+                    # ROOT, its whole cluster follows via the remap
+                    remap[n] = lb
+        assign_new = pa.table(
+            {
+                self.id_col: pa.array(sorted(new_id_set), pa.int64()),
+                "cluster": pa.array(
+                    [new_labels.get(d, d) for d in sorted(new_id_set)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+        assign_name = f"assign-{tick:05d}"
+        assign_dir = os.path.join(self.dir, "assign", assign_name)
+        if os.path.isdir(assign_dir):  # crashed-tick replay
+            shutil.rmtree(assign_dir)
+        if prev is not None:
+            rref = ray.put(remap)
+
+            def relabel(t: pa.Table, _r=rref) -> pa.Table:
+                import ray as _ray
+
+                rm = _ray.get(_r)
+                if not rm or t.num_rows == 0:
+                    return t
+                cl = t["cluster"].to_numpy(zero_copy_only=False).copy()
+                ks = np.array(sorted(rm), np.int64)
+                vs = np.array([rm[k] for k in ks.tolist()], np.int64)
+                pos = np.clip(np.searchsorted(ks, cl), 0, len(ks) - 1)
+                hit = ks[pos] == cl
+                cl[hit] = vs[pos[hit]]
+                return t.set_column(
+                    t.column_names.index("cluster"),
+                    "cluster",
+                    pa.array(cl, pa.int64()),
+                )
+
+            full = prev.map_batches(
+                relabel, batch_format="pyarrow", batch_size=None
+            ).union(ray.data.from_arrow(assign_new))
+        else:
+            full = ray.data.from_arrow(assign_new)
+        full.write_parquet(assign_dir)
+
+        write_store(tick)
+
+        from beamium_ray.state.manifest import atomic_write_bytes
+
+        atomic_write_bytes(
+            self._manifest_path,
+            json.dumps(
+                {
+                    "tick": tick,
+                    "assign": assign_name,
+                    "last_batch": batch_key,
+                },
+                sort_keys=True,
+            ).encode(),
+        )
+        return ray.data.read_parquet(assign_dir)
+
+
+class IncrementalMinHashDedup(_IncrementalDedupBase):
+    def __init__(
+        self,
+        store_dir: str,
+        *,
+        num_perm: int = 128,
+        bands: int = 32,
+        k: int = 5,
+        threshold: float = 0.8,
+        num_buckets: int = 64,
+        bucket_cap: int = 256,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        super().__init__(store_dir, id_col)
+        self.num_perm = num_perm
+        self.bands = bands
+        self.k = k
+        self.threshold = threshold
+        self.B = num_buckets
+        self.bucket_cap = bucket_cap
+        self.text_col = text_col
 
     # -- stored-index access ----------------------------------------------
     def _read_band_rows(self, buckets: set[int]) -> pa.Table:
@@ -165,11 +294,8 @@ class IncrementalMinHashDedup:
         texts via a filtered doc-store read), then merge components —
         committed clusters absorbed by a cross-tick edge are relabeled
         through a broadcast root-remap pass over the assignment table."""
-        import ray.data
-
         from beamium_ray.datapipe.dedup import (
             _jaccard_for_pairs,
-            _numpy_components,
             _segment_pair_indices,
             minhash_bands_batch,
             shingle_sets_for,
@@ -262,146 +388,240 @@ class IncrementalMinHashDedup:
             edges_a = pairs[ok, 0].tolist()
             edges_b = pairs[ok, 1].tolist()
 
-        # 5. components over new edges + committed-root binding edges
-        prev = self.assignments()
-        remap: dict[int, int] = {}
-        new_labels: dict[int, int] = {}
-        graph_a = np.array(edges_a, np.int64)
-        graph_b = np.array(edges_b, np.int64)
-        if prev is not None and len(graph_a):
-            # bind each committed partner to its current cluster root
-            part = np.unique(np.concatenate([graph_a, graph_b]))
-            part = part[~np.isin(part, list(new_id_set))]
-            if len(part):
-                rows = [
-                    b
-                    for b in prev.map_batches(
-                        lambda t, _w=pa.array(part, pa.int64()): t.filter(
-                            pc.is_in(t[self.id_col], value_set=_w)
-                        ),
-                        batch_format="pyarrow",
-                        batch_size=None,
-                    ).iter_batches(batch_format="pyarrow", batch_size=None)
-                ]
-                if rows:
-                    bt = pa.concat_tables(rows)
-                    graph_a = np.concatenate(
-                        [graph_a, bt[self.id_col].to_numpy()]
-                    )
-                    graph_b = np.concatenate(
-                        [graph_b, bt["cluster"].to_numpy()]
-                    )
-        if len(graph_a):
-            nodes, labels = _numpy_components(graph_a, graph_b)
-            lab_of = dict(zip(nodes.tolist(), labels.tolist()))
-            for n, lb in lab_of.items():
-                if n in new_id_set:
-                    new_labels[n] = lb
-                elif n != lb:
-                    # a committed node relabeled; if it was a cluster
-                    # ROOT, its whole cluster follows via the remap
-                    remap[n] = lb
-        assign_new = pa.table(
-            {
-                self.id_col: pa.array(sorted(new_id_set), pa.int64()),
-                "cluster": pa.array(
-                    [
-                        new_labels.get(d, d)
-                        for d in sorted(new_id_set)
-                    ],
-                    pa.int64(),
-                ),
-            }
-        )
-
-        # 6. rewrite the assignment table (broadcast remap) + append new
-        assign_name = f"assign-{tick:05d}"
-        assign_dir = os.path.join(self.dir, "assign", assign_name)
-        if os.path.isdir(assign_dir):  # crashed-tick replay
-            shutil.rmtree(assign_dir)
-        if prev is not None:
-            import ray
-
-            rref = ray.put(remap)
-
-            def relabel(t: pa.Table, _r=rref) -> pa.Table:
-                import ray as _ray
-
-                rm = _ray.get(_r)
-                if not rm or t.num_rows == 0:
-                    return t
-                cl = t["cluster"].to_numpy(zero_copy_only=False).copy()
-                ks = np.array(sorted(rm), np.int64)
-                vs = np.array([rm[k] for k in ks.tolist()], np.int64)
-                pos = np.clip(np.searchsorted(ks, cl), 0, len(ks) - 1)
-                hit = ks[pos] == cl
-                cl[hit] = vs[pos[hit]]
-                return t.set_column(
-                    t.column_names.index("cluster"),
-                    "cluster",
-                    pa.array(cl, pa.int64()),
+        # 5-8. shared merge + commit; the store writer appends the new
+        # batch's band + doc rows, bucketed, before the manifest switch
+        def write_store(t: int) -> None:
+            for b in sorted({int(h) % self.B for h in nh.tolist()}):
+                sel = (nh.astype(np.int64) % self.B) == b
+                _atomic_write_table(
+                    pa.table(
+                        {
+                            "band": new_rows["band"].filter(pa.array(sel)),
+                            "band_hash": new_rows["band_hash"].filter(
+                                pa.array(sel)
+                            ),
+                            self.id_col: new_rows[self.id_col].filter(
+                                pa.array(sel)
+                            ),
+                        }
+                    ),
+                    os.path.join(
+                        self.dir, "bands", f"bkt={b}",
+                        f"tick-{t:05d}.parquet",
+                    ),
+                )
+            doc_t = pa.concat_tables(
+                list(
+                    mat.select_columns([self.id_col, self.text_col])
+                    .iter_batches(batch_format="pyarrow", batch_size=None)
+                )
+            )
+            d_ids = doc_t[self.id_col].to_numpy()
+            for b in sorted({int(i) % self.B for i in d_ids.tolist()}):
+                sel = (d_ids % self.B) == b
+                _atomic_write_table(
+                    doc_t.filter(pa.array(sel)),
+                    os.path.join(
+                        self.dir, "docs", f"bkt={b}",
+                        f"tick-{t:05d}.parquet",
+                    ),
                 )
 
-            full = prev.map_batches(
-                relabel, batch_format="pyarrow", batch_size=None
-            ).union(ray.data.from_arrow(assign_new))
+        return self._commit_tick(
+            tick, new_id_set, edges_a, edges_b, write_store, batch_key
+        )
+
+
+class IncrementalSemanticDedup(_IncrementalDedupBase):
+    """SemDeDup across watch ticks: a durable k-means cell index so new
+    embedding batches dedup against the committed corpus without
+    re-reading it.
+
+    The centroids are trained ONCE (first tick, per-block-head sample —
+    or passed in) and persisted: cells must stay FIXED or the committed
+    per-cell vector store stops being a valid candidate index. Per
+    tick: assign the new vectors to cells, read back only the TOUCHED
+    cells' committed vectors, verify exact cosine ≥ τ within cells
+    (new×new and new×committed; committed×committed pairs were found in
+    their own tick), and merge components with the shared committed-root
+    remap. Store layout: ``cells/cell=<c>/tick-<n>.parquet`` (id + the
+    float vector), same manifest/commit rules as the minhash store.
+
+    Semantics match the one-shot :func:`dedup.semantic_dedup` under the
+    same fixed centroids (equality pinned by the tests)."""
+
+    def __init__(
+        self,
+        store_dir: str,
+        *,
+        n_clusters: int = 64,
+        threshold: float = 0.95,
+        cell_cap: int = 4096,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        centroids: np.ndarray | None = None,
+        sample_size: int = 4096,
+        seed: int = 42,
+    ):
+        super().__init__(store_dir, id_col)
+        self.n_clusters = n_clusters
+        self.threshold = threshold
+        self.cell_cap = cell_cap
+        self.vec_col = vec_col
+        self.sample_size = sample_size
+        self.seed = seed
+        self._centroids = (
+            None if centroids is None else np.asarray(centroids, float)
+        )
+
+    @property
+    def _centroids_path(self) -> str:
+        return os.path.join(self.dir, "centroids.npy")
+
+    def _load_or_train_centroids(self, mat) -> np.ndarray:
+        if self._centroids is not None:
+            cent = self._centroids
+        elif os.path.exists(self._centroids_path):
+            cent = np.load(self._centroids_path)
         else:
-            import ray.data as _rd
-
-            full = _rd.from_arrow(assign_new)
-        full.write_parquet(assign_dir)
-
-        # 7. append the new batch's band + doc rows, bucketed
-        for b in sorted({int(h) % self.B for h in nh.tolist()}):
-            sel = (nh.astype(np.int64) % self.B) == b
-            _atomic_write_table(
-                pa.table(
-                    {
-                        "band": new_rows["band"].filter(pa.array(sel)),
-                        "band_hash": new_rows["band_hash"].filter(
-                            pa.array(sel)
-                        ),
-                        self.id_col: new_rows[self.id_col].filter(
-                            pa.array(sel)
-                        ),
-                    }
-                ),
-                os.path.join(
-                    self.dir, "bands", f"bkt={b}",
-                    f"tick-{tick:05d}.parquet",
-                ),
+            from beamium_ray.datapipe.similarity import (
+                _block_head_sample, _kmeans_on_sample,
             )
-        doc_t = pa.concat_tables(
+
+            cent = _kmeans_on_sample(
+                _block_head_sample(mat, self.vec_col, self.sample_size),
+                self.n_clusters,
+                self.seed,
+            )
+        if not os.path.exists(self._centroids_path):
+            # np.save appends .npy when missing — keep the suffix so the
+            # tmp name is exactly what lands on disk
+            tmp = self._centroids_path.replace(
+                ".npy", f".tmp.{os.getpid()}.npy"
+            )
+            np.save(tmp, cent)
+            os.replace(tmp, self._centroids_path)
+        self._centroids = cent
+        return cent
+
+    def _read_cells(self, cells: set[int]) -> tuple[np.ndarray, np.ndarray]:
+        """(ids, vectors) of the committed rows in the touched cells."""
+        ids_parts: list[np.ndarray] = []
+        vec_parts: list[np.ndarray] = []
+        for c in sorted(cells):
+            d = os.path.join(self.dir, "cells", f"cell={c}")
+            if not os.path.isdir(d):
+                continue
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".parquet"):
+                    t = pq.read_table(os.path.join(d, f))
+                    if t.num_rows:
+                        ids_parts.append(t[self.id_col].to_numpy())
+                        vec_parts.append(
+                            np.stack(
+                                t[self.vec_col].to_numpy(
+                                    zero_copy_only=False
+                                )
+                            ).astype(np.float64)
+                        )
+        if not ids_parts:
+            return np.zeros(0, np.int64), np.zeros((0, 0))
+        return (
+            np.concatenate(ids_parts).astype(np.int64),
+            np.concatenate(vec_parts, axis=0),
+        )
+
+    def tick(self, new_ds, batch_key: str | None = None):
+        """Fold one batch of new vectors in; returns the updated full
+        (id, cluster) assignment Dataset."""
+        from beamium_ray.datapipe.dedup import _segment_pair_indices
+        from beamium_ray.datapipe.similarity import _nearest_centroid
+
+        man = self._manifest()
+        if batch_key is not None and man.get("last_batch") == batch_key:
+            return self.assignments()  # committed replay → no-op
+        tick = man["tick"] + 1
+        mat = new_ds.materialize()
+        cent = self._load_or_train_centroids(mat)
+
+        # new batch to the driver (ticks are bounded by the watch
+        # contract): ids, unit vectors, cells
+        t = pa.concat_tables(
             list(
-                mat.select_columns([self.id_col, self.text_col])
+                mat.select_columns([self.id_col, self.vec_col])
                 .iter_batches(batch_format="pyarrow", batch_size=None)
             )
         )
-        d_ids = doc_t[self.id_col].to_numpy()
-        for b in sorted({int(i) % self.B for i in d_ids.tolist()}):
-            sel = (d_ids % self.B) == b
-            _atomic_write_table(
-                doc_t.filter(pa.array(sel)),
-                os.path.join(
-                    self.dir, "docs", f"bkt={b}",
-                    f"tick-{tick:05d}.parquet",
-                ),
-            )
-
-        # 8. pointer switch LAST
-        from beamium_ray.state.manifest import atomic_write_bytes
-
-        atomic_write_bytes(
-            self._manifest_path,
-            json.dumps(
-                {
-                    "tick": tick,
-                    "assign": assign_name,
-                    "last_batch": batch_key,
-                },
-                sort_keys=True,
-            ).encode(),
+        n_ids = t[self.id_col].to_numpy().astype(np.int64)
+        V = np.stack(
+            t[self.vec_col].to_numpy(zero_copy_only=False)
+        ).astype(np.float64) if t.num_rows else np.zeros((0, len(cent[0])))
+        Vu = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+        cells = (
+            _nearest_centroid(Vu, cent).astype(np.int64)
+            if len(Vu)
+            else np.zeros(0, np.int64)
         )
-        import ray.data as _rd
+        new_id_set = set(n_ids.tolist())
 
-        return _rd.read_parquet(assign_dir)
+        # committed rows of the touched cells only
+        o_ids, OV = self._read_cells(set(cells.tolist()))
+        if len(o_ids):
+            o_cells = _nearest_centroid(
+                OV / np.maximum(
+                    np.linalg.norm(OV, axis=1, keepdims=True), 1e-30
+                ),
+                cent,
+            ).astype(np.int64)
+        else:
+            o_cells = np.zeros(0, np.int64)
+
+        # within-cell candidate pairs touching ≥1 new id
+        all_ids = np.concatenate([n_ids, o_ids])
+        all_cells = np.concatenate([cells, o_cells])
+        allV = (
+            np.concatenate([V, OV], axis=0) if len(o_ids) else V
+        )
+        order, ai, bi, _ = _segment_pair_indices(
+            all_cells.astype(np.uint64), all_ids, self.cell_cap
+        )
+        sa, sb = all_ids[order][ai], all_ids[order][bi]
+        new_arr = np.array(sorted(new_id_set), np.int64)
+        m = np.isin(sa, new_arr) | np.isin(sb, new_arr)
+        edges_a: list[int] = []
+        edges_b: list[int] = []
+        if m.any():
+            row_of = {int(i): k for k, i in enumerate(all_ids.tolist())}
+            A = allV[[row_of[int(x)] for x in sa[m]]]
+            B = allV[[row_of[int(x)] for x in sb[m]]]
+            na = np.maximum(np.linalg.norm(A, axis=1), 1e-30)
+            nb_ = np.maximum(np.linalg.norm(B, axis=1), 1e-30)
+            cos = (A * B).sum(1) / (na * nb_)
+            ok = cos >= self.threshold
+            uniq = np.unique(
+                np.stack([sa[m][ok], sb[m][ok]], axis=1), axis=0
+            ) if ok.any() else np.zeros((0, 2), np.int64)
+            edges_a = uniq[:, 0].tolist()
+            edges_b = uniq[:, 1].tolist()
+
+        def write_store(tk: int) -> None:
+            for c in sorted(set(cells.tolist())):
+                sel = cells == c
+                _atomic_write_table(
+                    pa.table(
+                        {
+                            self.id_col: pa.array(n_ids[sel], pa.int64()),
+                            self.vec_col: t[self.vec_col].filter(
+                                pa.array(sel)
+                            ),
+                        }
+                    ),
+                    os.path.join(
+                        self.dir, "cells", f"cell={c}",
+                        f"tick-{tk:05d}.parquet",
+                    ),
+                )
+
+        return self._commit_tick(
+            tick, new_id_set, edges_a, edges_b, write_store, batch_key
+        )

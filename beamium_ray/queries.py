@@ -1103,15 +1103,52 @@ def semantic_dedup_embeddings(sf_dir: str):
     oracle regenerates every vector, computes ALL pairwise cosines
     (no clustering assumption), and runs a recursive-CTE transitive
     closure — so a missed cross-cluster pair or a bad candidate path
-    would hash-mismatch."""
+    would hash-mismatch. TWO routes in one entry: the one-shot
+    pipeline and the INCREMENTAL two-tick path (watch-mode durable
+    k-means cell store, corpus split in half by vec_id) must land on
+    identical labels."""
+    import tempfile
+
     from beamium_ray.datapipe.dedup import semantic_dedup
+    from beamium_ray.datapipe.incdedup import IncrementalSemanticDedup
 
     ds = _read(sf_dir, "embeddings", ["vec_id"]).map_batches(
         _plant_clusters_batch, batch_format="pyarrow", batch_size=None
     )
     centers = _ivf_center(np.arange(_IVF_CLUSTERS))
     cent = centers / np.linalg.norm(centers, axis=1, keepdims=True)
-    return semantic_dedup(ds, centroids=cent, threshold=0.95)
+    one_shot = semantic_dedup(ds, centroids=cent, threshold=0.95)
+
+    mid = int(ds.count()) // 2
+    inc = IncrementalSemanticDedup(
+        tempfile.mkdtemp(prefix="beamium_incsem_"),
+        centroids=cent,
+        threshold=0.95,
+    )
+
+    def half(lo: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = (
+                pc.less(b["vec_id"], mid)
+                if lo
+                else pc.greater_equal(b["vec_id"], mid)
+            )
+            return b.filter(m)
+
+        return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+    inc.tick(half(True))
+    incremental = inc.tick(half(False)).map_batches(
+        lambda t: t.rename_columns(["doc_id", "cluster"]),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return _union(
+        [
+            _tag(one_shot, "route", "one_shot"),
+            _tag(incremental, "route", "incremental"),
+        ]
+    )
 
 
 def embedding_neardup_embeddings(sf_dir: str):
@@ -2331,7 +2368,10 @@ SELECT 'ivf_pruned', vec_id FROM ({_gen.ivf_pruned_sql()})
 UNION ALL
 SELECT 'ivfpq', vec_id FROM ({_gen.ivf_pruned_sql()})
 """,
-    "semantic_dedup_embeddings": _gen.semantic_dedup_sql(),
+    "semantic_dedup_embeddings": "\nUNION ALL\n".join(
+        f"SELECT '{route}' AS route, * FROM ({_gen.semantic_dedup_sql()})"
+        for route in ("one_shot", "incremental")
+    ),
 }
 
 

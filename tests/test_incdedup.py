@@ -37,7 +37,8 @@ def _assign_dict(ds) -> dict[int, int]:
     t = pa.concat_tables(
         list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
     )
-    return dict(zip(t["doc_id"].to_pylist(), t["cluster"].to_pylist()))
+    idc = "doc_id" if "doc_id" in t.column_names else "vec_id"
+    return dict(zip(t[idc].to_pylist(), t["cluster"].to_pylist()))
 
 
 def test_cross_tick_duplicate_caught(ray_session, tmp_path):
@@ -210,3 +211,80 @@ def test_directory_watcher_incremental_dedup(ray_session, tmp_path):
     )
     assert t.num_rows == 4  # no duplicate rows from the replay
     assert _assign_dict(inc.assignments()) == {1: 1, 2: 2, 7: 2, 9: 9}
+
+
+def _vec_ds(ids, V):
+    import ray.data
+
+    off = np.arange(0, (len(ids) + 1) * V.shape[1], V.shape[1],
+                    dtype=np.int32)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.asarray(ids, np.int64), pa.int64()),
+                "embedding": pa.ListArray.from_arrays(
+                    pa.array(off, pa.int32()),
+                    pa.array(V.ravel().astype(np.float64), pa.float64()),
+                ),
+            }
+        )
+    )
+
+
+def _sem_fixture(n=60, d=16, n_clusters=6, seed=11):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    lab = np.arange(n) % n_clusters
+    V = centers[lab] + 0.01 * rng.normal(size=(n, d))
+    # plant exact duplicates: i % 9 == 4 copies i - 4
+    for i in range(4, n):
+        if i % 9 == 4:
+            V[i] = V[i - 4]
+    return V, centers
+
+
+def test_incremental_semantic_matches_one_shot(ray_session, tmp_path):
+    from beamium_ray.datapipe.dedup import semantic_dedup
+    from beamium_ray.datapipe.incdedup import IncrementalSemanticDedup
+
+    V, centers = _sem_fixture()
+    ids = np.arange(len(V))
+    inc = IncrementalSemanticDedup(
+        str(tmp_path / "sem"), centroids=centers, threshold=0.999
+    )
+    inc.tick(_vec_ds(ids[:33], V[:33]))
+    got = _assign_dict(inc.tick(_vec_ds(ids[33:], V[33:])))
+
+    ref = semantic_dedup(
+        _vec_ds(ids, V), centroids=centers, threshold=0.999
+    )
+    rt = pa.concat_tables(
+        list(ref.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    want = dict(zip(rt["doc_id"].to_pylist(), rt["cluster"].to_pylist())) \
+        if "doc_id" in rt.column_names else dict(
+            zip(rt["vec_id"].to_pylist(), rt["cluster"].to_pylist()))
+    assert got == want
+    assert any(v != k for k, v in want.items())  # plants actually merged
+
+
+def test_incremental_semantic_cross_tick_and_replay(ray_session, tmp_path):
+    from beamium_ray.datapipe.incdedup import IncrementalSemanticDedup
+
+    V, centers = _sem_fixture(n=24, n_clusters=4)
+    inc = IncrementalSemanticDedup(
+        str(tmp_path / "sem"), centroids=centers, threshold=0.999
+    )
+    inc.tick(_vec_ds([0, 1, 2, 3], V[:4]), batch_key="t1")
+    # 100 duplicates vector 2 exactly (same cell, cos 1.0)
+    out = inc.tick(_vec_ds([100], V[[2]]), batch_key="t2")
+    a = _assign_dict(out)
+    assert a[100] == 2 and a[0] == 0
+    # committed replay is a no-op
+    again = _assign_dict(inc.tick(_vec_ds([100], V[[2]]), batch_key="t2"))
+    assert again == a
+    # centroids persisted: a fresh handle with NO centroids reuses them
+    inc2 = IncrementalSemanticDedup(str(tmp_path / "sem"), threshold=0.999)
+    out3 = _assign_dict(inc2.tick(_vec_ds([200], V[[0]]), batch_key="t3"))
+    assert out3[200] == 0
