@@ -350,7 +350,8 @@ def dedup_minhash_docs(sf_dir: str):
     from beamium_ray.datapipe.dedup import minhash_dedup
     from beamium_ray.datapipe.incdedup import IncrementalMinHashDedup
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    # count + two tick halves + both one-shot routes all read it
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
 
     mid = int(docs.count()) // 2
     inc = IncrementalMinHashDedup(
@@ -1114,7 +1115,7 @@ def semantic_dedup_embeddings(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", ["vec_id"]).map_batches(
         _plant_clusters_batch, batch_format="pyarrow", batch_size=None
-    )
+    ).materialize()  # count + two tick halves + one-shot all read it
     centers = _ivf_center(np.arange(_IVF_CLUSTERS))
     cent = centers / np.linalg.norm(centers, axis=1, keepdims=True)
     one_shot = semantic_dedup(ds, centroids=cent, threshold=0.95)
