@@ -764,14 +764,27 @@ def _record_metrics(metrics: dict | None, metrics_path: str | None, **kw):
 def _jaccard_for_pairs(
     pairs: list[tuple], shingle_sets: dict[int, np.ndarray]
 ) -> np.ndarray:
-    """Exact Jaccard per (a, b) pair from per-doc unique shingle-hash sets."""
+    """Exact Jaccard per (a, b) pair from per-doc unique shingle-hash
+    sets (each set SORTED unique — shingle_sets_for guarantees it).
+
+    |A∩B| via one searchsorted of the smaller set into the larger:
+    np.intersect1d re-sorts the concatenation per call (~17 µs/pair
+    measured at 200-shingle docs); the membership count is ~4× cheaper
+    and exact for sorted-unique inputs. Dominated the incremental-tick
+    profile at 220k pairs before the swap."""
     out = np.zeros(len(pairs), dtype=np.float64)
     for i, (a, b) in enumerate(pairs):
         sa = shingle_sets.get(a)
         sb = shingle_sets.get(b)
         if sa is None or sb is None or (len(sa) == 0 and len(sb) == 0):
             continue
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        if len(sa) > len(sb):
+            sa, sb = sb, sa
+        if len(sa) == 0:
+            continue
+        pos = np.searchsorted(sb, sa)
+        pos[pos == len(sb)] = len(sb) - 1
+        inter = int(np.count_nonzero(sb[pos] == sa))
         out[i] = inter / max(1, len(sa) + len(sb) - inter)
     return out
 
