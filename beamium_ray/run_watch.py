@@ -47,9 +47,37 @@ def main(argv: list[str] | None = None) -> int:
                     "scrape-spool→sender loop (http.rs:49-243)")
     ap.add_argument("--relay-token", default="",
                     help="sink token header value for --relay-url")
+    ap.add_argument("--log-file", default=None,
+                    help="append-mode log file (ref parameters.log-file; "
+                    "defaults under --output)")
+    ap.add_argument("--log-level", type=int, default=4,
+                    help="slog level 1-6 (ref parameters.log-level)")
+    ap.add_argument("--syslog", action="store_true",
+                    help="also log to syslog (ref parameters.syslog)")
+    ap.add_argument("-v", "--verbose", action="count", default=0,
+                    help="raise the CONSOLE log level (stacking -v)")
     args = ap.parse_args(argv)
     if not args.output and not args.relay_url:
         ap.error("--output is required (unless --relay-url)")
+
+    from beamium_ray.state.logsetup import initialize_logging
+
+    # default log placement: under the output root; relay mode has no
+    # output dir and must NOT write into the watched spool (anything
+    # there reads as undrained state), so it falls back to /tmp
+    log_guard = initialize_logging(
+        {
+            "log-file": args.log_file
+            or (
+                f"{args.output}/_run/beamium.log"
+                if args.output
+                else "/tmp/beamium_ray_watch.log"
+            ),
+            "log-level": args.log_level,
+            "syslog": args.syslog,
+        },
+        verbose=args.verbose,
+    )
 
     import ray
 
@@ -151,6 +179,7 @@ def main(argv: list[str] | None = None) -> int:
     if server is not None:
         server.close()
     print(json.dumps({"ticks": ticks, "run": last_run}))
+    log_guard.close()
     ray.shutdown()
     return 0
 
