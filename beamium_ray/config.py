@@ -405,9 +405,12 @@ def validate_engine_config(cfg: EngineConfig) -> list[str]:
                 errors.append(f"period must be positive, got {cfg.period!r}")
         except ValueError as ex:
             errors.append(f"period: {ex}")
-    if cfg.headers and not all(
-        isinstance(k, str) and isinstance(v, str)
-        for k, v in dict(cfg.headers).items()
+    if cfg.headers and (
+        not isinstance(cfg.headers, dict)  # e.g. YAML scalar/list typo
+        or not all(
+            isinstance(k, str) and isinstance(v, str)
+            for k, v in cfg.headers.items()
+        )
     ):
         errors.append("headers must map string names to string values")
     return errors
@@ -447,9 +450,12 @@ def validate_beamium_config(cfg: BeamiumConfig) -> list[str]:
                 f"sink {name!r}: parallel must be a positive int, "
                 f"got {sk.parallel!r}"
             )
-        if sk.headers and not all(
-            isinstance(k, str) and isinstance(v, str)
-            for k, v in dict(sk.headers).items()
+        if sk.headers and (
+            not isinstance(sk.headers, dict)
+            or not all(
+                isinstance(k, str) and isinstance(v, str)
+                for k, v in sk.headers.items()
+            )
         ):
             errors.append(
                 f"sink {name!r}: headers must map string names to "

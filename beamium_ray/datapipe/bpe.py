@@ -317,6 +317,11 @@ class _BpeEncoder:
         doc_tok = np.add.reduceat(
             np.concatenate((tok_per_word, [0])), starts_row[:-1]
         ) * (lens > 0) if len(lens) else np.zeros(0, np.int64)
+        if total > (1 << 31) - 1:  # int32 list offsets per block
+            raise ValueError(
+                f"tokenized block of {total} tokens exceeds the 2 GiB "
+                "int32 list-offset limit; reduce the input block size"
+            )
         off = np.concatenate(([0], np.cumsum(doc_tok))).astype(np.int32)
         return pa.table(
             {

@@ -660,6 +660,7 @@ def _routed_pairs(
     max_broadcast_pairs: int,
     distributed: bool | None,
     what: str,
+    want_star: bool = True,
 ):
     """Size-aware candidate-pair route shared by the verified near-dup
     family (minhash / simhash / embedding / semantic).
@@ -699,8 +700,12 @@ def _routed_pairs(
     if distributed:
         pair_ds = dedupe_pairs_ds(raw, P).materialize()
         n_pairs = pair_ds.count()
-        n_star = _star_count_ds(pair_ds)
-        _warn_capped_count(n_star, what)
+        # the star count is a full extra pass over the pair Dataset on
+        # this route — only pay for it when the caller records metrics
+        # (the driver route below gets it free from the in-hand table)
+        n_star = _star_count_ds(pair_ds) if want_star else 0
+        if want_star:
+            _warn_capped_count(n_star, what)
         return pair_ds, n_pairs, n_star, True
     if n_raw == 0:
         sch = raw.schema()  # None when the input itself was empty
@@ -1146,6 +1151,7 @@ def minhash_dedup(
         max_broadcast_pairs=max_broadcast_pairs,
         distributed=distributed,
         what="minhash_dedup(verified)",
+        want_star=metrics is not None or metrics_path is not None,
     )
     _phase("pairs_s")
     prefilter = max(0.0, verify_threshold - 0.2)
@@ -1417,6 +1423,7 @@ def simhash_candidates(
         max_broadcast_pairs=max_broadcast_pairs,
         distributed=distributed,
         what="simhash_candidates",
+        want_star=metrics is not None or metrics_path is not None,
     )
 
     def dist_filter(t: pa.Table) -> pa.Table:
@@ -1682,6 +1689,7 @@ def embedding_neardup(
         max_broadcast_pairs=max_broadcast_pairs,
         distributed=distributed,
         what="embedding_neardup",
+        want_star=metrics is not None or metrics_path is not None,
     )
     out, path = _verified_cosine_pairs(
         ds, pairs, n_pairs, vec_col, id_col, threshold,
@@ -1843,6 +1851,7 @@ def semantic_dedup(
         max_broadcast_pairs=max_broadcast_pairs,
         distributed=distributed,
         what="semantic_dedup",
+        want_star=metrics is not None or metrics_path is not None,
     )
     verified, path = _verified_cosine_pairs(
         ds, pairs, n_pairs, vec_col, id_col, threshold,

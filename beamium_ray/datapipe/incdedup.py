@@ -205,6 +205,14 @@ class _IncrementalDedupBase:
                 sort_keys=True,
             ).encode(),
         )
+        # GC superseded assignment generations AFTER the pointer switch
+        # (a daemon runs forever; keeping every full table is O(ticks ×
+        # corpus) disk). Sweeping everything except the referenced dir
+        # also self-heals any generation a crash left behind.
+        base = os.path.join(self.dir, "assign")
+        for d in os.listdir(base):
+            if d.startswith("assign-") and d != assign_name:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
         return ray.data.read_parquet(assign_dir)
 
 
@@ -306,6 +314,12 @@ class IncrementalMinHashDedup(_IncrementalDedupBase):
             return self.assignments()  # committed replay → no-op
         tick = man["tick"] + 1
         mat = new_ds.materialize()
+        if mat.count() == 0:
+            # a legitimately empty batch (scraper tick that matched
+            # nothing) must not wedge the watch loop: iter_batches
+            # yields ZERO batches for an empty Dataset and the concats
+            # below would raise. Nothing to fold in → no-op.
+            return self.assignments()
 
         # 1. band rows for the new docs (distributed; narrow result)
         band_ds = mat.map_batches(
@@ -391,8 +405,13 @@ class IncrementalMinHashDedup(_IncrementalDedupBase):
         # 5-8. shared merge + commit; the store writer appends the new
         # batch's band + doc rows, bucketed, before the manifest switch
         def write_store(t: int) -> None:
+            # UNSIGNED modulo, matching `touched` above and
+            # _read_band_rows: nh is the uint64 view, and signed vs
+            # unsigned modulo disagree for hashes ≥ 2^63 whenever B
+            # does not divide 2^64 (np.uint64(B) also keeps numpy from
+            # upcasting the mix to float64).
             for b in sorted({int(h) % self.B for h in nh.tolist()}):
-                sel = (nh.astype(np.int64) % self.B) == b
+                sel = (nh % np.uint64(self.B)).astype(np.int64) == b
                 _atomic_write_table(
                     pa.table(
                         {
@@ -542,6 +561,11 @@ class IncrementalSemanticDedup(_IncrementalDedupBase):
             return self.assignments()  # committed replay → no-op
         tick = man["tick"] + 1
         mat = new_ds.materialize()
+        if mat.count() == 0:
+            # empty batch → no-op (see the minhash tick: zero batches
+            # from iter_batches would crash the concat and wedge the
+            # watch loop).
+            return self.assignments()
         cent = self._load_or_train_centroids(mat)
 
         # new batch to the driver (ticks are bounded by the watch

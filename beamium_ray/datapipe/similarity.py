@@ -861,7 +861,11 @@ def ivfpq_search(
     out = rt.filter(pa.array(keep))
     if not return_stats:
         return out
-    n_scanned = int(t.num_rows and sum(b.num_rows for b in batches))
+    # rows the ADC pass actually read/scanned = the code rows of the
+    # probed partitions (NOT the shortlist rows the stage emits, which
+    # are capped at `shortlist` per query per block); the count is an
+    # extra metadata-cheap pass paid only in stats mode
+    n_scanned = int(code_ds.count())
     m = index.codebooks.shape[0]
     d = index.codebooks.shape[0] * index.codebooks.shape[2]
     stats = {

@@ -65,6 +65,10 @@ class HttpSinkConf:
     batch_count: int = 250        # max files per POST (conf.rs:126)
     batch_size: int = 200_000     # max body bytes per POST (conf.rs:125)
     timeout_s: float = 30.0
+    # POST concurrency: actor-pool size for the sender stage
+    # (conf.rs:374-377 spawns `parallel` sender tasks per sink,
+    # default 1). None = let the pool autoscale (library callers).
+    parallel: int | None = None
     backoff: BackoffPolicy = field(default_factory=BackoffPolicy)
     max_attempts: int | None = 10  # None = retry forever (daemon mode)
     content_type: str = "text/plain"
@@ -205,6 +209,7 @@ def http_conf_from_config(sink, parameters: dict | None) -> HttpSinkConf:
         batch_count=int(get("batch-count", 250)),
         batch_size=int(get("batch-size", 200_000)),
         timeout_s=parse_duration_s(get("timeout", "500s")),
+        parallel=int(getattr(sink, "parallel", 1)),
         backoff=backoff,
         keep_alive=getattr(sink, "keep_alive", True),
         keep_alive_timeout_s=(
@@ -366,7 +371,7 @@ def forward_spool(
         fn_constructor_args=(conf, delete_after_ack),
         batch_format="pyarrow",
         batch_size=None,
-        concurrency=concurrency or autoscaling_pool(),
+        concurrency=concurrency or conf.parallel or autoscaling_pool(),
     )
     t = pa.concat_tables(
         list(stats.iter_batches(batch_format="pyarrow", batch_size=None))
@@ -456,7 +461,7 @@ def forward_dataset(
         fn_constructor_args=(conf,),
         batch_format="pyarrow",
         batch_size=None,
-        concurrency=concurrency or autoscaling_pool(),
+        concurrency=concurrency or conf.parallel or autoscaling_pool(),
     )
 
 

@@ -43,10 +43,18 @@ def fetch_text(
     reference's error counter)."""
     from beamium_ray.sinks.http_forward import HttpSession
 
+    owned = session is None
     session = session or HttpSession()
-    status, body = session.request(
-        "GET", url, None, dict(headers or {}), timeout_s
-    )
+    try:
+        status, body = session.request(
+            "GET", url, None, dict(headers or {}), timeout_s
+        )
+    finally:
+        # a session we created exists only for this call — close it or
+        # its pooled keep-alive socket leaks (one per scrape on the
+        # no-session path)
+        if owned:
+            session.close()
     if not (200 <= status < 300):
         raise RuntimeError(
             f"scrape GET {url} failed with status {status}"

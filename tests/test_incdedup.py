@@ -117,11 +117,24 @@ def test_replayed_tick_is_idempotent(ray_session, tmp_path):
     man_path = inc._manifest_path
     before = json.load(open(man_path))
 
-    # simulate the crash: run tick 2, then roll the manifest back
+    # simulate the crash: tick 2 dies at the manifest promotion itself
+    # — its assign/band/doc files are on disk, the pointer still names
+    # tick 1, and tick 1's generation was NOT swept
+    import beamium_ray.state.manifest as _m
+
     batch2 = [(9, _doc(2)), (12, _doc(12))]
-    inc.tick(_ds(batch2))
-    with open(man_path, "w") as f:
-        json.dump(before, f)
+    real_write = _m.atomic_write_bytes
+
+    def boom(path, data):
+        raise OSError("simulated crash at manifest promotion")
+
+    _m.atomic_write_bytes = boom
+    try:
+        with pytest.raises(OSError):
+            inc.tick(_ds(batch2))
+    finally:
+        _m.atomic_write_bytes = real_write
+    assert json.load(open(man_path)) == before
 
     # replay tick 2 (same batch) on a fresh handle
     inc2 = IncrementalMinHashDedup(store, threshold=0.8)
@@ -288,3 +301,57 @@ def test_incremental_semantic_cross_tick_and_replay(ray_session, tmp_path):
     inc2 = IncrementalSemanticDedup(str(tmp_path / "sem"), threshold=0.999)
     out3 = _assign_dict(inc2.tick(_vec_ds([200], V[[0]]), batch_key="t3"))
     assert out3[200] == 0
+
+
+def test_empty_tick_is_noop(ray_session, tmp_path):
+    """A zero-row batch (a scraper tick that matched nothing) must not
+    wedge the store — before tick 1 AND between real ticks."""
+    inc = IncrementalMinHashDedup(str(tmp_path / "idx"))
+    assert inc.tick(_ds([])) is None  # no assignments yet
+    inc.tick(_ds([(1, _doc(1)), (2, _doc(2))]))
+    a = _assign_dict(inc.tick(_ds([])))  # empty mid-stream tick
+    assert a == {1: 1, 2: 2}
+    # and the NEXT real tick still dedups against the committed index
+    out = _assign_dict(inc.tick(_ds([(9, _doc(2))])))
+    assert out[9] == 2
+
+
+def test_empty_semantic_tick_is_noop(ray_session, tmp_path):
+    from beamium_ray.datapipe.incdedup import IncrementalSemanticDedup
+
+    V, centers = _sem_fixture(n=8, n_clusters=2)
+    inc = IncrementalSemanticDedup(
+        str(tmp_path / "sem"), centroids=centers, threshold=0.999
+    )
+    assert inc.tick(_vec_ds([], np.zeros((0, V.shape[1])))) is None
+    inc.tick(_vec_ds([0, 1], V[:2]))
+    a = _assign_dict(inc.tick(_vec_ds([], np.zeros((0, V.shape[1])))))
+    assert a == {0: 0, 1: 1}
+
+
+def test_non_power_of_two_buckets(ray_session, tmp_path):
+    """num_buckets=100 does not divide 2^64, so signed vs unsigned
+    modulo disagree for band hashes ≥ 2^63 — the write path must bucket
+    exactly like the read path or committed rows become invisible."""
+    inc = IncrementalMinHashDedup(str(tmp_path / "idx"), num_buckets=100)
+    docs1 = [(i, _doc(i)) for i in range(1, 13)]
+    inc.tick(_ds(docs1))
+    # every doc duplicated in tick 2 must find its committed partner
+    out = _assign_dict(inc.tick(_ds([(i + 100, _doc(i)) for i in range(1, 13)])))
+    for i in range(1, 13):
+        assert out[i + 100] == i, (i, out)
+
+
+def test_assign_generations_garbage_collected(ray_session, tmp_path):
+    import os
+
+    inc = IncrementalMinHashDedup(str(tmp_path / "idx"))
+    inc.tick(_ds([(1, _doc(1))]))
+    inc.tick(_ds([(2, _doc(2))]))
+    inc.tick(_ds([(3, _doc(3))]))
+    gens = sorted(
+        d for d in os.listdir(tmp_path / "idx" / "assign")
+        if d.startswith("assign-")
+    )
+    assert gens == ["assign-00003"]  # superseded generations swept
+    assert _assign_dict(inc.assignments()) == {1: 1, 2: 2, 3: 3}

@@ -508,3 +508,38 @@ def test_logging_parameters(tmp_path, capsys):
             initialize_logging(
                 {"log-file": str(tmp_path / "x.log"), "syslog": True}
             )
+
+
+def test_check_mode_rejects_non_mapping_headers(tmp_path, capsys):
+    """A headers TYPO (scalar or list instead of a mapping) must come
+    back as a -t validation message, not a Python traceback."""
+    from beamium_ray import run_multi as run_multi_mod
+
+    spool = tmp_path / "sp"
+    spool.mkdir()
+    bad = tmp_path / "b.yaml"
+    bad.write_text(
+        "scrapers:\n"
+        "  s1:\n"
+        "    url: http://127.0.0.1:1/metrics\n"
+        "    headers: oops\n"
+        "sinks:\n"
+        "  w:\n"
+        "    headers: [a, b]\n"
+    )
+    assert run_multi_mod.main(["--check", "--config", str(bad)]) == 1
+    err = capsys.readouterr().err
+    assert err.count("headers must map string names to string values") == 2
+
+
+def test_sink_parallel_wired_into_forwarder_conf():
+    """SinkConfig.parallel (conf.rs:374-377) reaches HttpSinkConf and
+    the sender-pool sizing — not a silent no-op."""
+    from beamium_ray.config import SinkConfig
+    from beamium_ray.sinks.http_forward import http_conf_from_config
+
+    sk = SinkConfig(url="http://h:1/api", parallel=7)
+    conf = http_conf_from_config(sk, {})
+    assert conf.parallel == 7
+    # default stays at the reference's 1 sender per sink
+    assert http_conf_from_config(SinkConfig(url="http://h:1/"), {}).parallel == 1
