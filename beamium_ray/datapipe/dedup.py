@@ -1617,6 +1617,75 @@ def hyperplane_bands_batch(
     )
 
 
+def _empty_pq_index(id_type) -> pa.Table:
+    return pa.table(
+        {
+            "band": pa.array([], pa.int32()),
+            "key": pa.array([], pa.int64()),
+            "doc_id": pa.array([], id_type),
+        }
+    )
+
+
+class PqCodeBands:
+    """Product-quantization CODE banding for near-dup candidates: each
+    vector's m-byte PQ code splits into ``bands`` contiguous byte
+    groups; vectors agreeing on a whole group collide. The signature
+    is data-ADAPTIVE — sub-quantizer cells follow the corpus
+    distribution, where hyperplanes are oblivious — and the codes are
+    the same artifact :func:`similarity.build_ivfpq_index` stores, so
+    a corpus indexed for search dedups without a second encode.
+
+    Recall: identical vectors ⇒ identical codes ⇒ collide in EVERY
+    band (exact copies found with certainty); near-identical pairs
+    must agree on all sub-cells of ≥1 group — tighten with more bands
+    (fewer bytes per group) or coarser sub-quantizers (smaller
+    ``k_sub``). Precision is free: every candidate is exact-cosine
+    verified downstream.
+
+    Codebooks are fetched once per worker (``ray.put`` ref)."""
+
+    def __init__(self, books_ref, vec_col: str = "embedding",
+                 id_col: str = "vec_id", bands: int = 4):
+        from beamium_ray.datapipe.similarity import PqEncode
+
+        self._enc = PqEncode(books_ref, vec_col)
+        m = self._enc.books.shape[0]
+        if m % bands:
+            raise ValueError(
+                f"pq bands={bands} must divide the code width m={m}"
+            )
+        self.id_col = id_col
+        self.bands = bands
+        self.r = m // bands  # bytes per band (≤ 8 fits an int64 key)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from beamium_ray.datapipe.similarity import _codes_from_arrow
+
+        if batch.num_rows == 0:
+            return _empty_pq_index(batch.schema.field(self.id_col).type)
+        codes = _codes_from_arrow(self._enc(batch)["pq_code"])
+        n = len(codes)
+        grp = codes.reshape(n, self.bands, self.r).astype(np.uint64)
+        keys = np.zeros((n, self.bands), np.uint64)
+        for t in range(self.r):  # loop over bytes, not rows
+            keys |= grp[:, :, t] << np.uint64(8 * t)
+        ids = batch[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        rep = np.repeat(np.arange(n, dtype=np.int64), self.bands)
+        return pa.table(
+            {
+                "band": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int32), n),
+                    pa.int32(),
+                ),
+                "key": pa.array(keys.ravel().astype(np.int64), pa.int64()),
+                "doc_id": ids.take(pa.array(rep)),
+            }
+        )
+
+
 def _vectors_for(
     ds, ids: np.ndarray, vec_col: str, id_col: str
 ) -> tuple[dict[int, int], np.ndarray]:
@@ -1652,13 +1721,31 @@ def embedding_neardup(
     distributed: bool | None = None,
     metrics: dict | None = None,
     metrics_path: str | None = None,
+    candidates: str = "lsh",
+    pq_codebooks: np.ndarray | None = None,
+    pq_m: int = 8,
+    pq_k_sub: int = 256,
+    pq_bands: int = 4,
+    pq_sample_size: int = 4096,
 ) -> pa.Table:
     """Near-dup pairs (a, b, cosine ≥ threshold), exact float64 verify.
 
-    Candidates: multi-band hyperplane LSH (actor-pool stage — plane
-    matrix generated once per actor), all-pairs per (band, key) bucket
-    with ``bucket_cap`` star-fallback, deduped via a pair-bucketed
-    groupby (``candidate_pair_ds`` — never on the driver).
+    Candidates, two generators sharing the same pair routing + verify:
+
+    - ``candidates="lsh"`` (default): multi-band hyperplane LSH
+      (actor-pool stage — plane matrix generated once per actor).
+    - ``candidates="pq"``: product-quantization CODE banding
+      (:class:`PqCodeBands`) — train ``pq_m``×``pq_k_sub`` codebooks
+      from a bounded sample (or pass ``pq_codebooks``, e.g. from an
+      existing :func:`similarity.build_ivfpq_index`), band the m-byte
+      codes into ``pq_bands`` groups. The scale path above hyperplane
+      LSH: the signature adapts to the corpus, exact copies collide in
+      every band, and the per-vector signature is m bytes — a corpus
+      already PQ-encoded for search reuses its codes.
+
+    Either way: all-pairs per (band, key) bucket with ``bucket_cap``
+    star-fallback, deduped via a pair-bucketed groupby
+    (``candidate_pair_ds`` — never on the driver).
 
     Verification routes mirror ``minhash_dedup``: ≤
     ``max_broadcast_pairs`` distinct pairs → driver verify against
@@ -1670,17 +1757,53 @@ def embedding_neardup(
     """
     from beamium_ray.functions.cluster import cached_stage
 
-    # plain tasks + per-worker-process instance cache: the plane matrix
-    # still generates once per worker, with none of the per-execution
-    # actor-pool spin-up (measured ~2 s/query at sf0.1 — the round-3
-    # regression's main term)
-    band_rows = ds.map_batches(
-        cached_stage(
-            HyperplaneBands, vec_col, id_col, bands, planes_per_band, seed
-        ),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
+    if candidates == "pq":
+        import ray
+
+        from beamium_ray.datapipe.similarity import (
+            _block_head_sample, train_pq_codebooks,
+        )
+
+        # 3 passes over ds (codebook sample, banding, verify fetch) —
+        # materialize once instead of re-executing the upstream
+        ds = ds.materialize()
+        books = (
+            np.asarray(pq_codebooks, dtype=np.float64)
+            if pq_codebooks is not None
+            else train_pq_codebooks(
+                _block_head_sample(ds, vec_col, pq_sample_size),
+                pq_m, pq_k_sub, seed,
+            )
+        )
+        if books.shape[0] % pq_bands:
+            # fail on the driver, not as a RayTaskError mid-execution
+            raise ValueError(
+                f"pq_bands={pq_bands} must divide the code width "
+                f"m={books.shape[0]}"
+            )
+        bref = ray.put(books)
+        band_rows = ds.map_batches(
+            cached_stage(PqCodeBands, bref, vec_col, id_col, pq_bands),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    elif candidates == "lsh":
+        # plain tasks + per-worker-process instance cache: the plane
+        # matrix still generates once per worker, with none of the
+        # per-execution actor-pool spin-up (measured ~2 s/query at
+        # sf0.1 — the round-3 regression's main term)
+        band_rows = ds.map_batches(
+            cached_stage(
+                HyperplaneBands, vec_col, id_col, bands, planes_per_band,
+                seed,
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    else:
+        raise ValueError(
+            f"candidates must be 'lsh' or 'pq', got {candidates!r}"
+        )
     pairs, n_pairs, n_star, distributed = _routed_pairs(
         band_rows,
         ["band", "key"],
@@ -1696,8 +1819,9 @@ def embedding_neardup(
         distributed, num_partitions,
     )
     _record_metrics(
-        metrics, metrics_path, path=path, candidate_pairs=n_pairs,
-        star_pairs=n_star, verified_pairs=int(out.num_rows),
+        metrics, metrics_path, path=path, candidates=candidates,
+        candidate_pairs=n_pairs, star_pairs=n_star,
+        verified_pairs=int(out.num_rows),
     )
     return out
 

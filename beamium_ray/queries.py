@@ -1156,11 +1156,15 @@ def embedding_neardup_embeddings(sf_dir: str):
     """Cosine near-dup over the embeddings table AUGMENTED in-pipeline
     with exact copies (vec_id+1e6 for vec_id%10==0) so the operator has
     real positives to find (raw testdata has max pairwise cos ≈ 0.51 «
-    τ=0.95). BOTH verify routes in one gate entry: the size-routed
-    default (driver verify at toy scale) and the forced DISTRIBUTED
-    path (Bloom-pruned pair↔vector bucket join; vectors never collected
-    to the driver). The oracle recomputes ALL pairwise cosines over the
-    same augmented set — it assumes nothing about which pairs match."""
+    τ=0.95). THREE arms in one gate entry: the size-routed default
+    (driver verify at toy scale), the forced DISTRIBUTED path
+    (Bloom-pruned pair↔vector bucket join; vectors never collected to
+    the driver), and the PQ-CODE candidate generator (trained
+    sub-quantizer banding — exact copies share every code byte, so the
+    planted pairs collide with certainty; every candidate is
+    exact-cosine verified). The oracle recomputes ALL pairwise cosines
+    over the same augmented set — it assumes nothing about which pairs
+    match or how candidates were generated."""
     from beamium_ray.datapipe.dedup import embedding_neardup
 
     def plant(b: pa.Table) -> pa.Table:
@@ -1181,8 +1185,15 @@ def embedding_neardup_embeddings(sf_dir: str):
     dist = embedding_neardup(
         ds, threshold=0.95, distributed=True
     ).select(["a", "b"])
+    pq_arm = embedding_neardup(
+        ds, threshold=0.95, candidates="pq"
+    ).select(["a", "b"])
     return _union(
-        [_tag(auto, "route", "auto"), _tag(dist, "route", "distributed")]
+        [
+            _tag(auto, "route", "auto"),
+            _tag(dist, "route", "distributed"),
+            _tag(pq_arm, "route", "pq"),
+        ]
     )
 
 
@@ -2039,7 +2050,7 @@ FROM aug x JOIN aug y ON x.vec_id < y.vec_id
 WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
                              CAST(y.embedding AS DOUBLE[])) >= 0.95
 )"""
-        for route in ("auto", "distributed")
+        for route in ("auto", "distributed", "pq")
     ),
     "dedup_simhash_docs": _gen.simhash_pairs_sql(max_dist=3),
     "dedup_minhash_docs": "\nUNION ALL\n".join(

@@ -114,3 +114,96 @@ def test_ivfpq_in_memory_matches_persisted(ray_session, tmp_path):
     b = ivfpq_search(disk_idx, q, k=5, nprobe=8, shortlist=32)
     assert a["vec_id"].to_pylist() == b["vec_id"].to_pylist()
     assert a["cosine"].to_pylist() == b["cosine"].to_pylist()
+
+
+def _vec_table(ids, V):
+    return pa.table(
+        {
+            "vec_id": pa.array(np.asarray(ids, np.int64), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in V]),
+        }
+    )
+
+
+def test_pq_code_bands_batch_shape_and_certainty():
+    """Identical vectors get identical codes → collide in EVERY band;
+    band/key rows carry int64 keys packed from the code bytes."""
+    from beamium_ray.datapipe.dedup import PqCodeBands
+
+    rng = np.random.default_rng(5)
+    V = rng.normal(size=(6, 32))
+    V[3] = V[0]  # exact copy
+    books = train_pq_codebooks(V, m=8, k_sub=16, seed=2)
+    stage = PqCodeBands(books, "embedding", "vec_id", bands=4)
+    t = stage(_vec_table(range(6), V))
+    assert t.column_names == ["band", "key", "doc_id"]
+    assert t.num_rows == 6 * 4
+    assert t["key"].type == pa.int64()
+    keys = np.asarray(t["key"].to_pylist()).reshape(6, 4)
+    assert np.array_equal(keys[0], keys[3])  # all 4 bands agree
+    # empty block keeps the schema (int64 key, not the LSH int32)
+    e = stage(_vec_table([], np.zeros((0, 32))))
+    assert e.num_rows == 0 and e["key"].type == pa.int64()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="divide"):
+        PqCodeBands(books, "embedding", "vec_id", bands=3)
+
+
+def test_embedding_neardup_pq_route(ray_session):
+    """PQ-code candidates + exact verify find planted exact copies
+    (certainty) and match the LSH route output; both driver and
+    distributed pair routes."""
+    import ray.data
+
+    from beamium_ray.datapipe.dedup import embedding_neardup
+
+    rng = np.random.default_rng(7)
+    V = rng.normal(size=(300, 32))
+    ids = np.arange(300)
+    V2 = np.concatenate([V, V[:15]])
+    ids2 = np.concatenate([ids, np.arange(1000, 1015)])
+    ds = ray.data.from_arrow(_vec_table(ids2, V2))
+
+    m: dict = {}
+    out = embedding_neardup(ds, threshold=0.95, candidates="pq", metrics=m)
+    got = set(zip(out["a"].to_pylist(), out["b"].to_pylist()))
+    assert got == {(i, 1000 + i) for i in range(15)}
+    assert m["candidates"] == "pq" and m["verified_pairs"] == 15
+
+    lsh = embedding_neardup(ds, threshold=0.95, candidates="lsh")
+    assert got == set(zip(lsh["a"].to_pylist(), lsh["b"].to_pylist()))
+
+    dist = embedding_neardup(
+        ds, threshold=0.95, candidates="pq", distributed=True
+    )
+    assert got == set(zip(dist["a"].to_pylist(), dist["b"].to_pylist()))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="candidates"):
+        embedding_neardup(ds, candidates="simhash")
+    with pytest.raises(ValueError, match="pq_bands"):
+        embedding_neardup(ds, candidates="pq", pq_bands=3)
+
+
+def test_embedding_neardup_pq_reuses_search_codebooks(ray_session):
+    """A corpus indexed for IVF-PQ search dedups with the SAME
+    codebooks (no second training pass)."""
+    import ray.data
+
+    from beamium_ray.datapipe.dedup import embedding_neardup
+
+    t, V, _ = _clustered_corpus()
+    dup = _vec_table([9000], V[[7]])
+    full = pa.concat_tables(
+        [t.select(["vec_id", "embedding"]), dup]
+    )
+    ds = ray.data.from_arrow(full)
+    idx = build_ivfpq_index(ds, n_lists=8, m=8, k_sub=16)
+    out = embedding_neardup(
+        ds, threshold=0.999, candidates="pq", pq_codebooks=idx.codebooks
+    )
+    pairs = set(zip(out["a"].to_pylist(), out["b"].to_pylist()))
+    assert (7, 9000) in pairs
