@@ -198,3 +198,188 @@ def assign_splits(
         return batch.append_column("split", pa.array(labels, pa.string()))
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+# like SAMPLE_SALT: pi-hex-derived, kept < 2^63 so the DuckDB oracle
+# can embed them as plain integer literals
+CAP_SALT = 0x3EB5466CF34E90C6
+SHUFFLE_SALT = 0x5DDC0AC29B7C97C5
+
+
+def cap_per_key(
+    ds,
+    key_col: str = "source",
+    cap: int = 100,
+    id_col: str = "doc_id",
+    salt: int = CAP_SALT,
+    num_partitions: int | None = None,
+):
+    """Keep at most ``cap`` docs per ``key_col`` value (domain caps —
+    the standard web-corpus balancing step: no single site dominates
+    the training mix). Deterministic: within each key, docs rank by
+    ``(splitmix64(id ^ salt), id)`` and the first ``cap`` survive — a
+    salted-hash lottery, reproducible across runs and cluster sizes.
+
+    Scale shape: the payload NEVER shuffles. Pass 1 sends only narrow
+    ``(key, h, id)`` rows through one groupby and reduces each key to
+    its cap-th smallest (h, id) pair — the per-key admission THRESHOLD.
+    The threshold table is driver-sized by contract (one row per
+    distinct key that exceeds the cap: domains/sources, not docs —
+    same contract as drop_boilerplate's frequent set). Pass 2
+    broadcasts the map once and filters as a pure map stage: keep iff
+    (h, id) ≤ the key's threshold.
+    """
+    import ray
+
+    if cap <= 0:
+        raise ValueError(f"cap must be positive, got {cap}")
+
+    def narrow(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = splitmix64(ids.astype(np.uint64) ^ np.uint64(salt))
+        return pa.table(
+            {
+                key_col: t[key_col],
+                "h": pa.array(h.astype(np.int64), pa.int64()),
+                id_col: pa.array(ids, pa.int64()),
+            }
+        )
+
+    def threshold(g: pa.Table) -> pa.Table:
+        if g.num_rows <= cap:  # whole key survives → no threshold row
+            return pa.table(
+                {
+                    key_col: g[key_col].slice(0, 0),
+                    "thr_h": pa.array([], pa.int64()),
+                    "thr_id": pa.array([], pa.int64()),
+                }
+            )
+        h = g["h"].to_numpy().astype(np.uint64)
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((ids, h))
+        at = order[cap - 1]
+        return pa.table(
+            {
+                key_col: g[key_col].slice(0, 1),
+                "thr_h": pa.array([int(np.int64(h[at]))], pa.int64()),
+                "thr_id": pa.array([int(ids[at])], pa.int64()),
+            }
+        )
+
+    thr_rows = list(
+        ds.map_batches(narrow, batch_format="pyarrow", batch_size=None)
+        .groupby(key_col)
+        .map_groups(threshold, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    thr: dict = {}
+    for t in thr_rows:
+        for k, th, ti in zip(
+            t[key_col].to_pylist(), t["thr_h"].to_pylist(),
+            t["thr_id"].to_pylist(),
+        ):
+            thr[k] = (np.uint64(np.int64(th)), ti)
+    tref = ray.put(thr)
+
+    def keep(batch: pa.Table, _t=tref) -> pa.Table:
+        import ray as _ray
+
+        tm = _ray.get(_t)
+        if batch.num_rows == 0 or not tm:
+            return batch
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h = splitmix64(ids.astype(np.uint64) ^ np.uint64(salt))
+        kc = batch[key_col]
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        d = kc.dictionary_encode()
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        uniq = d.dictionary.to_pylist()  # distinct keys per block, not rows
+        idx = d.indices.to_numpy(zero_copy_only=False)
+        m = np.ones(batch.num_rows, dtype=bool)
+        for u, kv in enumerate(uniq):
+            if kv in tm:
+                th, ti = tm[kv]
+                rows = idx == u
+                hk = h[rows]
+                m[rows] = (hk < th) | ((hk == th) & (ids[rows] <= ti))
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+def shuffle_order(
+    ds,
+    id_col: str = "doc_id",
+    salt: int = SHUFFLE_SALT,
+    num_buckets: int | None = None,
+):
+    """Dataset of ``(id, shuffle_pos)`` — the DETERMINISTIC global
+    training-order permutation: rank every id by
+    ``(splitmix64(id ^ salt), id)``. The last step of a training-data
+    pipeline needs a global shuffle; a salted-hash rank makes it
+    reproducible (same salt → same order on any cluster size),
+    resumable (a re-run re-derives identical positions), and
+    oracle-checkable — where ``ds.random_shuffle()`` is none of these.
+
+    Scale shape (same distributed prefix-sum as ``pack_offsets``):
+    narrow ``(id, h)`` rows range-bucket on h's top bits, per-bucket
+    counts prefix-sum on the driver (B integers), then one groupby
+    ranks within buckets and adds the bucket base. Payload columns
+    never move; consumers either join positions back by id or write
+    output partitioned by ``shuffle_pos // rows_per_shard``."""
+    from beamium_ray.functions.cluster import default_partitions
+
+    B = 1 << max(int(num_buckets or default_partitions()) - 1, 1).bit_length()
+    shift = np.uint64(64 - int(B).bit_length() + 1)
+
+    def narrow(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = splitmix64(ids.astype(np.uint64) ^ np.uint64(salt))
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "h": pa.array(h.astype(np.int64), pa.int64()),
+                "_bkt": pa.array((h >> shift).astype(np.int64), pa.int64()),
+            }
+        )
+
+    tagged = ds.map_batches(
+        narrow, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    counts = {
+        r["_bkt"]: r["count()"]
+        for r in tagged.groupby("_bkt").count().take_all()
+    }
+    base = {}
+    acc = 0
+    for k in sorted(counts):
+        base[k] = acc
+        acc += int(counts[k])
+
+    empty = pa.table(
+        {
+            id_col: pa.array([], pa.int64()),
+            "shuffle_pos": pa.array([], pa.int64()),
+        }
+    )
+
+    def rank(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:  # hash-shuffle groupbys emit empty blocks
+            return empty
+        ids = g[id_col].to_numpy()
+        h = g["h"].to_numpy().astype(np.uint64)
+        order = np.lexsort((ids, h))
+        pos = np.empty(len(ids), np.int64)
+        pos[order] = base[int(g["_bkt"][0].as_py())] + np.arange(
+            len(ids), dtype=np.int64
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "shuffle_pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    return tagged.groupby("_bkt").map_groups(rank, batch_format="pyarrow")

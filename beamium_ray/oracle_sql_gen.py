@@ -841,6 +841,50 @@ CMS_SALTS_SQL = (
 )
 SAMPLE_SALT_SQL = 0x452821E638D01377
 SPLIT_SALT_SQL = 0x38D01377452821E6
+CAP_SALT_SQL = 0x3EB5466CF34E90C6
+SHUFFLE_SALT_SQL = 0x5DDC0AC29B7C97C5
+
+
+def cap_per_key_sql(
+    cap: int = 10, table: str = "documents", key: str = "source"
+) -> str:
+    """Exact SQL recomputation of per-key document caps
+    (datapipe/sample.py cap_per_key): within each key, rank rows by
+    (splitmix64(doc_id ^ CAP_SALT), doc_id) and keep rank ≤ cap."""
+    smx, final = splitmix_cte_steps("sin", "x", "h", f"doc_id, {key}", "sm")
+    return f"""
+WITH sin AS (
+  SELECT doc_id, {key},
+         CAST(xor(CAST(doc_id AS UBIGINT),
+                  CAST({CAP_SALT_SQL} AS UBIGINT)) AS HUGEINT) AS x
+  FROM {table}
+),{smx},
+ranked AS (
+  SELECT doc_id, {key},
+         row_number() OVER (PARTITION BY {key} ORDER BY h, doc_id) AS rn
+  FROM {final}
+)
+SELECT doc_id, {key} FROM ranked WHERE rn <= {cap}
+"""
+
+
+def shuffle_order_sql(table: str = "documents") -> str:
+    """Exact SQL recomputation of the deterministic global shuffle
+    rank (datapipe/sample.py shuffle_order): position = dense rank of
+    (splitmix64(doc_id ^ SHUFFLE_SALT), doc_id), zero-based."""
+    smx, final = splitmix_cte_steps("sin", "x", "h", "doc_id", "sm")
+    return f"""
+WITH sin AS (
+  SELECT doc_id,
+         CAST(xor(CAST(doc_id AS UBIGINT),
+                  CAST({SHUFFLE_SALT_SQL} AS UBIGINT)) AS HUGEINT) AS x
+  FROM {table}
+),{smx}
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT)
+         AS shuffle_pos
+FROM {final}
+"""
 
 
 def cms_cells_sql(table: str = "events", key: str = "user_id",

@@ -36,6 +36,12 @@ Stage registry (each maps to a gate-verified operator):
                     n_merges, keep_text)
   truncate          context-length shaping over the tokens column
                     (packing.truncate_sequences; min_len, max_len)
+  cap_per_key       keep at most `cap` docs per key value (domain
+                    caps — sample.cap_per_key; key_col, cap)
+  shuffle           deterministic global training-order shuffle:
+                    sort by splitmix64(id ^ salt) — reproducible on
+                    any cluster size, unlike random_shuffle()
+                    (sample.SHUFFLE_SALT default; params: salt)
   pack              TERMINAL stage: concat tokens in id order and cut
                     into seq_len-token training sequences
                     (packing.emit_packed_rows; seq_len) — output rows
@@ -59,7 +65,7 @@ VALID_STAGES = {
     "quality_filter", "drop_boilerplate", "decontaminate",
     "dedup_exact", "dedup_minhash", "dedup_semantic", "sample",
     "mixture_sample", "assign_splits", "redact_pii", "tokenize",
-    "truncate", "pack",
+    "truncate", "pack", "cap_per_key", "shuffle",
 }
 
 
@@ -399,6 +405,42 @@ def build_clean_pipeline(cfg: CleanConfig):
                 batch_format="pyarrow",
                 batch_size=None,
             )
+        elif name == "cap_per_key":
+            from beamium_ray.datapipe.sample import cap_per_key
+
+            ds = cap_per_key(
+                ds,
+                key_col=params.get("key_col", "source"),
+                cap=int(params.get("cap", 100)),
+                id_col=cfg.id_col,
+            )
+        elif name == "shuffle":
+            import pyarrow as pa
+
+            from beamium_ray.datapipe.sample import SHUFFLE_SALT
+
+            salt = int(params.get("salt", SHUFFLE_SALT))
+
+            def add_key(b: pa.Table, _s=salt) -> pa.Table:
+                ids = b[cfg.id_col].to_numpy(zero_copy_only=False)
+                h = _smx(ids.astype(np.uint64) ^ np.uint64(_s))
+                # sign-bit flip keeps the UNSIGNED hash order in int64
+                # space, so this order equals sample.shuffle_order's
+                return b.append_column(
+                    "_sk",
+                    pa.array(
+                        (h ^ np.uint64(1 << 63)).astype(np.int64),
+                        pa.int64(),
+                    ),
+                )
+
+            # the one deliberate all-to-all: a training corpus ships
+            # globally shuffled; the salted-hash key keeps the order
+            # deterministic and resumable (sample.shuffle_order is the
+            # narrow rank-only variant when payloads must not move)
+            ds = ds.map_batches(
+                add_key, batch_format="pyarrow", batch_size=None
+            ).sort(["_sk", cfg.id_col]).drop_columns(["_sk"])
         elif name == "truncate":
             from beamium_ray.datapipe.packing import truncate_sequences
 

@@ -498,6 +498,39 @@ def sampling_docs(sf_dir: str):
     return _union([_tag(sampled, "q", "sample"), _tag(splits, "q", "split")])
 
 
+def cap_shuffle_docs(sf_dir: str):
+    """Per-key document caps + the deterministic global shuffle rank in
+    one entry. q='cap': survivors of cap_per_key(source, cap=10) with
+    v=source — 500 docs → 200, so the per-key (h, id) admission
+    threshold genuinely drops rows; the payload never shuffles (narrow
+    threshold groupby + broadcast filter). q='shuffle': v=str of each
+    doc's global training-order position — the salted-hash permutation
+    ranked by the distributed prefix-sum (pack_offsets' shape), the
+    reproducible replacement for random_shuffle(). The oracle replays
+    both as window functions over the same splitmix64 draws."""
+    from beamium_ray.datapipe.sample import cap_per_key, shuffle_order
+
+    capped = cap_per_key(
+        _read(sf_dir, "documents", ["doc_id", "source"]),
+        key_col="source", cap=10, id_col="doc_id",
+    ).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "v": t["source"]}),
+        batch_format="pyarrow", batch_size=None,
+    )
+    pos = shuffle_order(
+        _read(sf_dir, "documents", ["doc_id"]), id_col="doc_id"
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "v": pc.cast(t["shuffle_pos"], pa.string()),
+            }
+        ),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return _union([_tag(capped, "q", "cap"), _tag(pos, "q", "shuffle")])
+
+
 def mixture_sample_docs(sf_dir: str):
     """Temperature-2 mixture sampling (the multilingual data-mixing
     recipe) over the DERIVED sequence table, whose source mix is
@@ -2070,6 +2103,13 @@ FROM ({_gen.hash_sample_sql(rates_ppm=SAMPLE_RATES_PPM)})
 UNION ALL
 SELECT 'split', doc_id, split AS v FROM ({_gen.assign_splits_sql()})
 """,
+    "cap_shuffle_docs": f"""
+SELECT 'cap' AS q, doc_id, source AS v
+FROM ({_gen.cap_per_key_sql(cap=10)})
+UNION ALL
+SELECT 'shuffle', doc_id, CAST(shuffle_pos AS VARCHAR) AS v
+FROM ({_gen.shuffle_order_sql()})
+""",
     "mixture_sample_docs": _gen.mixture_sample_sql(),
     "token_histogram_docs": _gen.token_histogram_sql(),
     "dedup_tokens_docs": _gen.dedup_tokens_sql(),
@@ -2417,6 +2457,7 @@ QUERIES = {
     "doc_quality_docs": doc_quality_docs,
     "doc_signals_docs": doc_signals_docs,
     "sampling_docs": sampling_docs,
+    "cap_shuffle_docs": cap_shuffle_docs,
     "mixture_sample_docs": mixture_sample_docs,
     "decontaminate_docs": decontaminate_docs,
     "redact_pii_docs": redact_pii_docs,

@@ -145,6 +145,7 @@ QUERY_NAMES = [
     "doc_quality_docs",
     "doc_signals_docs",
     "sampling_docs",
+    "cap_shuffle_docs",
     "mixture_sample_docs",
     "decontaminate_docs",
     "redact_pii_docs",

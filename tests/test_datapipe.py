@@ -1750,3 +1750,124 @@ def test_run_clean_tokenize_truncate_pack(ray_session, tmp_path):
             input=str(src), output=str(out),
             stages=[{"assign_splits": None}, {"pack": None}],
         ).validate()
+
+
+def test_cap_per_key_threshold_semantics(ray_session):
+    """cap_per_key keeps exactly the cap lowest (h, id) docs per key,
+    leaves under-cap keys untouched, and never ships the payload."""
+    import ray.data
+
+    from beamium_ray.datapipe.sample import CAP_SALT, cap_per_key
+    from beamium_ray.functions.hashing import splitmix64
+
+    n = 900
+    ids = np.arange(n, dtype=np.int64)
+    keys = np.where(ids < 600, "hot", np.where(ids < 880, "warm", "tiny"))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "source": pa.array(keys.tolist()),
+                "text": pa.array(["payload"] * n),
+            }
+        )
+    )
+    out = pa.concat_tables(
+        list(
+            cap_per_key(ds, key_col="source", cap=100, id_col="doc_id")
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    )
+    h = splitmix64(ids.astype(np.uint64) ^ np.uint64(CAP_SALT))
+    want: set = set()
+    for k in ("hot", "warm", "tiny"):
+        rows = np.flatnonzero(keys == k)
+        order = rows[np.lexsort((ids[rows], h[rows]))]
+        want |= set(ids[order[:100]].tolist())
+    assert set(out["doc_id"].to_pylist()) == want
+    from collections import Counter
+
+    c = Counter(out["source"].to_pylist())
+    assert c == {"hot": 100, "warm": 100, "tiny": 20}
+    # other columns pass through
+    assert set(out.column_names) == {"doc_id", "source", "text"}
+    with pytest.raises(ValueError, match="cap"):
+        cap_per_key(ds, cap=0)
+
+
+def test_shuffle_order_global_rank(ray_session):
+    """shuffle_order emits a 0..n-1 permutation equal to the lexsort
+    rank of (splitmix64(id ^ salt), id), across bucket counts."""
+    import ray.data
+
+    from beamium_ray.datapipe.sample import SHUFFLE_SALT, shuffle_order
+    from beamium_ray.functions.hashing import splitmix64
+
+    ids = np.arange(777, dtype=np.int64) * 13 + 5  # sparse, unordered ids
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+    h = splitmix64(ids.astype(np.uint64) ^ np.uint64(SHUFFLE_SALT))
+    order = np.lexsort((ids, h))
+    want = dict(zip(ids[order].tolist(), range(len(ids))))
+    for nb in (2, 7, 32):
+        out = pa.concat_tables(
+            list(
+                shuffle_order(ds, id_col="doc_id", num_buckets=nb)
+                .iter_batches(batch_format="pyarrow", batch_size=None)
+            )
+        )
+        got = dict(
+            zip(out["doc_id"].to_pylist(), out["shuffle_pos"].to_pylist())
+        )
+        assert got == want, nb
+
+
+def test_run_clean_cap_and_shuffle_stages(ray_session, tmp_path):
+    """cap_per_key and shuffle compose in the cleaning CLI: caps apply
+    per source, and the output order is the deterministic salted-hash
+    permutation (matching sample.shuffle_order)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from beamium_ray.datapipe.sample import SHUFFLE_SALT
+    from beamium_ray.functions.hashing import splitmix64
+    from beamium_ray.pipelines.clean import CleanConfig, run_clean
+
+    n = 40
+    ids = np.arange(n, dtype=np.int64)
+    docs = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "text": pa.array(
+                [" ".join(f"word{i}x{j}" for j in range(25)) for i in ids]
+            ),
+            "source": pa.array((["a"] * 30) + (["b"] * 10)),
+        }
+    )
+    inp, out = tmp_path / "in", tmp_path / "out"
+    os.makedirs(inp)
+    pq.write_table(docs, f"{inp}/part.parquet")
+    res = run_clean(
+        CleanConfig(
+            input=str(inp),
+            output=str(out),
+            stages=[
+                {"cap_per_key": {"key_col": "source", "cap": 12}},
+                {"shuffle": None},
+            ],
+        )
+    )
+    assert res["rows_out"] == 22  # a capped to 12, b kept whole (10)
+    got = ray.data.read_parquet(str(out)).to_pandas()
+    assert got["source"].value_counts().to_dict() == {"a": 12, "b": 10}
+    # each written file holds one sorted block: rows inside a file
+    # must follow the salted-hash (shuffle_order) permutation
+    files = sorted(
+        f for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    assert files
+    for f in files:
+        ids_f = pq.read_table(os.path.join(out, f))["doc_id"].to_numpy()
+        h = splitmix64(ids_f.astype(np.uint64) ^ np.uint64(SHUFFLE_SALT))
+        assert np.all(h[:-1] <= h[1:]), f
