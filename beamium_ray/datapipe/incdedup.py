@@ -649,3 +649,156 @@ class IncrementalSemanticDedup(_IncrementalDedupBase):
         return self._commit_tick(
             tick, new_id_set, edges_a, edges_b, write_store, batch_key
         )
+
+
+class IncrementalExactDedup(_IncrementalDedupBase):
+    """Exact (128-bit content-hash) dedup across watch ticks — the
+    incremental sibling of ``exact_dedup(mode="hash128")`` and the
+    cheapest member of the family: 128-bit equality needs no text
+    verification, so the durable store holds ONLY narrow
+    ``hashes/bkt=<h1 % B>/tick-<n>.parquet`` rows of (h1, h2, doc_id),
+    deduped to one representative per distinct text per tick (~24 B
+    per distinct text — no payload store at all).
+
+    Per tick: hash the new docs (distributed map; the text never
+    leaves the mappers), read back only the TOUCHED hash buckets,
+    connect every (h1, h2) group that contains a new doc to its min
+    id, and run the shared committed-root merge. Same assignment/
+    manifest semantics as the minhash store."""
+
+    def __init__(
+        self,
+        store_dir: str,
+        *,
+        num_buckets: int = 64,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        super().__init__(store_dir, id_col)
+        self.B = num_buckets
+        self.text_col = text_col
+
+    def _read_hash_rows(self, buckets: set[int]) -> pa.Table:
+        empty = pa.table(
+            {
+                "h1": pa.array([], pa.int64()),
+                "h2": pa.array([], pa.int64()),
+                self.id_col: pa.array([], pa.int64()),
+            }
+        )
+        tables = [empty]
+        for b in sorted(buckets):
+            d = os.path.join(self.dir, "hashes", f"bkt={b}")
+            if not os.path.isdir(d):
+                continue
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".parquet"):
+                    tables.append(pq.read_table(os.path.join(d, f)))
+        return pa.concat_tables(tables)
+
+    def tick(self, new_ds, batch_key: str | None = None):
+        """Fold one batch of new documents in; returns the updated full
+        (doc_id, cluster) assignment Dataset (cluster = min id over all
+        docs, committed or new, with byte-identical text)."""
+        from beamium_ray.functions.hashing import hash64
+
+        man = self._manifest()
+        if batch_key is not None and man.get("last_batch") == batch_key:
+            return self.assignments()  # committed replay → no-op
+        tick = man["tick"] + 1
+        mat = new_ds.materialize()
+        if mat.count() == 0:
+            return self.assignments()  # empty batch → no-op
+
+        def hashes(b: pa.Table) -> pa.Table:
+            txt = b[self.text_col].combine_chunks() if isinstance(
+                b[self.text_col], pa.ChunkedArray
+            ) else b[self.text_col]
+            return pa.table(
+                {
+                    "h1": pa.array(
+                        hash64(txt, seed=42).astype(np.int64), pa.int64()
+                    ),
+                    "h2": pa.array(
+                        hash64(txt, seed=1337).astype(np.int64), pa.int64()
+                    ),
+                    self.id_col: pc.cast(b[self.id_col], pa.int64()),
+                }
+            )
+
+        new_rows = pa.concat_tables(
+            list(
+                mat.map_batches(
+                    hashes, batch_format="pyarrow", batch_size=None
+                ).iter_batches(batch_format="pyarrow", batch_size=None)
+            )
+        )
+        nh1 = new_rows["h1"].to_numpy().astype(np.uint64)
+        nh2 = new_rows["h2"].to_numpy().astype(np.uint64)
+        n_ids = new_rows[self.id_col].to_numpy()
+        new_id_set = set(n_ids.tolist())
+
+        touched = {int(h) % self.B for h in nh1.tolist()}
+        old_rows = self._read_hash_rows(touched)
+        oh1 = old_rows["h1"].to_numpy().astype(np.uint64)
+        oh2 = old_rows["h2"].to_numpy().astype(np.uint64)
+        o_ids = old_rows[self.id_col].to_numpy()
+
+        h1 = np.concatenate([nh1, oh1])
+        h2 = np.concatenate([nh2, oh2])
+        ids = np.concatenate([n_ids, o_ids]).astype(np.int64)
+        is_new = np.concatenate(
+            [np.ones(len(n_ids), bool), np.zeros(len(o_ids), bool)]
+        )
+        order = np.lexsort((ids, h2, h1))
+        h1s, h2s, ids_s, new_s = h1[order], h2[order], ids[order], is_new[order]
+        bound = np.concatenate(
+            ([True], (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1]))
+        )
+        grp = np.cumsum(bound) - 1
+        n_grp = int(grp[-1]) + 1 if len(grp) else 0
+        # per-group min id (ids_s ascending within group) + has-new flag
+        starts = np.flatnonzero(bound)
+        gmin = ids_s[starts]
+        has_new = np.zeros(n_grp, bool)
+        np.logical_or.at(has_new, grp, new_s)
+        keep = has_new[grp] & (ids_s != gmin[grp])
+        edges_a = ids_s[keep].tolist()
+        edges_b = gmin[grp][keep].tolist()
+
+        def write_store(t: int) -> None:
+            # one representative row per distinct NEW text (the group
+            # min over this batch's rows) — the store stays O(distinct)
+            norder = np.lexsort((n_ids, nh2, nh1))
+            nb = np.concatenate(
+                (
+                    [True],
+                    (nh1[norder][1:] != nh1[norder][:-1])
+                    | (nh2[norder][1:] != nh2[norder][:-1]),
+                )
+            ) if len(norder) else np.zeros(0, bool)
+            reps = norder[np.flatnonzero(nb)]
+            rh1, rh2, rid = nh1[reps], nh2[reps], n_ids[reps]
+            for b in sorted({int(h) % self.B for h in rh1.tolist()}):
+                sel = (rh1 % np.uint64(self.B)).astype(np.int64) == b
+                _atomic_write_table(
+                    pa.table(
+                        {
+                            "h1": pa.array(
+                                rh1[sel].astype(np.int64), pa.int64()
+                            ),
+                            "h2": pa.array(
+                                rh2[sel].astype(np.int64), pa.int64()
+                            ),
+                            self.id_col: pa.array(rid[sel], pa.int64()),
+                        }
+                    ),
+                    os.path.join(
+                        self.dir, "hashes", f"bkt={b}",
+                        f"tick-{t:05d}.parquet",
+                    ),
+                )
+
+        return self._commit_tick(
+            tick, new_id_set, edges_a, edges_b, write_store, batch_key
+        )

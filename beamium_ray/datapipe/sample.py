@@ -266,14 +266,22 @@ def cap_per_key(
             }
         )
 
-    thr_rows = list(
-        ds.map_batches(narrow, batch_format="pyarrow", batch_size=None)
-        .groupby(key_col)
-        .map_groups(threshold, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow", batch_size=None)
-    )
+    narrowed = ds.map_batches(
+        narrow, batch_format="pyarrow", batch_size=None
+    ).groupby(key_col).map_groups(threshold, batch_format="pyarrow")
+    return _threshold_filter(ds, narrowed, key_col, id_col, salt)
+
+
+def _threshold_filter(ds, thr_ds, key_col: str, id_col: str, salt: int):
+    """Shared pass 2 of the per-key admission family: collect the
+    driver-sized (key, thr_h, thr_id) table, broadcast it once, keep a
+    row iff its (h, id) ≤ its key's threshold (keys absent from the
+    table keep everything). The payload only moves through this one
+    pure map stage."""
+    import ray
+
     thr: dict = {}
-    for t in thr_rows:
+    for t in thr_ds.iter_batches(batch_format="pyarrow", batch_size=None):
         for k, th, ti in zip(
             t[key_col].to_pylist(), t["thr_h"].to_pylist(),
             t["thr_id"].to_pylist(),
@@ -307,6 +315,84 @@ def cap_per_key(
         return batch.filter(pa.array(m))
 
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+def token_budget_per_key(
+    ds,
+    key_col: str = "source",
+    budget: int = 1_000_000,
+    count_col: str = "n_tok",
+    id_col: str = "doc_id",
+    salt: int = CAP_SALT,
+):
+    """Keep docs per key, in salted-hash order, until the key's
+    cumulative ``count_col`` would exceed ``budget`` — data mixing by
+    TOKEN budget instead of doc count (the cap_per_key generalization:
+    "give each source at most N tokens", the unit mixture recipes are
+    written in). A doc is admitted iff the running sum INCLUDING it is
+    ≤ budget; the doc that crosses the line and everything after it
+    (in hash order) drop. Deterministic, reproducible, and exactly
+    SQL-replayable as a window sum over the same draws.
+
+    Same two-pass scale shape as :func:`cap_per_key`: narrow
+    ``(key, h, id, n)`` rows through one groupby reduce each key to
+    the LAST-admitted (h, id) threshold; broadcast; pure-map filter —
+    payload never shuffles."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+
+    def narrow(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = splitmix64(ids.astype(np.uint64) ^ np.uint64(salt))
+        return pa.table(
+            {
+                key_col: t[key_col],
+                "h": pa.array(h.astype(np.int64), pa.int64()),
+                id_col: pa.array(ids, pa.int64()),
+                "n": pc.cast(
+                    pc.fill_null(t[count_col], 0), pa.int64()
+                ),
+            }
+        )
+
+    def threshold(g: pa.Table) -> pa.Table:
+        def rows(ks, hs, is_):
+            return pa.table(
+                {
+                    key_col: ks,
+                    "thr_h": pa.array(hs, pa.int64()),
+                    "thr_id": pa.array(is_, pa.int64()),
+                }
+            )
+
+        if g.num_rows == 0:
+            return rows(g[key_col], [], [])
+        h = g["h"].to_numpy().astype(np.uint64)
+        ids = g[id_col].to_numpy()
+        n = g["n"].to_numpy()
+        order = np.lexsort((ids, h))
+        cum = np.cumsum(n[order])
+        k = int(np.searchsorted(cum, budget, side="right"))
+        if k >= len(ids):  # whole key fits → no threshold row
+            return rows(g[key_col].slice(0, 0), [], [])
+        if k == 0:
+            # nothing fits: an impossible (h, id) threshold — h is a
+            # uint64 draw so (h < 0) never holds, and no real id is
+            # INT64_MIN
+            return rows(
+                g[key_col].slice(0, 1), [0], [int(np.iinfo(np.int64).min)]
+            )
+        at = order[k - 1]
+        return rows(
+            g[key_col].slice(0, 1),
+            [int(np.int64(h[at]))],
+            [int(ids[at])],
+        )
+
+    narrowed = ds.map_batches(
+        narrow, batch_format="pyarrow", batch_size=None
+    ).groupby(key_col).map_groups(threshold, batch_format="pyarrow")
+    return _threshold_filter(ds, narrowed, key_col, id_col, salt)
 
 
 def shuffle_order(

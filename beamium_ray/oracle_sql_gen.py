@@ -868,6 +868,38 @@ SELECT doc_id, {key} FROM ranked WHERE rn <= {cap}
 """
 
 
+def token_budget_sql(
+    budget: int,
+    table: str = "documents",
+    key: str = "source",
+    count_col: str = "n_chars",
+) -> str:
+    """Exact SQL recomputation of token-budget caps
+    (datapipe/sample.py token_budget_per_key): a row survives iff its
+    key's running count sum — in (splitmix64(doc_id ^ CAP_SALT),
+    doc_id) order, INCLUDING the row — stays ≤ budget."""
+    smx, final = splitmix_cte_steps(
+        "sin", "x", "h", f"doc_id, {key}, {count_col}", "sm"
+    )
+    return f"""
+WITH sin AS (
+  SELECT doc_id, {key}, coalesce({count_col}, 0) AS {count_col},
+         CAST(xor(CAST(doc_id AS UBIGINT),
+                  CAST({CAP_SALT_SQL} AS UBIGINT)) AS HUGEINT) AS x
+  FROM {table}
+),{smx},
+cum AS (
+  SELECT doc_id, {key},
+         sum({count_col}) OVER (
+           PARTITION BY {key} ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS c
+  FROM {final}
+)
+SELECT doc_id, {key} FROM cum WHERE c <= {budget}
+"""
+
+
 def shuffle_order_sql(table: str = "documents") -> str:
     """Exact SQL recomputation of the deterministic global shuffle
     rank (datapipe/sample.py shuffle_order): position = dense rank of

@@ -38,6 +38,10 @@ Stage registry (each maps to a gate-verified operator):
                     (packing.truncate_sequences; min_len, max_len)
   cap_per_key       keep at most `cap` docs per key value (domain
                     caps — sample.cap_per_key; key_col, cap)
+  token_budget      keep docs per key, in salted-hash order, while
+                    the cumulative count column stays ≤ budget
+                    (sample.token_budget_per_key; key_col, budget,
+                    count_col — run AFTER tokenize for n_tok budgets)
   shuffle           deterministic global training-order shuffle:
                     sort by splitmix64(id ^ salt) — reproducible on
                     any cluster size, unlike random_shuffle()
@@ -65,7 +69,7 @@ VALID_STAGES = {
     "quality_filter", "drop_boilerplate", "decontaminate",
     "dedup_exact", "dedup_minhash", "dedup_semantic", "sample",
     "mixture_sample", "assign_splits", "redact_pii", "tokenize",
-    "truncate", "pack", "cap_per_key", "shuffle",
+    "truncate", "pack", "cap_per_key", "shuffle", "token_budget",
 }
 
 
@@ -136,6 +140,10 @@ class CleanConfig:
             ):
                 raise ValueError(
                     "decontaminate stage needs a 'benchmark' parquet path"
+                )
+            if name == "token_budget" and not (params or {}).get("budget"):
+                raise ValueError(
+                    "token_budget stage needs a positive 'budget'"
                 )
         names = [next(iter(st)) for st in self.stages]
         if "pack" in names:
@@ -412,6 +420,16 @@ def build_clean_pipeline(cfg: CleanConfig):
                 ds,
                 key_col=params.get("key_col", "source"),
                 cap=int(params.get("cap", 100)),
+                id_col=cfg.id_col,
+            )
+        elif name == "token_budget":
+            from beamium_ray.datapipe.sample import token_budget_per_key
+
+            ds = token_budget_per_key(
+                ds,
+                key_col=params.get("key_col", "source"),
+                budget=int(params["budget"]),
+                count_col=params.get("count_col", "n_tok"),
                 id_col=cfg.id_col,
             )
         elif name == "shuffle":

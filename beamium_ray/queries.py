@@ -245,17 +245,56 @@ def topk_users_events(sf_dir: str):
 
 
 def dedup_exact_docs(sf_dir: str):
-    """Exact dedup BOTH ways in one gate entry: full-text groupby
-    (mode='text') and the 100 TB path where only (h1, h2, id, count)
+    """Exact dedup THREE ways in one gate entry: full-text groupby
+    (mode='text'), the 100 TB path where only (h1, h2, id, count)
     travel through the shuffle (mode='hash128' — text never leaves the
-    mappers). Identical output contract, one SQL oracle per arm."""
-    from beamium_ray.datapipe.dedup import exact_dedup
+    mappers), and the INCREMENTAL two-tick path (mode='incremental':
+    watch-mode durable 128-bit hash store; the corpus split in half by
+    doc_id, tick 2 dedups against tick 1's committed index). The
+    incremental arm reduces its (id, cluster) assignment to the same
+    (doc_id=rep, n) contract so one SQL oracle covers every arm."""
+    import tempfile
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    from beamium_ray.datapipe.dedup import exact_dedup
+    from beamium_ray.datapipe.incdedup import IncrementalExactDedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    mid = int(docs.count()) // 2
+    inc = IncrementalExactDedup(tempfile.mkdtemp(prefix="beamium_incex_"))
+
+    def half(lo: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = (
+                pc.less(b["doc_id"], mid)
+                if lo
+                else pc.greater_equal(b["doc_id"], mid)
+            )
+            return b.filter(m)
+
+        return docs.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+    inc.tick(half(True))
+    assign = inc.tick(half(False))
+
+    def to_reps(t: pa.Table) -> pa.Table:
+        g = t.group_by("cluster", use_threads=False).aggregate(
+            [("doc_id", "count")]
+        )
+        return pa.table(
+            {
+                "doc_id": g["cluster"],
+                "n": pc.cast(g["doc_id_count"], pa.int64()),
+            }
+        )
+
+    incremental = assign.groupby("cluster").map_groups(
+        lambda g: to_reps(g), batch_format="pyarrow"
+    )
     return _union(
         [
             _tag(exact_dedup(docs), "mode", "text"),
             _tag(exact_dedup(docs, mode="hash128"), "mode", "hash128"),
+            _tag(incremental, "mode", "incremental"),
         ]
     )
 
@@ -506,9 +545,14 @@ def cap_shuffle_docs(sf_dir: str):
     threshold groupby + broadcast filter). q='shuffle': v=str of each
     doc's global training-order position — the salted-hash permutation
     ranked by the distributed prefix-sum (pack_offsets' shape), the
-    reproducible replacement for random_shuffle(). The oracle replays
-    both as window functions over the same splitmix64 draws."""
-    from beamium_ray.datapipe.sample import cap_per_key, shuffle_order
+    reproducible replacement for random_shuffle(). q='budget': the
+    token-budget generalization — each source keeps docs in hash order
+    while its cumulative n_chars stays ≤ 4000 (mixing recipes are
+    written in token budgets, not doc counts). The oracle replays all
+    three as window functions over the same splitmix64 draws."""
+    from beamium_ray.datapipe.sample import (
+        cap_per_key, shuffle_order, token_budget_per_key,
+    )
 
     capped = cap_per_key(
         _read(sf_dir, "documents", ["doc_id", "source"]),
@@ -528,7 +572,21 @@ def cap_shuffle_docs(sf_dir: str):
         ),
         batch_format="pyarrow", batch_size=None,
     )
-    return _union([_tag(capped, "q", "cap"), _tag(pos, "q", "shuffle")])
+    budget = token_budget_per_key(
+        _read(sf_dir, "documents", ["doc_id", "source", "n_chars"]),
+        key_col="source", budget=4000, count_col="n_chars",
+        id_col="doc_id",
+    ).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "v": t["source"]}),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return _union(
+        [
+            _tag(capped, "q", "cap"),
+            _tag(pos, "q", "shuffle"),
+            _tag(budget, "q", "budget"),
+        ]
+    )
 
 
 def mixture_sample_docs(sf_dir: str):
@@ -2035,6 +2093,8 @@ SELECT 'text' AS mode, min(doc_id) AS doc_id, count(*) AS n
 FROM documents GROUP BY text
 UNION ALL
 SELECT 'hash128', min(doc_id), count(*) FROM documents GROUP BY text
+UNION ALL
+SELECT 'incremental', min(doc_id), count(*) FROM documents GROUP BY text
 """,
     "token_count_docs": r"""
 SELECT c.doc_id, c.n_tok_ws, c.n_tok_bpe, e.n_tok_bpe_exact
@@ -2109,6 +2169,9 @@ FROM ({_gen.cap_per_key_sql(cap=10)})
 UNION ALL
 SELECT 'shuffle', doc_id, CAST(shuffle_pos AS VARCHAR) AS v
 FROM ({_gen.shuffle_order_sql()})
+UNION ALL
+SELECT 'budget', doc_id, source AS v
+FROM ({_gen.token_budget_sql(budget=4000)})
 """,
     "mixture_sample_docs": _gen.mixture_sample_sql(),
     "token_histogram_docs": _gen.token_histogram_sql(),

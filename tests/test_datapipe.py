@@ -1871,3 +1871,51 @@ def test_run_clean_cap_and_shuffle_stages(ray_session, tmp_path):
         ids_f = pq.read_table(os.path.join(out, f))["doc_id"].to_numpy()
         h = splitmix64(ids_f.astype(np.uint64) ^ np.uint64(SHUFFLE_SALT))
         assert np.all(h[:-1] <= h[1:]), f
+
+
+def test_token_budget_per_key_semantics(ray_session):
+    """Docs admitted in salted-hash order while the key's running sum
+    stays ≤ budget; the crossing doc drops; a doc bigger than the
+    whole budget drops its key entirely; under-budget keys untouched."""
+    import ray.data
+
+    from beamium_ray.datapipe.sample import (
+        CAP_SALT, token_budget_per_key,
+    )
+    from beamium_ray.functions.hashing import splitmix64
+
+    ids = np.arange(60, dtype=np.int64)
+    keys = np.where(ids < 40, "big", np.where(ids < 55, "fits", "huge"))
+    n = np.where(ids < 40, 10, np.where(ids < 55, 1, 1000)).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "source": pa.array(keys.tolist()),
+                "n_tok": pa.array(n),
+            }
+        )
+    )
+    out = pa.concat_tables(
+        list(
+            token_budget_per_key(
+                ds, key_col="source", budget=100, count_col="n_tok"
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    )
+    h = splitmix64(ids.astype(np.uint64) ^ np.uint64(CAP_SALT))
+    want: set = set()
+    for k in ("big", "fits", "huge"):
+        rows = np.flatnonzero(keys == k)
+        order = rows[np.lexsort((ids[rows], h[rows]))]
+        cum = np.cumsum(n[order])
+        want |= set(ids[order[: int(np.searchsorted(cum, 100, "right"))]].tolist())
+    assert set(out["doc_id"].to_pylist()) == want
+    from collections import Counter
+
+    c = Counter(out["source"].to_pylist())
+    assert c["big"] == 10      # 10 docs × 10 tokens fill the budget
+    assert c["fits"] == 15     # whole key under budget
+    assert "huge" not in c     # every doc alone exceeds the budget
+    with pytest.raises(ValueError, match="budget"):
+        token_budget_per_key(ds, budget=0)

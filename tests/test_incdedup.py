@@ -355,3 +355,62 @@ def test_assign_generations_garbage_collected(ray_session, tmp_path):
     )
     assert gens == ["assign-00003"]  # superseded generations swept
     assert _assign_dict(inc.assignments()) == {1: 1, 2: 2, 3: 3}
+
+
+def test_incremental_exact_dedup(ray_session, tmp_path):
+    """128-bit exact dedup across ticks: cross-tick identical texts
+    join the committed cluster, within-tick dups collapse, replay is a
+    no-op, and the store holds one rep row per distinct text."""
+    import os
+
+    from beamium_ray.datapipe.incdedup import IncrementalExactDedup
+
+    inc = IncrementalExactDedup(str(tmp_path / "ex"))
+    assert inc.tick(_ds([])) is None  # empty pre-tick no-op
+    # tick 1: 1 and 2 share a text (within-tick dup), 3 distinct
+    inc.tick(_ds([(1, "same text"), (2, "same text"), (3, "other")]),
+             batch_key="t1")
+    a = _assign_dict(inc.assignments())
+    assert a == {1: 1, 2: 1, 3: 3}
+    # tick 2: 9 duplicates the committed text, 12 fresh
+    out = _assign_dict(
+        inc.tick(_ds([(9, "same text"), (12, "fresh")]), batch_key="t2")
+    )
+    assert out == {1: 1, 2: 1, 3: 3, 9: 1, 12: 12}
+    # committed replay is a no-op
+    again = _assign_dict(
+        inc.tick(_ds([(9, "same text"), (12, "fresh")]), batch_key="t2")
+    )
+    assert again == out
+    # store is rep-rows only: tick 1 wrote 2 distinct texts, tick 2
+    # wrote 2 (rows, not docs)
+    n_rows = 0
+    for root, _, files in os.walk(tmp_path / "ex" / "hashes"):
+        for f in files:
+            import pyarrow.parquet as _pq
+
+            n_rows += _pq.read_table(os.path.join(root, f)).num_rows
+    assert n_rows == 4
+
+
+def test_incremental_exact_equals_one_shot(ray_session, tmp_path):
+    """Two-tick incremental clusters == one-shot exact_dedup reps over
+    the full corpus."""
+    from beamium_ray.datapipe.dedup import exact_dedup
+    from beamium_ray.datapipe.incdedup import IncrementalExactDedup
+
+    rows = [(i, f"text {i % 7}") for i in range(40)]  # 7 distinct texts
+    inc = IncrementalExactDedup(str(tmp_path / "ex"), num_buckets=13)
+    inc.tick(_ds(rows[:23]))
+    got = _assign_dict(inc.tick(_ds(rows[23:])))
+    reps = exact_dedup(_ds(rows), mode="hash128")
+    t = pa.concat_tables(
+        list(reps.iter_batches(batch_format="pyarrow", batch_size=None))
+    )
+    want_reps = dict(zip(t["doc_id"].to_pylist(), t["n"].to_pylist()))
+    # every cluster root matches a one-shot rep; member counts agree
+    from collections import Counter
+
+    counts = Counter(got.values())
+    assert counts == want_reps
+    assert all(got[i] == i % 7 for i in range(40))
