@@ -1135,3 +1135,73 @@ SELECT d.{id_col},
 FROM doc_words d LEFT JOIN word_tok wt ON wt.w = d.w
 GROUP BY d.{id_col}
 """
+
+
+def span_dedup_sql(
+    table: str = "documents", vocab: int = 50257, w: int = 8
+) -> str:
+    """Exact SQL for duplicate-span removal (ExactSubstr, keep='first'):
+    regenerate every token with the PLANT rule (a doc with
+    ord % 5 = 2 copies the first L = min(40, n_self, n_src) tokens of
+    doc ord-2 — real duplicated spans), enumerate every w-token window
+    as its VALUE string (the engine groups by a 128-bit rolling hash;
+    the oracle groups by the actual window, so a collision or an
+    off-by-one in the rolling prefix trick would hash-mismatch), mark
+    every occurrence but the global (ord, pos)-first, delete covered
+    tokens, and emit the kept stream re-positioned per doc."""
+    chain, final, _ = _splitmix_chain([("ntok_h", 0x5EED_0001)])
+    tok_chain, tok_final = splitmix_cte_steps(
+        "positions", "x", "tok_h", "ord, p", "sm_tok"
+    )
+    g_parts = " || '-' || ".join(
+        ["CAST(token AS VARCHAR)"]
+        + [
+            f"CAST(lead(token, {k}) OVER w AS VARCHAR)"
+            for k in range(1, w)
+        ]
+    )
+    return f"""
+WITH base AS (SELECT CAST(doc_id AS HUGEINT) AS i FROM {table}),
+{chain},
+ntab AS (
+  SELECT CAST(i AS BIGINT) AS ord,
+         CAST(16 + (ntok_h % 497) AS BIGINT) AS n
+  FROM {final}),
+plant AS (
+  SELECT a.ord, a.n,
+         CASE WHEN a.ord % 5 = 2 THEN least(40, a.n, b.n) ELSE 0 END AS L
+  FROM ntab a LEFT JOIN ntab b ON b.ord = a.ord - 2),
+positions0 AS (
+  SELECT ord, L, unnest(range(0, n)) AS p FROM plant),
+positions AS (
+  SELECT ord, p,
+         CAST(xor(CAST((CASE WHEN p < L THEN ord - 2 ELSE ord END)
+                       AS UBIGINT) * 1048576,
+                  CAST(p AS UBIGINT)) AS HUGEINT) AS x
+  FROM positions0),
+{tok_chain},
+toks AS (
+  SELECT ord, p, CAST(tok_h % {vocab} AS BIGINT) AS token
+  FROM {tok_final}),
+wins AS (
+  SELECT ord, p, {g_parts} AS gw,
+         lead(token, {w - 1}) OVER w AS t_last
+  FROM toks WINDOW w AS (PARTITION BY ord ORDER BY p)),
+occ AS (SELECT ord, p, gw FROM wins WHERE t_last IS NOT NULL),
+marks AS (
+  SELECT ord, p FROM (
+    SELECT ord, p,
+           row_number() OVER (PARTITION BY gw ORDER BY ord, p) AS rn
+    FROM occ)
+  WHERE rn > 1),
+kept AS (
+  SELECT t.ord, t.p, t.token FROM toks t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM marks m
+    WHERE m.ord = t.ord AND t.p BETWEEN m.p AND m.p + {w - 1}))
+SELECT ord,
+       CAST(row_number() OVER (PARTITION BY ord ORDER BY p) - 1
+            AS BIGINT) AS pos,
+       token
+FROM kept
+"""

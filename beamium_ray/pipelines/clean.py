@@ -70,6 +70,7 @@ VALID_STAGES = {
     "dedup_exact", "dedup_minhash", "dedup_semantic", "sample",
     "mixture_sample", "assign_splits", "redact_pii", "tokenize",
     "truncate", "pack", "cap_per_key", "shuffle", "token_budget",
+    "span_dedup",
 }
 
 
@@ -468,6 +469,20 @@ def build_clean_pipeline(cfg: CleanConfig):
                 len_col=params.get("len_col", "n_tok"),
                 max_len=int(params.get("max_len", 2048)),
                 min_len=int(params.get("min_len", 0)),
+            )
+        elif name == "span_dedup":
+            from beamium_ray.datapipe.spandedup import (
+                remove_duplicate_spans,
+            )
+
+            # runs AFTER tokenize; same integer-id contract as `pack`
+            # (marks are keyed by int64 ids)
+            ds = remove_duplicate_spans(
+                ds,
+                list_col=params.get("tokens_col", "tokens"),
+                id_col=params.get("id_col", cfg.id_col),
+                window=int(params.get("window", 50)),
+                keep=params.get("keep", "first"),
             )
         elif name == "pack":
             from beamium_ray.datapipe.packing import emit_packed_rows

@@ -723,6 +723,75 @@ def dedup_tokens_docs(sf_dir: str):
     return exact_dedup_tokens(seq, list_col="tokens", id_col="ord")
 
 
+def span_dedup_docs(sf_dir: str):
+    """Duplicate-span removal (ExactSubstr, Lee et al. 2022) over the
+    derived sequence table: rows with ord % 5 == 2 are planted with the
+    first min(40, n_self, n_src) tokens of row ord-2 — a real shared
+    substring, not a whole-row dup — and the engine must delete exactly
+    the copied span from the COPIER (keep='first': global (ord, pos)
+    order keeps the source intact). Output is the kept token stream
+    unnested to (ord, pos, token); the oracle regenerates every planted
+    token, enumerates every 8-token window by VALUE (the engine groups
+    by a 128-bit rolling hash — a collision or prefix-trick off-by-one
+    would hash-mismatch), and replays the mark/union/delete pass in
+    SQL."""
+    from beamium_ray.datapipe.spandedup import remove_duplicate_spans
+    from beamium_ray.pipelines.rollup_pipeline import sequence_tokens_batch
+
+    def plant(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        seq = sequence_tokens_batch(
+            pa.table({"doc_id": pa.array(i, pa.int64())})
+        )
+        toks = seq["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vals = pc.list_flatten(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int32).copy()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        m = np.flatnonzero(i % 5 == 2)
+        if len(m):
+            src = i[m] - 2
+            sseq = sequence_tokens_batch(
+                pa.table({"doc_id": pa.array(src, pa.int64())})
+            )
+            stoks = sseq["tokens"]
+            if isinstance(stoks, pa.ChunkedArray):
+                stoks = stoks.combine_chunks()
+            svals = pc.list_flatten(stoks).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int32)
+            slens = pc.list_value_length(stoks).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            sstarts = np.concatenate(([0], np.cumsum(slens)))[:-1]
+            L = np.minimum(40, np.minimum(lens[m], slens))
+            total = int(L.sum())
+            rep = np.repeat(np.arange(len(m), dtype=np.int64), L)
+            cum = np.concatenate(([0], np.cumsum(L)))[:-1]
+            within = np.arange(total, dtype=np.int64) - np.repeat(cum, L)
+            vals[starts[m][rep] + within] = svals[sstarts[rep] + within]
+        off = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+        arr = pa.ListArray.from_arrays(
+            pa.array(off, pa.int32()), pa.array(vals, pa.int32())
+        )
+        return pa.table({"ord": pa.array(i, pa.int64()), "tokens": arr})
+
+    seq = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        plant, batch_format="pyarrow", batch_size=None
+    )
+    out = remove_duplicate_spans(
+        seq, list_col="tokens", id_col="ord", window=8, keep="first"
+    )
+    return out.select_columns(["ord", "tokens"]).map_batches(
+        _unnest_tokens, batch_format="pyarrow", batch_size=None
+    )
+
+
 def _unnest_tokens(b: pa.Table, extra: str | None = None) -> pa.Table:
     """(ord[, extra], tokens) → one row per token: (ord[, extra], pos
     within the row's list, token). Shared by the chunking gates."""
@@ -2176,6 +2245,7 @@ FROM ({_gen.token_budget_sql(budget=4000)})
     "mixture_sample_docs": _gen.mixture_sample_sql(),
     "token_histogram_docs": _gen.token_histogram_sql(),
     "dedup_tokens_docs": _gen.dedup_tokens_sql(),
+    "span_dedup_docs": _gen.span_dedup_sql(),
     "token_rarity_docs": _gen.token_rarity_sql(),
     "doc_frequency_docs": _gen.doc_frequency_sql(),
     "bigram_topk_docs": _gen.bigram_topk_sql(),
@@ -2532,6 +2602,7 @@ QUERIES = {
     "token_rarity_docs": token_rarity_docs,
     "bigram_topk_docs": bigram_topk_docs,
     "dedup_tokens_docs": dedup_tokens_docs,
+    "span_dedup_docs": span_dedup_docs,
     "sequence_chunking_docs": sequence_chunking_docs,
     "pack_offsets_docs": pack_offsets_docs,
     "length_batches_docs": length_batches_docs,

@@ -1,0 +1,244 @@
+"""Duplicate-span removal (ExactSubstr): rolling-hash kernel vs brute
+force, keep-first/keep-none semantics, overlap unions, route equality,
+and block-split invariance."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from beamium_ray.datapipe.spandedup import (
+    _Q,
+    _SPAN_SALT1,
+    _SPAN_SALT2,
+    apply_span_marks,
+    remove_duplicate_spans,
+    token_window_hashes_batch,
+)
+from beamium_ray.functions.hashing import splitmix64
+
+
+def _tok_table(rows: list[list[int] | None], ids=None) -> pa.Table:
+    if ids is None:
+        ids = list(range(len(rows)))
+    return pa.table(
+        {
+            "ord": pa.array(ids, pa.int64()),
+            "tokens": pa.array(rows, pa.list_(pa.int32())),
+        }
+    )
+
+
+def _naive_window_hashes(rows, w):
+    """Reference implementation: the decontam-style w-round loop, per
+    row, no prefix trick."""
+    out = []
+    for r, toks in enumerate(rows):
+        toks = toks or []
+        h1 = splitmix64(np.asarray(toks, np.uint64) ^ _SPAN_SALT1)
+        h2 = splitmix64(np.asarray(toks, np.uint64) ^ _SPAN_SALT2)
+        for p in range(len(toks) - w + 1):
+            a1 = np.uint64(0)
+            a2 = np.uint64(0)
+            with np.errstate(over="ignore"):
+                for k in range(w):
+                    a1 = a1 * np.uint64(_Q) + h1[p + k]
+                    a2 = a2 * np.uint64(_Q) + h2[p + k]
+            out.append(
+                (int(splitmix64(a1)), int(splitmix64(a2)), r, p)
+            )
+    return out
+
+
+def test_window_hashes_match_bruteforce():
+    rng = np.random.default_rng(7)
+    rows = [
+        rng.integers(0, 50257, size=n).tolist()
+        for n in [0, 1, 7, 8, 9, 40, 13]
+    ]
+    rows.insert(3, None)  # null list emits nothing
+    for w in (2, 8, 13):
+        h1, h2, r, p = token_window_hashes_batch(
+            _tok_table(rows), window=w
+        )
+        got = sorted(zip(h1.tolist(), h2.tolist(), r.tolist(), p.tolist()))
+        want = sorted(_naive_window_hashes(rows, w))
+        assert got == want
+
+
+def test_equal_content_windows_hash_equal_across_rows():
+    shared = list(range(100, 112))
+    rows = [shared + [1, 2, 3], [9, 9] + shared]
+    h1, h2, r, p = token_window_hashes_batch(_tok_table(rows), window=12)
+    by_row = {(rr, pp): (a, b) for a, b, rr, pp in zip(h1, h2, r, p)}
+    assert by_row[(0, 0)] == by_row[(1, 2)]
+    assert by_row[(0, 0)] != by_row[(0, 1)]
+
+
+def test_apply_span_marks_interval_union():
+    # marks [2,2+8) and [6,6+8) on one row merge to [2,14)
+    t = _tok_table([list(range(20))])
+    out = apply_span_marks(
+        t,
+        np.array([0, 0], np.int64),
+        np.array([2, 6], np.int64),
+        "tokens", "ord", 8,
+    )
+    kept = out["tokens"][0].as_py()
+    assert kept == [0, 1] + list(range(14, 20))
+    assert out["n_removed"][0].as_py() == 12
+
+
+def _run(ds_table, nblocks=1, **kw):
+    import ray.data
+
+    ds = ray.data.from_arrow(ds_table)
+    if nblocks > 1:
+        ds = ds.repartition(nblocks)
+    out = remove_duplicate_spans(ds, window=8, **kw)
+    t = pa.concat_tables(
+        list(out.iter_batches(batch_format="pyarrow", batch_size=None)),
+        promote_options="default",
+    )
+    o = {}
+    for i in range(t.num_rows):
+        o[t["ord"][i].as_py()] = (
+            t["tokens"][i].as_py(),
+            t["n_removed"][i].as_py(),
+        )
+    return o
+
+
+@pytest.fixture()
+def planted():
+    """doc 0: source. doc 1: copies source[4:16] at interior positions
+    [5:17]. doc 2: self-repeats its own first 10 tokens at [20:30].
+    doc 3: short (< window) and unique. doc 4: unique."""
+    rng = np.random.default_rng(11)
+    base = rng.integers(1000, 50000, size=40).tolist()
+    d0 = base
+    d1 = (
+        rng.integers(1000, 50000, size=5).tolist()
+        + base[4:16]
+        + rng.integers(1000, 50000, size=10).tolist()
+    )
+    head = rng.integers(1000, 50000, size=10).tolist()
+    d2 = head + rng.integers(1000, 50000, size=10).tolist() + head
+    d3 = [1, 2, 3]
+    d4 = rng.integers(1000, 50000, size=25).tolist()
+    return _tok_table([d0, d1, d2, d3, d4])
+
+
+def test_keep_first_semantics(planted, ray_session):
+    rows = {
+        i: planted["tokens"][i].as_py() for i in range(planted.num_rows)
+    }
+    out = _run(planted)
+    # source doc untouched
+    assert out[0] == (rows[0], 0)
+    # copier loses exactly the 12 copied tokens at [5, 17)
+    assert out[1] == (rows[1][:5] + rows[1][17:], 12)
+    # self-repeat: SECOND occurrence (pos 20..29) removed
+    assert out[2] == (rows[2][:20], 10)
+    assert out[3] == (rows[3], 0)
+    assert out[4] == (rows[4], 0)
+
+
+def test_keep_none_removes_all_copies(planted, ray_session):
+    rows = {
+        i: planted["tokens"][i].as_py() for i in range(planted.num_rows)
+    }
+    out = _run(planted, keep="none")
+    # the shared span dies in BOTH source and copier
+    assert out[0] == (rows[0][:4] + rows[0][16:], 12)
+    assert out[1] == (rows[1][:5] + rows[1][17:], 12)
+    # self-repeat: both occurrences die
+    assert out[2] == (rows[2][10:20], 20)
+    assert out[3] == (rows[3], 0)
+
+
+def test_split_invariance_and_distributed_route(planted, ray_session):
+    base = _run(planted)
+    assert _run(planted, nblocks=4) == base
+    assert _run(planted, nblocks=3, distributed=True) == base
+
+
+def test_overlapping_sources_union(ray_session):
+    """Doc 2 copies doc 0's span at [0,12) and doc 1's span at [12,24):
+    two adjacent mark families from DIFFERENT sources; the union
+    [0,24) is removed in one coverage pass."""
+    rng = np.random.default_rng(3)
+    a = rng.integers(1000, 50000, size=12).tolist()
+    b = rng.integers(1000, 50000, size=12).tolist()
+    tail = rng.integers(1000, 50000, size=10).tolist()
+    d2 = a + b + tail  # a at [0,12), b at [12,24)
+    t = _tok_table(
+        [
+            a + rng.integers(1000, 50000, size=10).tolist(),
+            b + rng.integers(1000, 50000, size=10).tolist(),
+            d2,
+        ]
+    )
+    out = _run(t)
+    assert out[2] == (tail, 24)
+    assert out[0][1] == 0 and out[1][1] == 0
+
+
+def test_null_and_empty_rows(ray_session):
+    t = _tok_table([None, [], list(range(30)), list(range(30))], ids=[7, 8, 9, 10])
+    out = _run(t)
+    assert out[7] == ([], 0)  # null comes back empty (kernel contract)
+    assert out[8] == ([], 0)
+    assert out[9] == (list(range(30)), 0)  # first copy kept
+    assert out[10] == ([], 30)  # exact dup fully removed
+
+
+def test_metrics_recorded(planted, ray_session):
+    import ray.data
+
+    m: dict = {}
+    remove_duplicate_spans(
+        ray.data.from_arrow(planted), window=8, metrics=m
+    ).materialize()
+    # doc1 interior copy: 5 windows; doc2 self-repeat: 3 windows
+    assert m["span_marks"] == 8
+    assert m["span_route"] == "broadcast"
+
+
+def test_run_clean_span_dedup_stage(ray_session, tmp_path):
+    """span_dedup clean stage: runs over a pre-tokenized input, rewrites
+    tokens/n_tok and appends n_removed; the duplicated prefix dies in
+    the copier only (keep='first' default ordering by id)."""
+    import pyarrow.parquet as pq_
+
+    from beamium_ray.pipelines.clean import CleanConfig, run_clean
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(1000, 50000, size=30).tolist()
+    b = rng.integers(1000, 50000, size=20).tolist()
+    src = tmp_path / "in"
+    src.mkdir()
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "tokens": pa.array([a, a[:12] + b], pa.list_(pa.int32())),
+                "n_tok": pa.array([30, 32], pa.int32()),
+            }
+        ),
+        src / "d.parquet",
+    )
+    out = tmp_path / "out"
+    res = run_clean(
+        CleanConfig(
+            input=str(src),
+            output=str(out),
+            stages=[{"span_dedup": {"window": 8}}],
+        )
+    )
+    assert res["rows_out"] == 2
+    got = pq_.read_table(str(out)).sort_by("doc_id")
+    assert got["tokens"].to_pylist() == [a, b]
+    assert got["n_tok"].to_pylist() == [30, 20]
+    assert got["n_removed"].to_pylist() == [0, 12]
