@@ -54,6 +54,29 @@ def ensure_bench_data() -> tuple[str, int]:
     return out, n_rows
 
 
+def host_probe() -> dict:
+    """Fixed single-thread CPU + memory-bandwidth probe, so every bench
+    JSON self-documents the host's throttle state (this VM randomly
+    throttles 10-20x — observed membw collapse from ~6 GB/s to
+    ~11 MB/s — and wall-time comparisons across windows are
+    meaningless without this). Clean-window reference on this host:
+    alu_ms ~90, membw_gbps ~5-7."""
+    import numpy as np
+
+    a = np.random.default_rng(0).random((600, 600))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        a = a @ a
+        a /= np.max(a)
+    alu_ms = (time.perf_counter() - t0) * 1000
+    x = np.arange(30_000_000, dtype=np.int64)
+    t0 = time.perf_counter()
+    s = np.cumsum(x)[-1]
+    membw = (x.nbytes * 2 / (time.perf_counter() - t0)) / 1e9
+    assert s > 0
+    return {"alu_ms": round(alu_ms, 1), "membw_gbps": round(membw, 2)}
+
+
 def run_headline() -> dict:
     """Flagship: read sequences → derive+parse(Prometheus text)+relabel →
     windowed rollup 1m/1h/1d with gap-fill → consume counts.
@@ -156,6 +179,7 @@ QUERY_NAMES = [
     "token_rarity_docs",
     "bigram_topk_docs",
     "dedup_tokens_docs",
+    "span_dedup_docs",
     "sequence_chunking_docs",
     "pack_offsets_docs",
     "length_batches_docs",
@@ -196,8 +220,10 @@ def main():
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    probe_before = host_probe()
     head = run_headline()
     queries = {} if os.environ.get("BENCH_HEADLINE_ONLY") else run_queries()
+    probe_after = host_probe()
     result = {
         "metric": "flagship_rollup_sec",
         "value": round(head["sec"], 3),
@@ -208,6 +234,7 @@ def main():
         "rows_in": head["rows_in"],
         "points_rolled": head["points_rolled"],
         "points_per_sec": head["points_per_sec"],
+        "host_probe": {"before": probe_before, "after": probe_after},
     }
     # attach the latest interleaved A/B comparison (bench.py --paired
     # <prev_ref>) so the per-round BENCH snapshot carries
