@@ -802,3 +802,242 @@ class IncrementalExactDedup(_IncrementalDedupBase):
         return self._commit_tick(
             tick, new_id_set, edges_a, edges_b, write_store, batch_key
         )
+
+
+class IncrementalSpanDedup:
+    """Duplicate-SPAN removal across watch ticks — the ExactSubstr
+    sibling of the incremental dedup family (:mod:`spandedup` is the
+    one-shot form). A daemon ingests forever; committed content must
+    win against every later copy WITHOUT re-hashing the corpus.
+
+    Durable store under ``store_dir`` (tmp+rename files, manifest
+    pointer last — the family invariant):
+
+    - ``windows/bkt=<h1 % B>/tick-<n>.parquet`` — (h1, h2) of every
+      DISTINCT committed window (~16 B each; no payload, no positions:
+      membership is all a later tick needs);
+    - ``windows/MANIFEST.json`` — {tick, last_batch}.
+
+    Per tick: window-hash the new batch (distributed map; tokens never
+    leave the mappers), collect the narrow occurrence rows (the
+    bounded-tick contract shared with the minhash band store), read
+    back ONLY the touched store buckets, then mark (a) every batch
+    occurrence of a committed window — the committed copy is globally
+    first — and (b) within-batch non-first occurrences (keep='first'
+    over the batch). Marks apply via the one-shot broadcast kernel;
+    the cleaned batch is returned as a Dataset. Only keep='first'
+    composes incrementally (keep='none' would have to retro-edit
+    committed output).
+
+    Equivalence contract (pytest + the gate's 'incremental' arm): when
+    later ticks carry larger doc ids, tick-wise output equals one-shot
+    :func:`spandedup.remove_duplicate_spans` over the union.
+
+    Replay: a ``batch_key`` matching the committed manifest re-runs
+    with the SAME tick number, reading only store files from EARLIER
+    ticks (its own tick's files are excluded), so the recomputed
+    output is byte-identical and the store writes overwrite
+    idempotently."""
+
+    def __init__(
+        self,
+        store_dir: str,
+        *,
+        window: int = 50,
+        num_buckets: int = 64,
+        list_col: str = "tokens",
+        id_col: str = "doc_id",
+    ):
+        self.dir = store_dir
+        self.window = window
+        self.B = num_buckets
+        self.list_col = list_col
+        self.id_col = id_col
+        os.makedirs(os.path.join(store_dir, "windows"), exist_ok=True)
+
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.dir, "windows", "MANIFEST.json")
+
+    def _manifest(self) -> dict:
+        try:
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return {"tick": 0, "last_batch": None}
+
+    def _read_windows(
+        self, buckets: set[int], before_tick: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(h1, h2) of stored windows in the touched buckets written by
+        ticks STRICTLY BEFORE ``before_tick`` (excludes a crashed or
+        replayed tick's own files)."""
+        parts = []
+        for b in sorted(buckets):
+            d = os.path.join(self.dir, "windows", f"bkt={b}")
+            if not os.path.isdir(d):
+                continue
+            for f in sorted(os.listdir(d)):
+                if not f.endswith(".parquet"):
+                    continue
+                n = int(f[len("tick-"):-len(".parquet")])
+                if n < before_tick:
+                    parts.append(pq.read_table(os.path.join(d, f)))
+        if not parts:
+            return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
+        t = pa.concat_tables(parts)
+        return (
+            t["h1"].to_numpy().astype(np.uint64),
+            t["h2"].to_numpy().astype(np.uint64),
+        )
+
+    @staticmethod
+    def _pair_hits(
+        q1: np.ndarray, q2: np.ndarray, s1: np.ndarray, s2: np.ndarray
+    ) -> np.ndarray:
+        """Vectorized membership: query pair i present in the store
+        pair set? One concat + lexsort; store rows sort FIRST within an
+        equal-pair run, so a run's head is a store row iff the run
+        contains one."""
+        nq = len(q1)
+        if nq == 0 or len(s1) == 0:
+            return np.zeros(nq, bool)
+        a1 = np.concatenate([s1, q1])
+        a2 = np.concatenate([s2, q2])
+        src = np.concatenate(
+            [np.zeros(len(s1), np.int8), np.ones(nq, np.int8)]
+        )
+        qidx = np.concatenate(
+            [np.zeros(len(s1), np.int64), np.arange(nq, dtype=np.int64)]
+        )
+        o = np.lexsort((src, a2, a1))
+        a1s, a2s, srcs, qs = a1[o], a2[o], src[o], qidx[o]
+        start = np.concatenate(
+            ([True], (a1s[1:] != a1s[:-1]) | (a2s[1:] != a2s[:-1]))
+        )
+        gi = np.cumsum(start) - 1
+        head_is_store = srcs[np.flatnonzero(start)] == 0
+        hit = np.zeros(nq, bool)
+        qm = srcs == 1
+        hit[qs[qm]] = head_is_store[gi[qm]]
+        return hit
+
+    def tick(self, new_ds, batch_key: str | None = None):
+        """Fold one batch in; returns the CLEANED batch as a Dataset
+        (``list_col`` rewritten, ``n_tok`` updated when present,
+        ``n_removed`` appended — the one-shot output contract)."""
+        import ray
+
+        from beamium_ray.datapipe.spandedup import (
+            _BroadcastApply,
+            token_window_hashes_batch,
+        )
+        from beamium_ray.functions.cluster import cached_stage
+
+        man = self._manifest()
+        replay = batch_key is not None and man.get("last_batch") == batch_key
+        tick = man["tick"] if replay else man["tick"] + 1
+        mat = new_ds.materialize()
+        if mat.count() == 0:
+            return mat  # empty batch → no-op, nothing committed
+
+        lc, ic, w = self.list_col, self.id_col, self.window
+
+        def occ(b: pa.Table) -> pa.Table:
+            h1, h2, ridx, pos = token_window_hashes_batch(
+                b, list_col=lc, window=w
+            )
+            ids = b[ic]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            ids = ids.to_numpy(zero_copy_only=False).astype(np.int64)[ridx]
+            return pa.table(
+                {
+                    "h1": pa.array(h1.astype(np.int64), pa.int64()),
+                    "h2": pa.array(h2.astype(np.int64), pa.int64()),
+                    "id": pa.array(ids, pa.int64()),
+                    "pos": pa.array(pos, pa.int64()),
+                }
+            )
+
+        # bounded-tick contract (the minhash band store's): the NEW
+        # batch's narrow occurrence rows come to the driver
+        occ_parts = list(
+            mat.map_batches(
+                occ, batch_format="pyarrow", batch_size=None
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+        occ_t = (
+            pa.concat_tables(occ_parts)
+            if occ_parts
+            else occ(pa.table({ic: pa.array([], pa.int64()),
+                               lc: pa.array([], pa.list_(pa.int32()))}))
+        )
+        h1 = occ_t["h1"].to_numpy().astype(np.uint64)
+        h2 = occ_t["h2"].to_numpy().astype(np.uint64)
+        ids = occ_t["id"].to_numpy()
+        pos = occ_t["pos"].to_numpy()
+
+        # (a) within-batch keep='first' marks
+        o = np.lexsort((pos, ids, h2, h1))
+        h1s, h2s = h1[o], h2[o]
+        first = np.concatenate(
+            ([True], (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1]))
+        )
+        batch_mark = np.zeros(len(h1), bool)
+        batch_mark[o[~first]] = True
+
+        # (b) committed-window marks: EVERY batch occurrence hits
+        touched = set((h1 % np.uint64(self.B)).astype(np.int64).tolist())
+        s1, s2 = self._read_windows(touched, tick)
+        store_mark = self._pair_hits(h1, h2, s1, s2)
+
+        mark = batch_mark | store_mark
+        mid = ids[mark]
+        mpos = pos[mark]
+        mo = np.lexsort((mpos, mid))
+        marks_ref = ray.put(
+            (np.ascontiguousarray(mid[mo]), np.ascontiguousarray(mpos[mo]))
+        )
+        cleaned = mat.map_batches(
+            cached_stage(_BroadcastApply, marks_ref, lc, ic, w),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+
+        if not replay:
+            # store grows by the batch's distinct windows NOT already
+            # committed (O(distinct) forever); deterministic filenames
+            # overwrite on crash replay
+            rep_idx = o[first]
+            fresh = rep_idx[~store_mark[rep_idx]]
+            r1, r2 = h1[fresh], h2[fresh]
+            for b in sorted(
+                set((r1 % np.uint64(self.B)).astype(np.int64).tolist())
+            ):
+                sel = (r1 % np.uint64(self.B)).astype(np.int64) == b
+                _atomic_write_table(
+                    pa.table(
+                        {
+                            "h1": pa.array(
+                                r1[sel].astype(np.int64), pa.int64()
+                            ),
+                            "h2": pa.array(
+                                r2[sel].astype(np.int64), pa.int64()
+                            ),
+                        }
+                    ),
+                    os.path.join(
+                        self.dir, "windows", f"bkt={b}",
+                        f"tick-{tick:05d}.parquet",
+                    ),
+                )
+            from beamium_ray.state.manifest import atomic_write_bytes
+
+            atomic_write_bytes(
+                self._manifest_path,
+                json.dumps(
+                    {"tick": tick, "last_batch": batch_key}, sort_keys=True
+                ).encode(),
+            )
+        return cleaned

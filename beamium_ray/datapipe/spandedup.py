@@ -333,7 +333,12 @@ def remove_duplicate_spans(
     ``max_broadcast_marks`` it broadcasts via ``ray.put`` and the
     payload never shuffles; above it (or ``distributed=True``) payload
     and marks co-shuffle into hash(id) buckets — each document moves
-    exactly once, no driver ceiling."""
+    exactly once, no driver ceiling.
+
+    ``ds`` executes TWICE (occurrence pass + apply pass) — callers
+    with an expensive upstream should pass a materialized Dataset
+    (the ``emit_packed_rows`` contract; the ``span_dedup`` clean stage
+    does this)."""
     if keep not in ("first", "none"):
         raise ValueError("keep must be 'first' or 'none'")
     import ray

@@ -476,9 +476,12 @@ def build_clean_pipeline(cfg: CleanConfig):
             )
 
             # runs AFTER tokenize; same integer-id contract as `pack`
-            # (marks are keyed by int64 ids)
+            # (marks are keyed by int64 ids). Materialize: the op
+            # consumes its input twice (occurrence pass + apply pass)
+            # and must not re-execute upstream stages — same contract
+            # as the pack stage.
             ds = remove_duplicate_spans(
-                ds,
+                ds.materialize(),
                 list_col=params.get("tokens_col", "tokens"),
                 id_col=params.get("id_col", cfg.id_col),
                 window=int(params.get("window", 50)),

@@ -781,14 +781,51 @@ def span_dedup_docs(sf_dir: str):
         )
         return pa.table({"ord": pa.array(i, pa.int64()), "tokens": arr})
 
+    import tempfile
+
+    from beamium_ray.datapipe.incdedup import IncrementalSpanDedup
+
     seq = _read(sf_dir, "documents", ["doc_id"]).map_batches(
         plant, batch_format="pyarrow", batch_size=None
-    )
+    ).materialize()  # both arms + the op's two passes share one exec
     out = remove_duplicate_spans(
         seq, list_col="tokens", id_col="ord", window=8, keep="first"
     )
-    return out.select_columns(["ord", "tokens"]).map_batches(
-        _unnest_tokens, batch_format="pyarrow", batch_size=None
+
+    # incremental arm: two ticks split at ord=252 so a planted copier
+    # (252, source 250) STRADDLES the ticks — tick 2 must kill a span
+    # committed by tick 1. Later ticks carry larger ids, so tick-wise
+    # output equals the one-shot oracle.
+    mid = 252
+    inc = IncrementalSpanDedup(
+        tempfile.mkdtemp(prefix="beamium_incspan_"),
+        window=8, id_col="ord",
+    )
+
+    def half(lo: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = (
+                pc.less(b["ord"], mid)
+                if lo
+                else pc.greater_equal(b["ord"], mid)
+            )
+            return b.filter(m)
+
+        return seq.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+    t1 = inc.tick(half(True), batch_key="tick-1")
+    t2 = inc.tick(half(False), batch_key="tick-2")
+    unnest = [
+        d.select_columns(["ord", "tokens"]).map_batches(
+            _unnest_tokens, batch_format="pyarrow", batch_size=None
+        )
+        for d in (out, t1.union(t2))
+    ]
+    return _union(
+        [
+            _tag(unnest[0], "q", "oneshot"),
+            _tag(unnest[1], "q", "incremental"),
+        ]
     )
 
 
@@ -2245,7 +2282,11 @@ FROM ({_gen.token_budget_sql(budget=4000)})
     "mixture_sample_docs": _gen.mixture_sample_sql(),
     "token_histogram_docs": _gen.token_histogram_sql(),
     "dedup_tokens_docs": _gen.dedup_tokens_sql(),
-    "span_dedup_docs": _gen.span_dedup_sql(),
+    "span_dedup_docs": f"""
+SELECT 'oneshot' AS q, * FROM ({_gen.span_dedup_sql()})
+UNION ALL
+SELECT 'incremental', * FROM ({_gen.span_dedup_sql()})
+""",
     "token_rarity_docs": _gen.token_rarity_sql(),
     "doc_frequency_docs": _gen.doc_frequency_sql(),
     "bigram_topk_docs": _gen.bigram_topk_sql(),

@@ -242,3 +242,108 @@ def test_run_clean_span_dedup_stage(ray_session, tmp_path):
     assert got["tokens"].to_pylist() == [a, b]
     assert got["n_tok"].to_pylist() == [30, 20]
     assert got["n_removed"].to_pylist() == [0, 12]
+
+
+def _seq_ds(rows, ids):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "tokens": pa.array(rows, pa.list_(pa.int32())),
+            }
+        )
+    )
+
+
+def _collect(ds):
+    t = pa.concat_tables(
+        list(ds.iter_batches(batch_format="pyarrow", batch_size=None)),
+        promote_options="default",
+    )
+    return {
+        t["doc_id"][i].as_py(): (
+            t["tokens"][i].as_py(),
+            t["n_removed"][i].as_py(),
+        )
+        for i in range(t.num_rows)
+    }
+
+
+def test_incremental_span_dedup_cross_tick(ray_session, tmp_path):
+    """Tick-2 copies of tick-1 committed content die without
+    re-hashing tick 1; union of tick outputs == one-shot over the
+    union (later ticks carry larger ids)."""
+    from beamium_ray.datapipe.incdedup import IncrementalSpanDedup
+
+    rng = np.random.default_rng(21)
+    a = rng.integers(1000, 50000, size=30).tolist()
+    b = rng.integers(1000, 50000, size=30).tolist()
+    t1_rows = [a, b]  # ids 0, 1
+    # id 2: copies a's prefix (cross-tick dup); id 3: fresh; id 4:
+    # copies id 3's prefix (within-tick dup)
+    c = rng.integers(1000, 50000, size=30).tolist()
+    t2_rows = [
+        a[:12] + rng.integers(1000, 50000, size=10).tolist(),
+        c,
+        c[:15] + rng.integers(1000, 50000, size=8).tolist(),
+    ]
+    inc = IncrementalSpanDedup(
+        str(tmp_path / "store"), window=8, id_col="doc_id"
+    )
+    out1 = _collect(inc.tick(_seq_ds(t1_rows, [0, 1]), batch_key="t1"))
+    out2 = _collect(inc.tick(_seq_ds(t2_rows, [2, 3, 4]), batch_key="t2"))
+    assert out1[0] == (a, 0) and out1[1] == (b, 0)
+    assert out2[2] == (t2_rows[0][12:], 12)  # committed prefix died
+    assert out2[3] == (c, 0)
+    assert out2[4] == (t2_rows[2][15:], 15)  # within-tick dup died
+    # equivalence with one-shot over the union
+    one = _run(
+        pa.table(
+            {
+                "ord": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                "tokens": pa.array(
+                    t1_rows + t2_rows, pa.list_(pa.int32())
+                ),
+            }
+        )
+    )
+    both = {**out1, **out2}
+    assert {k: v for k, v in one.items()} == both
+
+
+def test_incremental_span_dedup_replay_and_store_growth(
+    ray_session, tmp_path
+):
+    """A committed batch_key replays byte-identically without
+    advancing the store; re-feeding committed CONTENT adds no store
+    rows (O(distinct windows) forever)."""
+    import glob
+    import json as _json
+
+    from beamium_ray.datapipe.incdedup import IncrementalSpanDedup
+
+    rng = np.random.default_rng(9)
+    a = rng.integers(1000, 50000, size=25).tolist()
+    store = str(tmp_path / "store")
+    inc = IncrementalSpanDedup(store, window=8, id_col="doc_id")
+    out1 = _collect(inc.tick(_seq_ds([a], [0]), batch_key="k1"))
+    files1 = sorted(glob.glob(f"{store}/windows/bkt=*/*.parquet"))
+    man1 = _json.load(open(f"{store}/windows/MANIFEST.json"))
+    # replay: same key → same output, store untouched
+    rep = _collect(inc.tick(_seq_ds([a], [0]), batch_key="k1"))
+    assert rep == out1
+    assert sorted(glob.glob(f"{store}/windows/bkt=*/*.parquet")) == files1
+    assert _json.load(open(f"{store}/windows/MANIFEST.json")) == man1
+    # a NEW batch with already-committed content: output strips it all,
+    # and the store gains NO new window rows (tick-2 files exist but
+    # hold zero fresh windows)
+    import pyarrow.parquet as pq_
+
+    out2 = _collect(inc.tick(_seq_ds([a], [7]), batch_key="k2"))
+    assert out2[7] == ([], 25)
+    n1 = sum(pq_.read_table(f).num_rows for f in files1)
+    files2 = sorted(glob.glob(f"{store}/windows/bkt=*/*.parquet"))
+    n2 = sum(pq_.read_table(f).num_rows for f in files2)
+    assert n2 == n1
