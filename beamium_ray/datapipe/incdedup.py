@@ -930,7 +930,7 @@ class IncrementalSpanDedup:
 
         from beamium_ray.datapipe.spandedup import (
             _BroadcastApply,
-            token_window_hashes_batch,
+            _occurrence_fn,
         )
         from beamium_ray.functions.cluster import cached_stage
 
@@ -938,40 +938,36 @@ class IncrementalSpanDedup:
         replay = batch_key is not None and man.get("last_batch") == batch_key
         tick = man["tick"] if replay else man["tick"] + 1
         mat = new_ds.materialize()
-        if mat.count() == 0:
-            return mat  # empty batch → no-op, nothing committed
-
         lc, ic, w = self.list_col, self.id_col, self.window
+        if mat.count() == 0:
+            # empty batch → no-op commit-wise, but the OUTPUT contract
+            # (n_tok rewritten, n_removed appended) must hold so a
+            # watch loop can union/append tick outputs across empty
+            # ticks without schema drift
+            import ray.data
 
-        def occ(b: pa.Table) -> pa.Table:
-            h1, h2, ridx, pos = token_window_hashes_batch(
-                b, list_col=lc, window=w
-            )
-            ids = b[ic]
-            if isinstance(ids, pa.ChunkedArray):
-                ids = ids.combine_chunks()
-            ids = ids.to_numpy(zero_copy_only=False).astype(np.int64)[ridx]
-            return pa.table(
-                {
-                    "h1": pa.array(h1.astype(np.int64), pa.int64()),
-                    "h2": pa.array(h2.astype(np.int64), pa.int64()),
-                    "id": pa.array(ids, pa.int64()),
-                    "pos": pa.array(pos, pa.int64()),
-                }
+            sch = mat.schema()
+            if sch is None:
+                return mat
+            fields = [
+                (n, pa.int64()) if n == "n_removed" else (n, t)
+                for n, t in zip(sch.names, sch.types)
+            ]
+            if "n_removed" not in sch.names:
+                fields.append(("n_removed", pa.int64()))
+            return ray.data.from_arrow(
+                pa.schema(fields).empty_table()
             )
 
+        occ = _occurrence_fn(lc, ic, w, None)
         # bounded-tick contract (the minhash band store's): the NEW
         # batch's narrow occurrence rows come to the driver
-        occ_parts = list(
-            mat.map_batches(
-                occ, batch_format="pyarrow", batch_size=None
-            ).iter_batches(batch_format="pyarrow", batch_size=None)
-        )
-        occ_t = (
-            pa.concat_tables(occ_parts)
-            if occ_parts
-            else occ(pa.table({ic: pa.array([], pa.int64()),
-                               lc: pa.array([], pa.list_(pa.int32()))}))
+        occ_t = pa.concat_tables(
+            list(
+                mat.map_batches(
+                    occ, batch_format="pyarrow", batch_size=None
+                ).iter_batches(batch_format="pyarrow", batch_size=None)
+            )
         )
         h1 = occ_t["h1"].to_numpy().astype(np.uint64)
         h2 = occ_t["h2"].to_numpy().astype(np.uint64)
@@ -1006,16 +1002,26 @@ class IncrementalSpanDedup:
         )
 
         if not replay:
+            # a crashed tick may have committed files for a DIFFERENT
+            # batch under this tick number (the watcher contract feeds
+            # the same batch back, but defend anyway): sweep every
+            # tick-<n> file first so stale windows can't outlive the
+            # batch that wrote them and delete future content whose
+            # committed copy never shipped
+            wroot = os.path.join(self.dir, "windows")
+            stale = f"tick-{tick:05d}.parquet"
+            for d in os.listdir(wroot):
+                p = os.path.join(wroot, d, stale)
+                if d.startswith("bkt=") and os.path.exists(p):
+                    os.remove(p)
             # store grows by the batch's distinct windows NOT already
-            # committed (O(distinct) forever); deterministic filenames
-            # overwrite on crash replay
+            # committed (O(distinct) forever)
             rep_idx = o[first]
             fresh = rep_idx[~store_mark[rep_idx]]
             r1, r2 = h1[fresh], h2[fresh]
-            for b in sorted(
-                set((r1 % np.uint64(self.B)).astype(np.int64).tolist())
-            ):
-                sel = (r1 % np.uint64(self.B)).astype(np.int64) == b
+            rbkt = (r1 % np.uint64(self.B)).astype(np.int64)
+            for b in sorted(set(rbkt.tolist())):
+                sel = rbkt == b
                 _atomic_write_table(
                     pa.table(
                         {

@@ -146,7 +146,14 @@ def token_window_hashes_batch(
     )
 
 
-def _occurrence_fn(list_col: str, id_col: str, window: int, P: int):
+def _occurrence_fn(
+    list_col: str, id_col: str, window: int, P: int | None
+):
+    """Occurrence-row builder shared by the one-shot op and the
+    incremental store (``P=None`` omits the bucket column) — one
+    definition so the two paths can never diverge on column
+    names/dtypes feeding the shared apply kernel."""
+
     def occ(b: pa.Table) -> pa.Table:
         h1, h2, ridx, pos = token_window_hashes_batch(
             b, list_col=list_col, window=window
@@ -155,17 +162,17 @@ def _occurrence_fn(list_col: str, id_col: str, window: int, P: int):
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
         ids = ids.to_numpy(zero_copy_only=False).astype(np.int64)[ridx]
-        return pa.table(
-            {
-                "h1": pa.array(h1.astype(np.int64), pa.int64()),
-                "h2": pa.array(h2.astype(np.int64), pa.int64()),
-                "id": pa.array(ids, pa.int64()),
-                "pos": pa.array(pos, pa.int64()),
-                "bucket": pa.array(
-                    (h1 % np.uint64(P)).astype(np.int32), pa.int32()
-                ),
-            }
-        )
+        cols = {
+            "h1": pa.array(h1.astype(np.int64), pa.int64()),
+            "h2": pa.array(h2.astype(np.int64), pa.int64()),
+            "id": pa.array(ids, pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+        }
+        if P is not None:
+            cols["bucket"] = pa.array(
+                (h1 % np.uint64(P)).astype(np.int32), pa.int32()
+            )
+        return pa.table(cols)
 
     return occ
 
@@ -282,7 +289,12 @@ def apply_span_marks(
         if name == list_col:
             cols[name] = new_list
         elif name == "n_tok":
-            cols[name] = pa.array(kept_per_row.astype(np.int32), pa.int32())
+            # preserve the input's dtype: a forced int32 here would
+            # silently retype an int64 column AND mismatch the
+            # distributed route's empty-group blocks (original schema)
+            cols[name] = pc.cast(
+                pa.array(kept_per_row), batch.schema.field(name).type
+            )
         else:
             c = batch[name]
             cols[name] = (

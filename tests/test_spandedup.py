@@ -347,3 +347,40 @@ def test_incremental_span_dedup_replay_and_store_growth(
     files2 = sorted(glob.glob(f"{store}/windows/bkt=*/*.parquet"))
     n2 = sum(pq_.read_table(f).num_rows for f in files2)
     assert n2 == n1
+
+
+def test_empty_tick_keeps_output_schema(ray_session, tmp_path):
+    """An empty tick returns the same schema as non-empty ticks
+    (n_removed present) so watch loops can union tick outputs."""
+    from beamium_ray.datapipe.incdedup import IncrementalSpanDedup
+
+    inc = IncrementalSpanDedup(
+        str(tmp_path / "store"), window=8, id_col="doc_id"
+    )
+    full = inc.tick(_seq_ds([[1] * 10], [0]), batch_key="a")
+    empty = inc.tick(_seq_ds([], []), batch_key="b")
+    assert empty.count() == 0
+    assert sorted(empty.schema().names) == sorted(full.schema().names)
+    full.union(empty).materialize()  # must not schema-mismatch
+
+
+def test_n_tok_dtype_preserved(ray_session):
+    """apply_span_marks keeps the input n_tok dtype (int64 stays
+    int64) on both routes — no silent retype, no mixed blocks."""
+    t = pa.table(
+        {
+            "ord": pa.array([0, 1], pa.int64()),
+            "tokens": pa.array(
+                [list(range(20)), list(range(20))], pa.list_(pa.int32())
+            ),
+            "n_tok": pa.array([20, 20], pa.int64()),
+        }
+    )
+    import ray.data
+
+    for dist in (False, True):
+        out = remove_duplicate_spans(
+            ray.data.from_arrow(t), window=8, distributed=dist
+        )
+        sch = out.schema()
+        assert dict(zip(sch.names, sch.types))["n_tok"] == pa.int64()
