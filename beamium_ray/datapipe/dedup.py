@@ -277,15 +277,63 @@ def _char_shingle_hashes(
     return out, new_off
 
 
+def _token_shingle_hashes(
+    col: pa.Array | pa.ChunkedArray, k: int = 8
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per row: uint64 hashes of all k-TOKEN shingles of a list<int>
+    column — the tokens-native sibling of :func:`_char_shingle_hashes`
+    (identical (hashes, row offsets) contract; same polynomial family
+    as decontam's token grams: splitmix per token, k-round poly).
+    Null lists contribute zero shingles."""
+    from beamium_ray.datapipe.decontam import GRAM_Q
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(
+        np.uint64
+    )
+    lens = (
+        pc.fill_null(pc.list_value_length(col), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    n_grams = np.maximum(lens - k + 1, 0)
+    off = np.concatenate(([0], np.cumsum(n_grams)))
+    if len(vals) < k or off[-1] == 0:
+        return np.zeros(0, np.uint64), off
+    rows = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    h = splitmix64(vals)
+    n = len(h) - k + 1
+    acc = np.zeros(n, np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            acc = acc * GRAM_Q + h[j:j + n]
+    valid = rows[:n] == rows[k - 1:]
+    return splitmix64(acc[valid]), off
+
+
+def _shingle_hashes(
+    source: pa.Array | pa.ChunkedArray, k: int, shingles: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Dispatch: 'chars' shingles a text column, 'tokens' a list<int>
+    token column; same (hashes, row offsets) contract either way."""
+    if shingles == "tokens":
+        return _token_shingle_hashes(source, k)
+    return _char_shingle_hashes(source, k)
+
+
 _MINHASH_A = splitmix64(np.arange(1, 4097, dtype=np.uint64) * np.uint64(0x9E37))
 _MINHASH_B = splitmix64(np.arange(1, 4097, dtype=np.uint64) * np.uint64(0x85EB))
 
 
 def minhash_signatures(
-    text: pa.Array, num_perm: int = 128, k: int = 5
+    text: pa.Array, num_perm: int = 128, k: int = 5,
+    shingles: str = "chars",
 ) -> np.ndarray:
-    """(n_rows, num_perm) uint64 MinHash signatures; empty rows → max."""
-    h, off = _char_shingle_hashes(text, k)
+    """(n_rows, num_perm) uint64 MinHash signatures; empty rows → max.
+    ``shingles='tokens'`` treats the column as list<int> token arrays
+    and shingles k-token grams instead of k-byte windows."""
+    h, off = _shingle_hashes(text, k, shingles)
     n = len(off) - 1
     sigs = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     if len(h) == 0:
@@ -343,23 +391,32 @@ def minhash_sig_batch(
     id_col: str = "doc_id",
     num_perm: int = 128,
     k: int = 5,
+    shingles: str = "chars",
 ) -> pa.Table:
     """(doc_id, sig list<int64>, tb) — the narrow signature table
-    (1 KB/doc at 128 perms; ``tb`` = text bytes, a free statistic from
-    the pass the engine already pays so the distributed verify can make
-    a measured prefilter-vs-direct-verify cost decision). Computed
+    (1 KB/doc at 128 perms; ``tb`` = payload bytes, a free statistic
+    from the pass the engine already pays so the distributed verify can
+    make a measured prefilter-vs-direct-verify cost decision). Computed
     ONCE; band rows and the verification prefilter both derive from it
-    instead of re-shingling the text."""
+    instead of re-shingling the payload."""
     text = batch[text_col]
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
-    sigs = minhash_signatures(text, num_perm, k)
+    sigs = minhash_signatures(text, num_perm, k, shingles)
     n = sigs.shape[0]
     off = pa.array(np.arange(n + 1, dtype=np.int32) * num_perm, pa.int32())
     ids = batch[id_col]
     if isinstance(ids, pa.ChunkedArray):
         ids = ids.combine_chunks()
-    tb = pc.cast(pc.binary_length(pc.fill_null(text, "")), pa.int64())
+    if shingles == "tokens":
+        tb = pc.cast(
+            pc.multiply(
+                pc.fill_null(pc.list_value_length(text), 0), 4
+            ),
+            pa.int64(),
+        )
+    else:
+        tb = pc.cast(pc.binary_length(pc.fill_null(text, "")), pa.int64())
     return pa.table(
         {
             "doc_id": ids,
@@ -401,9 +458,10 @@ def minhash_bands_batch(
     num_perm: int = 128,
     bands: int = 32,
     k: int = 5,
+    shingles: str = "chars",
 ) -> pa.Table:
     """Emit (band, band_hash, doc_id) rows — the LSH index entries."""
-    sigs = minhash_signatures(batch[text_col], num_perm, k)
+    sigs = minhash_signatures(batch[text_col], num_perm, k, shingles)
     n = sigs.shape[0]
     bh = _band_hashes(sigs, bands)
     ids = batch[id_col]
@@ -816,19 +874,20 @@ def sigs_from_sig_ds(
 
 def shingle_sets_for(
     ds, ids: np.ndarray, text_col: str = "text", id_col: str = "doc_id",
-    k: int = 5,
+    k: int = 5, shingles: str = "chars",
 ) -> dict[int, np.ndarray]:
     """Fetch the unique-shingle-hash set of each requested doc via ONE
-    filtered streaming pass (ships only (id, text) to the driver side
-    of the iterator; shingling happens here per batch)."""
+    filtered streaming pass (ships only (id, payload) to the driver
+    side of the iterator; shingling happens here per batch)."""
     from beamium_ray.functions.fetch import iter_rows_by_ids
 
     out: dict[int, np.ndarray] = {}
     for b in iter_rows_by_ids(ds, id_col, ids, columns=[id_col, text_col]):
-        h, off = _char_shingle_hashes(
+        h, off = _shingle_hashes(
             b[text_col].combine_chunks()
             if isinstance(b[text_col], pa.ChunkedArray) else b[text_col],
             k,
+            shingles,
         )
         for i, d in enumerate(b[id_col].to_pylist()):
             out[d] = np.unique(h[off[i]: off[i + 1]])
@@ -1064,9 +1123,16 @@ def minhash_dedup(
     distributed: bool | None = None,
     metrics: dict | None = None,
     metrics_path: str | None = None,
+    shingles: str = "chars",
 ):
     """Near-dup clusters via MinHash-LSH: Dataset of (doc_id, cluster),
     cluster = min doc_id of the connected component.
+
+    ``shingles='tokens'`` runs the identical pipeline over a PRE-
+    TOKENIZED corpus: ``text_col`` is a list<int> token column,
+    shingles are k-token grams, and exact verification compares
+    k-token-gram sets — the input-table-native near-dup (the canonical
+    sequence table is (doc_id, tokens, n_tok, source)).
 
     verify_threshold=None (scale default): components over raw LSH
     band-collision edges — star edges per bucket, nothing quadratic,
@@ -1112,7 +1178,7 @@ def minhash_dedup(
     if verify_threshold is None:
         band_rows = ds.map_batches(
             lambda b: minhash_bands_batch(
-                b, text_col, id_col, num_perm, bands, k
+                b, text_col, id_col, num_perm, bands, k, shingles
             ),
             batch_format="pyarrow",
             batch_size=None,
@@ -1133,7 +1199,9 @@ def minhash_dedup(
     # (1 KB/doc); band rows AND the verify prefilter both derive from
     # it — no second shingling pass over the corpus
     sig_ds = ds.map_batches(
-        lambda b: minhash_sig_batch(b, text_col, id_col, num_perm, k),
+        lambda b: minhash_sig_batch(
+            b, text_col, id_col, num_perm, k, shingles
+        ),
         batch_format="pyarrow",
         batch_size=None,
     ).materialize()
@@ -1208,7 +1276,7 @@ def minhash_dedup(
         touched = np.array(
             [i for p in pairs for i in p] or [0], dtype=np.int64
         )
-        sets = shingle_sets_for(ds, touched, text_col, id_col, k)
+        sets = shingle_sets_for(ds, touched, text_col, id_col, k, shingles)
         jac = _jaccard_for_pairs(pairs, sets)
         keep = jac >= verify_threshold
         edge_tbl = pa.table(
@@ -1239,10 +1307,16 @@ def minhash_dedup(
     # true dups after the prefilter, so duplication stays small).
     from beamium_ray.datapipe.pairjoin import (
         jaccard_text_metric,
+        jaccard_tokens_metric,
         pair_metric_join,
         sig_agreement_metric,
     )
     from beamium_ray.functions.cluster import default_partitions
+
+    verify_metric = (
+        jaccard_tokens_metric(k) if shingles == "tokens"
+        else jaccard_text_metric(k)
+    )
 
     P = num_partitions or default_partitions()
     # measured cost decision: the sig-agreement prefilter exists to cut
@@ -1277,7 +1351,7 @@ def minhash_dedup(
         )
     _phase("prefilter_s")
     ver = pair_metric_join(
-        surv, ds, id_col, text_col, jaccard_text_metric(k), P, "jaccard",
+        surv, ds, id_col, text_col, verify_metric, P, "jaccard",
         prune_hint=surv.count() if use_prefilter else n_pairs,
     )
     edges = ver.map_batches(

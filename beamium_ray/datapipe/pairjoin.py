@@ -361,9 +361,25 @@ def jaccard_text_metric(k: int = 5):
     pair side, not the ~8× larger shingle sets)."""
     from beamium_ray.datapipe.dedup import _char_shingle_hashes
 
+    return _jaccard_metric(lambda arr: _char_shingle_hashes(arr, k))
+
+
+def jaccard_tokens_metric(k: int = 8):
+    """Exact k-TOKEN-gram-set Jaccard over aligned list<int> token
+    rows — the tokens-native sibling (the shuffle ships the 4 B/token
+    payload once per pair side; gram hashing happens here)."""
+    from beamium_ray.datapipe.dedup import _token_shingle_hashes
+
+    return _jaccard_metric(lambda arr: _token_shingle_hashes(arr, k))
+
+
+def _jaccard_metric(shingle_fn):
+    """Shared vectorized |A∩B|/|A∪B| over per-row unique shingle-hash
+    sets produced by ``shingle_fn(arr) -> (hashes, row offsets)``."""
+
     def _sets(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
         """Per-row UNIQUE shingle hashes: (values, row lengths)."""
-        h, off = _char_shingle_hashes(arr, k)
+        h, off = shingle_fn(arr)
         n = len(off) - 1
         if len(h) == 0:
             return h, np.zeros(n, np.int64)

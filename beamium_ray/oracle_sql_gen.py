@@ -1205,3 +1205,75 @@ SELECT ord,
        token
 FROM kept
 """
+
+
+def token_jaccard_clusters_sql(
+    threshold: float = 0.8, k: int = 8,
+    table: str = "documents", vocab: int = 50257,
+) -> str:
+    """Exact SQL for minhash_dedup(shingles='tokens'): regenerate every
+    token with the PLANT rule (ord % 9 = 4 takes the FULL token array
+    of ord-4 with the last two tokens replaced by its own derive —
+    J = (n-9)/(n-5), so planted pairs with n_src >= 25 merge and
+    shorter ones land exactly under the 0.8 threshold: a boundary
+    fixture), build every k-token gram by VALUE string, take exact
+    per-doc distinct-gram-set Jaccard, and close components
+    recursively. Same IEEE double division as the engine."""
+    chain, final, _ = _splitmix_chain([("ntok_h", 0x5EED_0001)])
+    tok_chain, tok_final = splitmix_cte_steps(
+        "positions", "x", "tok_h", "ord, p", "sm_tok"
+    )
+    g_parts = " || '-' || ".join(
+        ["CAST(token AS VARCHAR)"]
+        + [
+            f"CAST(lead(token, {j}) OVER w AS VARCHAR)"
+            for j in range(1, k)
+        ]
+    )
+    return f"""
+WITH RECURSIVE base AS (SELECT CAST(doc_id AS HUGEINT) AS i FROM {table}),
+{chain},
+ntab AS (
+  SELECT CAST(i AS BIGINT) AS ord,
+         CAST(16 + (ntok_h % 497) AS BIGINT) AS n
+  FROM {final}),
+eff AS (
+  SELECT a.ord,
+         CASE WHEN a.ord % 9 = 4 THEN b.n ELSE a.n END AS n,
+         (a.ord % 9 = 4) AS planted
+  FROM ntab a LEFT JOIN ntab b ON b.ord = a.ord - 4),
+positions0 AS (
+  SELECT ord, n, planted, unnest(range(0, n)) AS p FROM eff),
+positions AS (
+  SELECT ord, p,
+         CAST(xor(CAST((CASE WHEN planted AND p < n - 2
+                             THEN ord - 4 ELSE ord END)
+                       AS UBIGINT) * 1048576,
+                  CAST(p AS UBIGINT)) AS HUGEINT) AS x
+  FROM positions0),
+{tok_chain},
+toks AS (
+  SELECT ord, p, CAST(tok_h % {vocab} AS BIGINT) AS token
+  FROM {tok_final}),
+wins AS (
+  SELECT ord, p, {g_parts} AS gw,
+         lead(token, {k - 1}) OVER w AS t_last
+  FROM toks WINDOW w AS (PARTITION BY ord ORDER BY p)),
+shng AS (
+  SELECT ord AS doc_id, list_distinct(list(gw)) AS s
+  FROM wins WHERE t_last IS NOT NULL GROUP BY ord),
+edges AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM shng x JOIN shng y ON x.doc_id < y.doc_id
+  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+        greatest(len(x.s) + len(y.s) - len(list_intersect(x.s, y.s)), 1)
+        >= {threshold}
+),
+e2 AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(doc_id, r) AS (
+  SELECT CAST(doc_id AS BIGINT), CAST(doc_id AS BIGINT) FROM {table}
+  UNION
+  SELECT reach.doc_id, e2.b FROM reach JOIN e2 ON e2.a = reach.r
+)
+SELECT doc_id, min(r) AS cluster FROM reach GROUP BY doc_id
+"""

@@ -829,6 +829,75 @@ def span_dedup_docs(sf_dir: str):
     )
 
 
+def dedup_minhash_tokens_docs(sf_dir: str):
+    """MinHash-LSH near-dup over PRE-TOKENIZED sequences — the
+    input-table-native variant (the canonical table is (doc_id,
+    tokens, n_tok, source); shingles are 8-TOKEN grams, verification
+    is exact token-gram-set Jaccard ≥ 0.8). Plant: rows with
+    ord % 9 == 4 take the FULL token array of ord-4 with the last two
+    tokens replaced by their own derive — J = (n-9)/(n-5), so pairs
+    with n_src ≥ 25 merge and shorter ones fall exactly under the
+    threshold (a boundary fixture: the exact verify, not the banding,
+    must decide). Auto and forced-distributed routes must agree; the
+    oracle recomputes gram-set Jaccard BY VALUE + the recursive
+    closure in SQL."""
+    from beamium_ray.datapipe.dedup import minhash_dedup
+    from beamium_ray.functions.hashing import splitmix64
+    from beamium_ray.sources.tokens import _NTOK_SALT, VOCAB
+
+    def plant(b: pa.Table) -> pa.Table:
+        i = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        iu = i.astype(np.uint64)
+        n_own = (
+            16 + (splitmix64(iu ^ _NTOK_SALT) % np.uint64(497))
+        ).astype(np.int64)
+        m = i % 9 == 4
+        n_src = (
+            16
+            + (splitmix64((iu - np.uint64(4)) ^ _NTOK_SALT)
+               % np.uint64(497))
+        ).astype(np.int64)
+        eff_n = np.where(m, n_src, n_own)
+        total = int(eff_n.sum())
+        rows_rep = np.repeat(np.arange(len(i), dtype=np.int64), eff_n)
+        starts = np.concatenate(([0], np.cumsum(eff_n)))[:-1]
+        j = (np.arange(total, dtype=np.int64) - starts[rows_rep]).astype(
+            np.uint64
+        )
+        take_src = m[rows_rep] & (
+            j < (eff_n[rows_rep] - 2).astype(np.uint64)
+        )
+        src_id = np.where(take_src, iu[rows_rep] - np.uint64(4),
+                          iu[rows_rep])
+        toks = (
+            splitmix64((src_id << np.uint64(20)) ^ j) % np.uint64(VOCAB)
+        ).astype(np.int32)
+        off = np.concatenate(([0], np.cumsum(eff_n))).astype(np.int32)
+        arr = pa.ListArray.from_arrays(
+            pa.array(off, pa.int32()), pa.array(toks, pa.int32())
+        )
+        return pa.table(
+            {"doc_id": pa.array(i, pa.int64()), "tokens": arr}
+        )
+
+    seq = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        plant, batch_format="pyarrow", batch_size=None
+    ).materialize()  # both routes share one derive
+    kw = dict(
+        text_col="tokens", id_col="doc_id", k=8,
+        verify_threshold=0.8, shingles="tokens",
+    )
+    return _union(
+        [
+            _tag(minhash_dedup(seq, **kw), "route", "auto"),
+            _tag(
+                minhash_dedup(seq, distributed=True, **kw),
+                "route", "distributed",
+            ),
+        ]
+    )
+
+
 def _unnest_tokens(b: pa.Table, extra: str | None = None) -> pa.Table:
     """(ord[, extra], tokens) → one row per token: (ord[, extra], pos
     within the row's list, token). Shared by the chunking gates."""
@@ -2287,6 +2356,11 @@ SELECT 'oneshot' AS q, * FROM ({_gen.span_dedup_sql()})
 UNION ALL
 SELECT 'incremental', * FROM ({_gen.span_dedup_sql()})
 """,
+    "dedup_minhash_tokens_docs": f"""
+SELECT 'auto' AS route, * FROM ({_gen.token_jaccard_clusters_sql()})
+UNION ALL
+SELECT 'distributed', * FROM ({_gen.token_jaccard_clusters_sql()})
+""",
     "token_rarity_docs": _gen.token_rarity_sql(),
     "doc_frequency_docs": _gen.doc_frequency_sql(),
     "bigram_topk_docs": _gen.bigram_topk_sql(),
@@ -2644,6 +2718,7 @@ QUERIES = {
     "bigram_topk_docs": bigram_topk_docs,
     "dedup_tokens_docs": dedup_tokens_docs,
     "span_dedup_docs": span_dedup_docs,
+    "dedup_minhash_tokens_docs": dedup_minhash_tokens_docs,
     "sequence_chunking_docs": sequence_chunking_docs,
     "pack_offsets_docs": pack_offsets_docs,
     "length_batches_docs": length_batches_docs,

@@ -179,6 +179,7 @@ QUERY_NAMES = [
     "token_rarity_docs",
     "bigram_topk_docs",
     "dedup_tokens_docs",
+    "dedup_minhash_tokens_docs",
     "span_dedup_docs",
     "sequence_chunking_docs",
     "pack_offsets_docs",

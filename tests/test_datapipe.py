@@ -1919,3 +1919,67 @@ def test_token_budget_per_key_semantics(ray_session):
     assert "huge" not in c     # every doc alone exceeds the budget
     with pytest.raises(ValueError, match="budget"):
         token_budget_per_key(ds, budget=0)
+
+
+def test_minhash_tokens_shingles(ray_session):
+    """shingles='tokens': near-identical token arrays (2 of 30 tokens
+    changed, J = 21/25 = 0.84) merge at tau=0.8; disjoint arrays stay
+    apart; a 0.84-J pair is decided by exact token-gram verify, and
+    the distributed route lands on identical clusters."""
+    import ray.data
+
+    from beamium_ray.datapipe.dedup import minhash_dedup
+
+    rng = np.random.default_rng(13)
+    a = rng.integers(100, 50000, size=30).tolist()
+    near = a[:28] + rng.integers(100, 50000, size=2).tolist()
+    other = rng.integers(100, 50000, size=30).tolist()
+    # J(a, near): shared 8-grams at positions 0..20 (21), each has 23
+    # grams -> 21/25 = 0.84 >= 0.8; J(a, other) = 0
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "tokens": pa.array([a, near, other], pa.list_(pa.int32())),
+        }
+    )
+    for dist in (None, True):
+        out = minhash_dedup(
+            ray.data.from_arrow(t), text_col="tokens", id_col="doc_id",
+            k=8, verify_threshold=0.8, shingles="tokens",
+            distributed=dist,
+        )
+        got = {
+            r["doc_id"]: r["cluster"]
+            for b in out.iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()
+        }
+        assert got == {0: 0, 1: 0, 2: 2}
+
+
+def test_minhash_tokens_subthreshold_rejected(ray_session):
+    """A token pair just UNDER tau must be rejected by the exact
+    verify even when banding proposes it: 4 of 20 tokens changed ->
+    shared grams 9, each 13 -> J = 9/17 = 0.53 < 0.8."""
+    import ray.data
+
+    from beamium_ray.datapipe.dedup import minhash_dedup
+
+    rng = np.random.default_rng(17)
+    a = rng.integers(100, 50000, size=20).tolist()
+    low = a[:16] + rng.integers(100, 50000, size=4).tolist()
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "tokens": pa.array([a, low], pa.list_(pa.int32())),
+        }
+    )
+    out = minhash_dedup(
+        ray.data.from_arrow(t), text_col="tokens", id_col="doc_id",
+        k=8, verify_threshold=0.8, shingles="tokens",
+    )
+    got = {
+        r["doc_id"]: r["cluster"]
+        for b in out.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    assert got == {0: 0, 1: 1}
