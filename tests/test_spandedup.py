@@ -384,3 +384,93 @@ def test_n_tok_dtype_preserved(ray_session):
         )
         sch = out.schema()
         assert dict(zip(sch.names, sch.types))["n_tok"] == pa.int64()
+
+
+def test_directory_watcher_incremental_span_dedup(ray_session, tmp_path):
+    """DirectoryWatcher with a span-dedup appender: parquet sequence
+    files landing across ticks are cleaned against the committed
+    window store and written per tick; a replayed pending batch
+    recomputes byte-identically (batch_key + excluded own-tick store
+    files)."""
+    import hashlib
+
+    import pyarrow.parquet as pq_
+
+    import ray.data
+
+    from beamium_ray.datapipe.incdedup import IncrementalSpanDedup
+    from beamium_ray.pipelines.watch import DirectoryWatcher
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = tmp_path / "out"
+    cleaned_root = out / "cleaned"
+    inc = IncrementalSpanDedup(
+        str(out / "span_store"), window=8, id_col="doc_id"
+    )
+    state = {"files": None}
+
+    def loader(files):
+        state["files"] = list(files)
+        return ray.data.read_parquet(files)
+
+    def appender(ds):
+        key = hashlib.sha256(
+            "\n".join(sorted(state["files"])).encode()
+        ).hexdigest()
+        cleaned = inc.tick(ds, batch_key=key)
+        # deterministic per-batch output dir; Ray's write_parquet
+        # APPENDS uniquely-named files, so a replay must sweep the
+        # batch dir first (per-batch dirs make that safe — only this
+        # batch's rows die, the resumable-output contract)
+        d = cleaned_root / key[:12]
+        if d.exists():
+            import shutil
+
+            shutil.rmtree(d)
+        cleaned.write_parquet(str(d))
+        return {"batch": key}
+
+    w = DirectoryWatcher(
+        str(landing), None, str(out), file_extension="parquet",
+        loader=loader, appender=appender,
+    )
+
+    rng = np.random.default_rng(31)
+    a = rng.integers(1000, 50000, size=30).tolist()
+    b = rng.integers(1000, 50000, size=30).tolist()
+
+    def land(name, ids, rows):
+        pq_.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "tokens": pa.array(rows, pa.list_(pa.int32())),
+                }
+            ),
+            landing / name,
+        )
+
+    land("t1.parquet", [0, 1], [a, b])
+    w.tick()
+    land("t2.parquet", [5], [a[:14] + rng.integers(1000, 50000, size=9).tolist()])
+    r2 = w.tick()
+
+    dirs = sorted(cleaned_root.iterdir())
+    assert len(dirs) == 2
+    got = pq_.read_table(str(cleaned_root)).sort_by("doc_id")
+    assert got["doc_id"].to_pylist() == [0, 1, 5]
+    assert got["n_removed"].to_pylist() == [0, 0, 14]
+    # committed prefix of `a` stripped from the tick-2 doc
+    assert len(got["tokens"].to_pylist()[2]) == 9
+
+    # crash replay of tick 2: pending restored → appender reruns with
+    # the same batch_key and overwrites the same cleaned files
+    st = w._load_state()
+    st["pending"] = {"files": r2["applied"]}
+    st["seen"] = [f for f in st["seen"] if f not in r2["applied"]]
+    w._save_state(st)
+    w.tick()
+    got2 = pq_.read_table(str(cleaned_root)).sort_by("doc_id")
+    assert got2["tokens"].to_pylist() == got["tokens"].to_pylist()
+    assert got2["n_removed"].to_pylist() == got["n_removed"].to_pylist()
