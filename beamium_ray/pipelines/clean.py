@@ -239,11 +239,20 @@ def _apply_dedup_minhash(ds, cfg: CleanConfig, params: dict):
     from beamium_ray.datapipe.dedup import minhash_dedup
 
     ds = ds.materialize()  # labels pass + final write both read ds
+    shingles = params.get("shingles", "chars")
     labels = minhash_dedup(
         ds,
-        text_col=cfg.text_col,
+        # shingles='tokens' dedups the PRE-TOKENIZED payload (after a
+        # tokenize stage): the shingled column is the token list, and
+        # k defaults to 8-token grams instead of 5-byte windows
+        text_col=params.get(
+            "text_col",
+            "tokens" if shingles == "tokens" else cfg.text_col,
+        ),
         id_col=cfg.id_col,
+        k=int(params.get("k", 8 if shingles == "tokens" else 5)),
         verify_threshold=params.get("verify_threshold"),
+        shingles=shingles,
     )
 
     def reps_only(b: pa.Table) -> pa.Table:

@@ -1983,3 +1983,47 @@ def test_minhash_tokens_subthreshold_rejected(ray_session):
         for r in b.to_pylist()
     }
     assert got == {0: 0, 1: 1}
+
+
+def test_run_clean_dedup_minhash_tokens_stage(ray_session, tmp_path):
+    """dedup_minhash stage with shingles=tokens: near-dup token arrays
+    collapse to the representative after a pre-tokenized input."""
+    import pyarrow.parquet as pq_
+
+    from beamium_ray.pipelines.clean import CleanConfig, run_clean
+
+    rng = np.random.default_rng(23)
+    a = rng.integers(100, 50000, size=30).tolist()
+    near = a[:28] + rng.integers(100, 50000, size=2).tolist()
+    other = rng.integers(100, 50000, size=30).tolist()
+    src = tmp_path / "in"
+    src.mkdir()
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "tokens": pa.array(
+                    [a, near, other], pa.list_(pa.int32())
+                ),
+            }
+        ),
+        src / "d.parquet",
+    )
+    out = tmp_path / "out"
+    res = run_clean(
+        CleanConfig(
+            input=str(src),
+            output=str(out),
+            stages=[
+                {
+                    "dedup_minhash": {
+                        "shingles": "tokens",
+                        "verify_threshold": 0.8,
+                    }
+                }
+            ],
+        )
+    )
+    assert res["rows_out"] == 2
+    got = pq_.read_table(str(out)).sort_by("doc_id")
+    assert got["doc_id"].to_pylist() == [0, 2]
