@@ -1920,6 +1920,91 @@ def asof_last_click_events(sf_dir: str):
     )
 
 
+def counter_rate_events(sf_dir: str):
+    """PromQL-style counter ``increase``/``rate`` with reset detection
+    (stages/rate.py): the cents value stream per event_type treated as
+    a cumulative counter; a drop means the counter reset and recounted
+    from 0. 1m AND 1h tiers emitted from ONE series-bucket shuffle."""
+    from beamium_ray.functions.cluster import shuffle_blocks_for
+    from beamium_ray.stages.rate import counter_increase_dataset
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value", "event_id"])
+    pts = ds.map_batches(_events_points, batch_format="pyarrow", batch_size=None)
+    rolled = counter_increase_dataset(
+        pts, {"1m": US_1M, "1h": US_1H}, order_col="order",
+        num_buckets=16, shuffle_blocks=shuffle_blocks_for(16),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "tier": t["tier"],
+                "event_type": t["series_key"],
+                "window_start": t["window_start"],
+                "increase": t["increase"],
+                "resets": t["resets"],
+                "n_deltas": t["n_deltas"],
+                "rate": t["rate"],
+            }
+        )
+
+    return rolled.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
+def gapfill_interp_events(sf_dir: str):
+    """Gap-fill with LINEAR INTERPOLATION of the ``last`` aggregate
+    (integer floor arithmetic — see gapfill_tier docstring): dense 1m
+    windows per series; missing windows get n=0 and a ``vlast`` value
+    interpolated between the bounding present windows' lasts."""
+    from beamium_ray.functions.cluster import shuffle_blocks_for
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value", "event_id"])
+    pts = ds.map_batches(_events_points, batch_format="pyarrow", batch_size=None)
+    rolled = rollup_dataset(
+        pts, {"1m": US_1M}, order_col="order", num_buckets=16,
+        gapfill=True, shuffle_blocks=shuffle_blocks_for(16),
+        gapfill_interpolate=True,
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["series_key"],
+                "window_start": t["window_start"],
+                "n": t["n"],
+                "vlast": t["last"],
+            }
+        )
+
+    return rolled.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
+def series_churn_events(sf_dir: str):
+    """Series-cardinality churn (TSDB ops staple): per (event_type, 1d
+    window) the count of distinct active users and of users appearing
+    for the FIRST time ever — catches label-cardinality explosions.
+    Two-level distinct partials, hash(uid) bucket shuffle of narrow
+    rows only (stages/rate.py:series_churn_dataset)."""
+    from beamium_ray.stages.rate import series_churn_dataset
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "user_id"])
+    out = series_churn_dataset(
+        ds, US_1D, "event_type", "user_id", "ts", num_buckets=16
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["cls"],
+                "window_start": t["window_start"],
+                "active_users": t["active_users"],
+                "new_users": t["new_users"],
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
 def lines_roundtrip_events(sf_dir: str):
     """Text-file ingest round-trips for BOTH wire formats in one gate
     entry (fmt='prometheus' / fmt='sensision'):
@@ -2672,6 +2757,99 @@ SELECT 'ivfpq', vec_id FROM ({_gen.ivf_pruned_sql()})
         f"SELECT '{route}' AS route, * FROM ({_gen.semantic_dedup_sql()})"
         for route in ("one_shot", "incremental")
     ),
+    # counter increase/rate: lag() replays the same (ts, event_id)
+    # ordering; the reset rule (drop → credit v in full) and the
+    # per-tier window floor are recomputed per row. rate = the SAME
+    # int64→double division both sides (IEEE-exact).
+    "counter_rate_events": f"""
+WITH pts AS (
+  SELECT event_type, epoch_us(ts) AS uts, {_CENTS} AS v, event_id
+  FROM events),
+d AS (
+  SELECT event_type, uts, v,
+         lag(v) OVER (PARTITION BY event_type ORDER BY uts, event_id) AS pv
+  FROM pts),
+dd AS (
+  SELECT event_type, uts,
+         CASE WHEN v >= pv THEN v - pv ELSE v END AS adj,
+         CASE WHEN v < pv THEN 1 ELSE 0 END AS r
+  FROM d WHERE pv IS NOT NULL)
+SELECT '1m' AS tier, event_type, uts - uts % {US_1M} AS window_start,
+       CAST(sum(adj) AS BIGINT) AS increase,
+       CAST(sum(r) AS BIGINT) AS resets,
+       count(*) AS n_deltas,
+       CAST(sum(adj) AS BIGINT) / 60.0 AS rate
+FROM dd GROUP BY 2, 3
+UNION ALL
+SELECT '1h', event_type, uts - uts % {US_1H},
+       CAST(sum(adj) AS BIGINT), CAST(sum(r) AS BIGINT),
+       count(*), CAST(sum(adj) AS BIGINT) / 3600.0
+FROM dd GROUP BY 2, 3
+""",
+    # interpolated gap-fill: dense per-series windows, then the
+    # bounding present lasts via IGNORE NULLS running windows; the
+    # interpolation replays the engine's integer floor arithmetic as
+    # floor() over a double division — exact, both operands are
+    # cents-scale (far below 2^53)
+    "gapfill_interp_events": f"""
+WITH w AS (
+  SELECT event_type,
+         epoch_us(ts) - (epoch_us(ts) % {US_1M}) AS window_start,
+         {_CENTS} AS v, event_id,
+         row_number() OVER (
+           PARTITION BY event_type, epoch_us(ts) - (epoch_us(ts) % {US_1M})
+           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events),
+agg AS (SELECT event_type, window_start, count(*) AS n,
+               max(CASE WHEN rn = 1 THEN v END) AS lastv
+        FROM w GROUP BY 1, 2),
+bounds AS (SELECT event_type, min(window_start) lo, max(window_start) hi
+           FROM agg GROUP BY 1),
+dense AS (
+  SELECT b.event_type, unnest(generate_series(b.lo, b.hi, {US_1M})) AS window_start
+  FROM bounds b),
+j AS (SELECT d.event_type, d.window_start, coalesce(a.n, 0) AS n, a.lastv
+      FROM dense d LEFT JOIN agg a
+        ON d.event_type = a.event_type AND d.window_start = a.window_start),
+f AS (SELECT *,
+        last_value(lastv IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY window_start
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN n > 0 THEN window_start END IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY window_start
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pw,
+        first_value(lastv IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY window_start
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN n > 0 THEN window_start END IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY window_start
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nw
+      FROM j)
+SELECT event_type, window_start, n,
+       CASE WHEN n > 0 THEN lastv
+            ELSE pv + CAST(floor(
+                   ((nv - pv) * ((window_start - pw) // {US_1M}))
+                   / ((nw - pw) // {US_1M})) AS BIGINT)
+       END AS vlast
+FROM f
+""",
+    "series_churn_events": """
+WITH w AS (
+  SELECT event_type, user_id,
+         epoch_us(ts) - (epoch_us(ts) % 86400000000) AS window_start
+  FROM events),
+act AS (SELECT event_type, window_start,
+               count(DISTINCT user_id) AS active_users
+        FROM w GROUP BY 1, 2),
+fst AS (SELECT event_type, user_id, min(window_start) AS w0
+        FROM w GROUP BY 1, 2),
+nw AS (SELECT event_type, w0 AS window_start, count(*) AS new_users
+       FROM fst GROUP BY 1, 2)
+SELECT a.event_type, a.window_start, a.active_users,
+       CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users
+FROM act a LEFT JOIN nw n
+  ON a.event_type = n.event_type AND a.window_start = n.window_start
+""",
 }
 
 
@@ -2683,6 +2861,9 @@ SELECT 'ivfpq', vec_id FROM ({_gen.ivf_pruned_sql()})
 QUERIES = {
     # --- events: windowed / streaming-shaped engine ops ---
     "rollup_tiers_events": rollup_tiers_events,
+    "counter_rate_events": counter_rate_events,
+    "gapfill_interp_events": gapfill_interp_events,
+    "series_churn_events": series_churn_events,
     "sliding_rollup_events": sliding_rollup_events,
     "session_windows_events": session_windows_events,
     "asof_last_click_events": asof_last_click_events,

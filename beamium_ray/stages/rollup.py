@@ -218,7 +218,8 @@ def cascade_tier(fine: pa.Table, tier_us: int) -> pa.Table:
 
 
 def gapfill_tier(
-    t: pa.Table, tier_us: int, max_gap_windows: int | None = None
+    t: pa.Table, tier_us: int, max_gap_windows: int | None = None,
+    interpolate: bool = False,
 ) -> pa.Table:
     """Dense windows per series between its own min/max window.
 
@@ -232,6 +233,18 @@ def gapfill_tier(
     of materializing an unbounded dense range — a series with points
     years apart would otherwise explode the output. None = fill all
     interior holes (the default / reference-fixture behavior).
+
+    ``interpolate``: gap rows additionally get their ``last`` column
+    linearly interpolated between the bounding present rows' ``last``
+    values, in INTEGER floor arithmetic (values here are integer
+    cents/micro-units by engine convention, queries.py module
+    docstring): ``pv + (nv - pv) * k // (gap + 1)`` with numpy floor
+    division — exact, order-independent, and reproducible in SQL as
+    ``floor()`` over a double division (both operands stay far below
+    2^53 at cents scale, so the double path is exact too). Every gap
+    row is interior (the dense range is per-series min..max window),
+    so both neighbors always exist; a null neighbor leaves the gap
+    row null. All other aggregates keep their null-gap semantics.
     """
     if t.num_rows == 0:
         return t
@@ -274,7 +287,16 @@ def gapfill_tier(
         vals[present] = arr_np
         # gap rows are null; present rows keep their original validity
         full_mask = mask.copy()
-        full_mask[present] |= ~np.asarray(src.is_valid())
+        valid_src = np.asarray(src.is_valid())
+        full_mask[present] |= ~valid_src
+        if interpolate and name == "last":
+            gap = ~present
+            pv_i = rid[gap]
+            nv_i = pv_i + 1  # same series: holes only exist mid-series
+            pv, nv = arr_np[pv_i], arr_np[nv_i]
+            den = hole[pv_i] + 1
+            vals[gap] = pv + np.floor_divide((nv - pv) * k[gap], den)
+            full_mask[gap] = ~(valid_src[pv_i] & valid_src[nv_i])
         out_cols[name] = pa.array(vals, src.type, mask=full_mask)
     nvals = np.zeros(total, dtype=np.int64)
     nvals[present] = t["n"].to_numpy()
@@ -299,6 +321,7 @@ def merge_cascade_gapfill(
     tiers: dict[str, int],
     gapfill: bool = True,
     gapfill_max_gap: int | None = None,
+    gapfill_interpolate: bool = False,
 ) -> pa.Table:
     """Per-bucket finalization: merge base tier, cascade coarser tiers,
     gap-fill each, union with a ``tier`` label column."""
@@ -326,7 +349,7 @@ def merge_cascade_gapfill(
     for name, us in order:
         m = merged[name]
         if gapfill:
-            m = gapfill_tier(m, us, gapfill_max_gap)
+            m = gapfill_tier(m, us, gapfill_max_gap, gapfill_interpolate)
         m = m.append_column("tier", pa.array([name] * m.num_rows, pa.string()))
         pieces.append(m)
     return pa.concat_tables(pieces)
@@ -343,6 +366,7 @@ def rollup_dataset(
     gapfill: bool = True,
     shuffle_blocks: int | None = None,
     gapfill_max_gap: int | None = None,
+    gapfill_interpolate: bool = False,
 ):
     """Full Ray Data rollup pipeline over a datapoint Dataset.
 
@@ -365,7 +389,9 @@ def rollup_dataset(
         )
 
     def _merge(group: pa.Table) -> pa.Table:
-        return merge_cascade_gapfill(group, tiers, gapfill, gapfill_max_gap)
+        return merge_cascade_gapfill(
+            group, tiers, gapfill, gapfill_max_gap, gapfill_interpolate
+        )
 
     partials = ds.map_batches(_partial, batch_format="pyarrow", batch_size=None)
     if shuffle_blocks:

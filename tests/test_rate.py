@@ -1,0 +1,221 @@
+"""Counter increase/rate + series churn + interpolated gap-fill."""
+
+import numpy as np
+import pyarrow as pa
+
+from beamium_ray.stages.rate import increase_bucket
+from beamium_ray.stages.rollup import gapfill_tier
+
+US_1M = 60_000_000
+US_1H = 3_600_000_000
+
+
+def brute_increase(keys, ts, vals, orders, tier_us):
+    """Per-series, (ts, order)-ordered adjusted deltas, per-window sums."""
+    out = {}
+    for s in sorted(set(keys)):
+        rows = sorted(
+            [(ts[i], orders[i], vals[i]) for i in range(len(keys)) if keys[i] == s]
+        )
+        for (pt, _, pv), (t, _, v) in zip(rows, rows[1:]):
+            w = t - t % tier_us
+            adj = v - pv if v >= pv else v
+            r = 1 if v < pv else 0
+            k = (s, w)
+            inc, rst, nd = out.get(k, (0, 0, 0))
+            out[k] = (inc + adj, rst + r, nd + 1)
+    return out
+
+
+def _mk_points(rng, n=400, n_series=5, span_us=3 * US_1H):
+    keys = rng.choice([f"s{i}" for i in range(n_series)], n).tolist()
+    ts = rng.integers(0, span_us, n).astype(np.int64)
+    vals = rng.integers(0, 10_000, n).astype(np.int64)
+    orders = np.arange(n, dtype=np.int64)
+    return keys, ts, vals, orders
+
+
+def test_increase_bucket_matches_brute_force():
+    rng = np.random.default_rng(7)
+    keys, ts, vals, orders = _mk_points(rng)
+    g = pa.table(
+        {
+            "series_key": pa.array(keys),
+            "ts": pa.array(ts),
+            "value": pa.array(vals),
+            "order": pa.array(orders),
+        }
+    )
+    for tier_us in (US_1M, US_1H):
+        got = increase_bucket(g, {"t": tier_us})
+        want = brute_increase(keys, ts, vals, orders, tier_us)
+        assert got.num_rows == len(want)
+        for row in got.to_pylist():
+            k = (row["series_key"], row["window_start"])
+            inc, rst, nd = want[k]
+            assert (row["increase"], row["resets"], row["n_deltas"]) == (
+                inc, rst, nd,
+            ), k
+            assert row["rate"] == inc / (tier_us / 1e6)
+
+
+def test_increase_reset_semantics():
+    """A drop credits the new value in full (counter restarted at 0)."""
+    g = pa.table(
+        {
+            "series_key": pa.array(["a"] * 4),
+            "ts": pa.array(np.array([0, 10, 20, 30], np.int64) * 1_000_000),
+            "value": pa.array(np.array([100, 150, 30, 40], np.int64)),
+            "order": pa.array(np.arange(4, dtype=np.int64)),
+        }
+    )
+    out = increase_bucket(g, {"1m": US_1M}).to_pylist()
+    assert len(out) == 1
+    # deltas: +50, reset→+30, +10 = 90; one reset; 3 deltas
+    assert out[0]["increase"] == 90
+    assert out[0]["resets"] == 1
+    assert out[0]["n_deltas"] == 3
+
+
+def test_increase_ties_break_on_order():
+    """Equal timestamps order by the order column (driver-stable)."""
+    g = pa.table(
+        {
+            "series_key": pa.array(["a"] * 3),
+            "ts": pa.array(np.zeros(3, np.int64)),
+            "value": pa.array(np.array([5, 1, 9], np.int64)),
+            "order": pa.array(np.array([2, 0, 1], np.int64)),
+        }
+    )
+    out = increase_bucket(g, {"1m": US_1M}).to_pylist()
+    # order 0,1,2 → values 1,9,5: deltas +8, reset→+5 = 13, 1 reset
+    assert out[0]["increase"] == 13 and out[0]["resets"] == 1
+
+
+def test_counter_increase_dataset_split_invariance(ray_session):
+    """The Dataset pipeline must not depend on block boundaries, and the
+    multi-tier output must equal per-tier brute force."""
+    import ray.data
+
+    from beamium_ray.stages.rate import counter_increase_dataset
+
+    rng = np.random.default_rng(13)
+    keys, ts, vals, orders = _mk_points(rng, n=600)
+    t = pa.table(
+        {
+            "series_key": pa.array(keys),
+            "ts": pa.array(ts),
+            "value": pa.array(vals),
+            "order": pa.array(orders),
+        }
+    )
+    for nblocks in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(nblocks)
+        got = pa.Table.from_pandas(
+            counter_increase_dataset(
+                ds, {"1m": US_1M, "1h": US_1H}, order_col="order",
+                num_buckets=4,
+            ).to_pandas()
+        )
+        for tier, tier_us in (("1m", US_1M), ("1h", US_1H)):
+            sub = got.filter(pa.compute.equal(got["tier"], tier))
+            want = brute_increase(keys, ts, vals, orders, tier_us)
+            assert sub.num_rows == len(want), (nblocks, tier)
+            for row in sub.to_pylist():
+                k = (row["series_key"], row["window_start"])
+                assert want[k] == (
+                    row["increase"], row["resets"], row["n_deltas"],
+                ), (nblocks, tier, k)
+
+
+def _merged_fixture(keys, ws, lasts):
+    n = len(ws)
+    z = np.zeros(n, dtype=np.int64)
+    return pa.table(
+        {
+            "series_key": pa.array(keys),
+            "window_start": pa.array(np.array(ws, np.int64)),
+            "vmin": pa.array(z),
+            "vmax": pa.array(z),
+            "vsum": pa.array(z),
+            "n": pa.array(np.ones(n, dtype=np.int64)),
+            "last": pa.array(np.array(lasts, np.int64)),
+            "last_ts": pa.array(np.array(ws, np.int64)),
+            "last_order": pa.array(z),
+        }
+    )
+
+
+def test_gapfill_interpolate_values():
+    """Hole of 3 between last=10 and last=22: floor interp 13, 16, 19."""
+    t = _merged_fixture(["a", "a"], [0, 4 * US_1M], [10, 22])
+    out = gapfill_tier(t, US_1M, interpolate=True)
+    rows = {r["window_start"]: r for r in out.to_pylist()}
+    assert [rows[i * US_1M]["last"] for i in range(5)] == [10, 13, 16, 19, 22]
+    assert [rows[i * US_1M]["n"] for i in range(5)] == [1, 0, 0, 0, 1]
+    # other aggregates keep null-gap semantics
+    assert rows[US_1M]["vsum"] is None
+
+
+def test_gapfill_interpolate_negative_slope_floors():
+    """Floor (not truncate-toward-zero) on a falling segment: 10 → 3
+    over a 2-hole: exact thirds 10, 7.67→7, 5.33→5, 3."""
+    t = _merged_fixture(["a", "a"], [0, 3 * US_1M], [10, 3])
+    out = gapfill_tier(t, US_1M, interpolate=True)
+    lasts = [r["last"] for r in out.sort_by("window_start").to_pylist()]
+    assert lasts == [10, 7, 5, 3]
+
+
+def test_gapfill_interpolate_series_boundary():
+    """No interpolation across different series; per-series ranges only."""
+    t = _merged_fixture(
+        ["a", "a", "b"], [0, 2 * US_1M, 5 * US_1M], [0, 100, 7]
+    )
+    out = gapfill_tier(t, US_1M, interpolate=True)
+    assert out.num_rows == 4  # a: 0,1m,2m; b: 5m
+    rows = {(r["series_key"], r["window_start"]): r for r in out.to_pylist()}
+    assert rows[("a", US_1M)]["last"] == 50
+
+
+def test_series_churn_matches_pandas(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from beamium_ray.stages.rate import series_churn_dataset
+
+    rng = np.random.default_rng(3)
+    n = 800
+    W = US_1H
+    t = pa.table(
+        {
+            "cls_in": pa.array(rng.choice(["x", "y"], n)),
+            "uid": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+            "ts": pa.array(rng.integers(0, 20 * W, n).astype(np.int64)),
+        }
+    )
+    got = (
+        series_churn_dataset(
+            ray.data.from_arrow(t).repartition(5), W, "cls_in", "uid", "ts",
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["cls", "window_start"])
+        .reset_index(drop=True)
+    )
+    df = t.to_pandas()
+    df["w"] = df["ts"] - df["ts"] % W
+    act = (
+        df.groupby(["cls_in", "w"])["uid"].nunique().rename("active_users")
+    )
+    first = df.groupby(["cls_in", "uid"])["w"].min().reset_index()
+    new = first.groupby(["cls_in", "w"]).size().rename("new_users")
+    want = (
+        pd.concat([act, new], axis=1)
+        .fillna(0)
+        .astype(np.int64)
+        .reset_index()
+        .rename(columns={"cls_in": "cls", "w": "window_start"})
+        .sort_values(["cls", "window_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
