@@ -149,6 +149,8 @@ def run_headline() -> dict:
 # gapfill_1m in one pipeline.
 QUERY_NAMES = [
     "rollup_tiers_events",
+    "counter_rate_events",
+    "series_churn_events",
     "sliding_rollup_events",
     "session_windows_events",
     "asof_last_click_events",
