@@ -32,10 +32,12 @@ def group_quantiles(
     value_col: str,
     qs: tuple[float, ...] = (0.5, 0.95, 0.99),
     names: tuple[str, ...] = ("p50", "p95", "p99"),
+    count_col: str | None = None,
 ):
-    """Dataset of (key, *names) — exact linear-interpolation quantiles
-    of ``value_col`` per ``key_col`` group, as int64 micro-units.
-    Non-finite values are dropped (matching SQL ``isfinite``)."""
+    """Dataset of (key, *names[, count_col]) — exact linear-interpolation
+    quantiles of ``value_col`` per ``key_col`` group, as int64
+    micro-units. Non-finite values are dropped (matching SQL
+    ``isfinite``)."""
     if len(qs) != len(names):
         raise ValueError("qs and names must align")
 
@@ -49,6 +51,8 @@ def group_quantiles(
         if g.num_rows == 0:
             for n in names:
                 cols[n] = pa.array([], pa.int64())
+            if count_col is not None:
+                cols[count_col] = pa.array([], pa.int64())
             cols[key_col] = g[key_col]
             return pa.table(cols)
         v = g[value_col].to_numpy(zero_copy_only=False)
@@ -57,6 +61,8 @@ def group_quantiles(
             cols[n] = pa.array(
                 [int(np.round(x * 1e6))], pa.int64()
             )
+        if count_col is not None:
+            cols[count_col] = pa.array([g.num_rows], pa.int64())
         return pa.table(cols)
 
     return (

@@ -223,8 +223,14 @@ def filter_selectors_events(sf_dir: str):
     return ds.map_batches(go, batch_format="pyarrow", batch_size=None)
 
 
-def topk_users_events(sf_dir: str):
-    """groupby + sort + limit (Ray native aggregate over cents)."""
+def user_stats_events(sf_dir: str):
+    """User-cardinality pair in one gate entry (merged so both fit the
+    driver's 50-entry window): q='top10' — groupby + sort + limit (Ray
+    native aggregate over cents, the former topk_users_events); and
+    q='distinct' — exact distinct users per event_type via two-level
+    groupby (dedup on the composite key first, then count per group —
+    no count-distinct state larger than the key space ever
+    materializes; the former distinct_users_events)."""
     from ray.data.aggregate import Count, Sum
 
     ds = _read(sf_dir, "events", ["user_id", "value"])
@@ -238,7 +244,40 @@ def topk_users_events(sf_dir: str):
         .groupby("user_id")
         .aggregate(Sum("cents", alias_name="vsum"), Count(alias_name="n"))
     )
-    return agg.sort(["vsum", "user_id"], descending=[True, False]).limit(10)
+    top = agg.sort(["vsum", "user_id"], descending=[True, False]).limit(10)
+
+    def fin_top(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "q": pa.array(np.repeat("top10", t.num_rows), pa.string()),
+                "skey": pc.cast(t["user_id"], pa.string()),
+                "vsum": t["vsum"],
+                "n": t["n"],
+            }
+        )
+
+    dist_ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    pairs = dist_ds.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="_c")
+    )
+    dist = pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+    def fin_dist(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "q": pa.array(np.repeat("distinct", t.num_rows), pa.string()),
+                "skey": t["event_type"],
+                "vsum": pa.nulls(t.num_rows, pa.int64()),
+                "n": pc.cast(t["n_users"], pa.int64()),
+            }
+        )
+
+    return _union(
+        [
+            top.map_batches(fin_top, batch_format="pyarrow", batch_size=None),
+            dist.map_batches(fin_dist, batch_format="pyarrow", batch_size=None),
+        ]
+    )
 
 
 # ---------- documents ----------
@@ -426,15 +465,80 @@ def dedup_minhash_docs(sf_dir: str):
 
 
 def quantiles_events(sf_dir: str):
-    """Exact p50/p95/p99 of value per event_type (int64 micro-units so
-    numpy's and DuckDB's last-ulp interpolation differences can't break
-    the value hash — see datapipe/stats.py)."""
-    from beamium_ray.datapipe.stats import group_quantiles
+    """Exact p50/p95/p99 of value per event_type, TWO routes in one
+    gate entry (int64 micro-units so numpy's and DuckDB's last-ulp
+    interpolation differences can't break the value hash):
 
-    return group_quantiles(
+    route='global' — whole-corpus quantiles per type
+    (datapipe/stats.py group_quantiles; window_start rides as the 0
+    sentinel so the merged column stays non-null int64).
+
+    route='sliding' — the SLO-dashboard staple: quantiles over a 5 m
+    window hopping every 1 m (stages/window.py
+    sliding_quantiles_dataset). Exact quantiles need the window's raw
+    values, so each narrow point is pre-expanded to its 5 covering
+    windows and takes ONE hash(series) bucket shuffle; per-bucket
+    linear interpolation is pure index arithmetic (no per-group
+    Python)."""
+    from beamium_ray.datapipe.stats import group_quantiles
+    from beamium_ray.functions.cluster import shuffle_blocks_for
+    from beamium_ray.stages.window import sliding_quantiles_dataset
+
+    glob = group_quantiles(
         _read(sf_dir, "events", ["event_type", "value"]),
         "event_type",
         "value",
+        count_col="n",
+    )
+
+    def fin_glob(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "route": pa.array(np.repeat("global", t.num_rows), pa.string()),
+                "event_type": t["event_type"],
+                "window_start": pa.array(
+                    np.zeros(t.num_rows, np.int64), pa.int64()
+                ),
+                "p50": t["p50"],
+                "p95": t["p95"],
+                "p99": t["p99"],
+                "n": t["n"],
+            }
+        )
+
+    sliding = sliding_quantiles_dataset(
+        _read(sf_dir, "events", ["ts", "event_type", "value"]),
+        window_us=5 * US_1M,
+        slide_us=US_1M,
+        key_col="event_type",
+        ts_col="ts",
+        value_col="value",
+        num_buckets=16,
+        shuffle_blocks=shuffle_blocks_for(16),
+    )
+
+    def fin_slide(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "route": pa.array(
+                    np.repeat("sliding", t.num_rows), pa.string()
+                ),
+                "event_type": t["series_key"],
+                "window_start": t["window_start"],
+                "p50": t["p50"],
+                "p95": t["p95"],
+                "p99": t["p99"],
+                "n": t["n"],
+            }
+        )
+
+    return _union(
+        [
+            glob.map_batches(fin_glob, batch_format="pyarrow", batch_size=None),
+            sliding.map_batches(
+                fin_slide, batch_format="pyarrow", batch_size=None
+            ),
+        ]
     )
 
 
@@ -465,18 +569,52 @@ def doc_quality_docs(sf_dir: str):
     )
 
 
-def hll_sketch_events(sf_dir: str):
-    """HyperLogLog distinct-user sketches, global AND per-group, in one
-    gate entry: the artifacts are the integer REGISTER TABLES
-    (event_type, reg, rank; the global sketch rides as event_type='*')
-    — deterministic splitmix64 hashing, so the oracle recomputes the
-    exact states in SQL; the float estimate is covered by a unit test
-    (±2% of exact distinct). The distributed shape under test:
-    per-batch partial registers (≤4096 rows/block) → one tiny
-    groupby-max merge; keys never cross the shuffle."""
-    from beamium_ray.datapipe.stats import hll_sketch, hll_sketch_by_group
+def sketch_state_events(sf_dir: str):
+    """Sketch STATE tables in one gate entry (merged so both families
+    fit the driver's 50-entry window), normalized to (sketch,
+    event_type, a, b, v):
 
-    return _union(
+    sketch='hll' — HyperLogLog distinct-user registers, global AND
+    per-group (a=reg, b=0, v=rank; the global sketch rides as
+    event_type='*'). Deterministic splitmix64 hashing, so the oracle
+    recomputes the exact register states in SQL; the float estimate is
+    covered by a unit test (±2% of exact distinct). Distributed shape:
+    per-batch partial registers (≤4096 rows/block) → one tiny
+    groupby-max merge; keys never cross the shuffle.
+
+    sketch='cms' — count-min frequency cells over user_id (a=row,
+    b=col, v=cnt). Same deterministic-salted-splitmix recipe;
+    point-estimate/heavy-hitter semantics are unit-tested. Per-batch
+    partial cells → one tiny groupby-sum merge."""
+    from beamium_ray.datapipe.stats import (
+        cms_sketch, hll_sketch, hll_sketch_by_group,
+    )
+
+    def fin_hll(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "sketch": pa.array(np.repeat("hll", t.num_rows), pa.string()),
+                "event_type": t["event_type"],
+                "a": t["reg"],
+                "b": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+                "v": t["rank"],
+            }
+        )
+
+    def fin_cms(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "sketch": pa.array(np.repeat("cms", t.num_rows), pa.string()),
+                "event_type": pa.array(
+                    np.repeat("*", t.num_rows), pa.string()
+                ),
+                "a": t["row"],
+                "b": t["col"],
+                "v": t["cnt"],
+            }
+        )
+
+    hll = _union(
         [
             _tag(
                 hll_sketch(_read(sf_dir, "events", ["user_id"]), "user_id"),
@@ -489,19 +627,13 @@ def hll_sketch_events(sf_dir: str):
             ),
         ]
     )
-
-
-def cms_users_events(sf_dir: str):
-    """Count-min frequency sketch over user_id: the gate artifact is
-    the integer CELL TABLE (row, col, cnt) — deterministic salted
-    splitmix64 hashing, so the oracle recomputes the exact sketch state
-    in SQL; point-estimate/heavy-hitter semantics (estimate ≥ truth,
-    top-k agreement) are covered by unit tests. The distributed shape
-    under test: per-batch partial cells (≤4096 rows/block) → one tiny
-    groupby-sum merge — keys themselves never cross the shuffle."""
-    from beamium_ray.datapipe.stats import cms_sketch
-
-    return cms_sketch(_read(sf_dir, "events", ["user_id"]), "user_id")
+    cms = cms_sketch(_read(sf_dir, "events", ["user_id"]), "user_id")
+    return _union(
+        [
+            hll.map_batches(fin_hll, batch_format="pyarrow", batch_size=None),
+            cms.map_batches(fin_cms, batch_format="pyarrow", batch_size=None),
+        ]
+    )
 
 
 SAMPLE_RATES_PPM = {"src0": 900_000, "src1": 100_000}
@@ -1735,18 +1867,6 @@ def multimodal_decode(sf_dir: str):
     )
 
 
-def distinct_users_events(sf_dir: str):
-    """Exact distinct count via two-level groupby (the scale-safe shape:
-    dedup on the composite key first, then count per group — no
-    count-distinct state larger than the key space ever materializes)."""
-    from ray.data.aggregate import Count
-
-    ds = _read(sf_dir, "events", ["event_type", "user_id"])
-    pairs = ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_c"))
-    out = pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
-    return out
-
-
 # ---------- windowed ops beyond tumbling (streaming-shaped, SURVEY §2.4) ----------
 
 
@@ -2003,6 +2123,106 @@ def series_churn_events(sf_dir: str):
         )
 
     return out.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
+def spike_flags_events(sf_dir: str):
+    """Trailing-extrema spike/drop alerting (the Prometheus-alert-rule
+    staple, stages/window.py): per (event_type, 1m window) integer cents
+    sums, flagged against the previous ≤10 PRESENT windows of the same
+    series — spike_up when 2·wsum > 3·trailing_max, spike_down when
+    2·wsum < trailing_min, null while the baseline has <3 windows.
+    Integer-exact end to end; ONE hash(series) shuffle of narrow rows;
+    the lag scan is a bounded constant (10), never data-sized."""
+    from beamium_ray.functions.cluster import shuffle_blocks_for
+    from beamium_ray.stages.window import spike_flags_dataset
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def pts(b: pa.Table) -> pa.Table:
+        v = np.floor(b["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "series_key": b["event_type"],
+                "ts": pc.cast(b["ts"], pa.int64()),
+                "value": pa.array(v, pa.int64()),
+            }
+        )
+
+    out = spike_flags_dataset(
+        ds.map_batches(pts, batch_format="pyarrow", batch_size=None),
+        US_1M,
+        lookback=10,
+        min_baseline=3,
+        num_buckets=16,
+        shuffle_blocks=shuffle_blocks_for(16),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["series_key"],
+                "window_start": t["window_start"],
+                "wsum": t["wsum"],
+                "n": t["n"],
+                "n_baseline": t["n_baseline"],
+                "trailing_max": t["trailing_max"],
+                "trailing_min": t["trailing_min"],
+                "spike_up": pc.cast(t["spike_up"], pa.int64()),
+                "spike_down": pc.cast(t["spike_down"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
+def interval_join_events(sf_dir: str):
+    """Broadcast interval (range) join — the join Ray Data lacks
+    (stages/window.py interval_join_broadcast): incidents = the 20
+    globally busiest 1h windows (count ties broken by window_start),
+    widened ±90 s so boundaries are unaligned and neighbors can
+    overlap; every event joins to EACH incident interval containing
+    its ts (one row per match). The incident table is derived from
+    bounded per-block hour-count partials (≤ distinct hours per block)
+    re-summed on the driver — the small side is driver-held by
+    construction — then broadcast once via ray.put."""
+    from beamium_ray.stages.window import interval_join_broadcast
+
+    ds = _read(sf_dir, "events", ["ts", "event_id"])
+
+    def hour_counts(b: pa.Table) -> pa.Table:
+        tu = pc.cast(b["ts"], pa.int64()).to_numpy()
+        ws = tu - np.mod(tu, US_1H)
+        u, c = np.unique(ws, return_counts=True)
+        return pa.table(
+            {
+                "ws": pa.array(u, pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = pa.concat_tables(
+        ds.map_batches(
+            hour_counts, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    agg = parts.group_by("ws", use_threads=False).aggregate([("n", "sum")])
+    ws = agg["ws"].to_numpy(zero_copy_only=False)
+    n = agg["n_sum"].to_numpy(zero_copy_only=False)
+    top = np.lexsort((ws, -n))[:20]
+    intervals = pa.table(
+        {
+            "incident": pa.array(np.arange(1, len(top) + 1), pa.int64()),
+            "lo": pa.array(ws[top] - 90_000_000, pa.int64()),
+            "hi": pa.array(ws[top] + US_1H + 90_000_000, pa.int64()),
+        }
+    )
+    return interval_join_broadcast(
+        _read(sf_dir, "events", ["ts", "event_id"]),
+        intervals,
+        ts_col="ts",
+        id_col="incident",
+        out_cols=["event_id"],
+    )
 
 
 def lines_roundtrip_events(sf_dir: str):
@@ -2339,14 +2559,15 @@ FROM events
 WHERE regexp_matches({_CLASS_TOKEN}, 'evt\\.(error|signup)')
    OR regexp_matches({_CLASS_TOKEN}, 'user=1[0-9]}}')
 """,
-    "distinct_users_events": """
-SELECT event_type, count(DISTINCT user_id) AS n_users
+    "user_stats_events": f"""
+SELECT 'top10' AS q, CAST(user_id AS VARCHAR) AS skey, vsum, n
+FROM (
+  SELECT user_id, CAST(sum({_CENTS}) AS BIGINT) AS vsum, count(*) AS n
+  FROM events GROUP BY user_id
+  ORDER BY vsum DESC, user_id LIMIT 10)
+UNION ALL
+SELECT 'distinct', event_type, NULL, count(DISTINCT user_id)
 FROM events GROUP BY event_type
-""",
-    "topk_users_events": f"""
-SELECT user_id, CAST(sum({_CENTS}) AS BIGINT) AS vsum, count(*) AS n
-FROM events GROUP BY user_id
-ORDER BY vsum DESC, user_id LIMIT 10
 """,
     "dedup_exact_docs": """
 SELECT 'text' AS mode, min(doc_id) AS doc_id, count(*) AS n
@@ -2411,12 +2632,17 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
         f"({_gen.jaccard_clusters_sql(threshold=0.8)})"
         for route in ("auto", "distributed", "incremental")
     ),
-    "hll_sketch_events": f"""
-SELECT '*' AS event_type, reg, "rank" FROM ({_gen.hll_registers_sql()})
+    "sketch_state_events": f"""
+SELECT 'hll' AS sketch, '*' AS event_type, reg AS a,
+       CAST(0 AS BIGINT) AS b, "rank" AS v
+FROM ({_gen.hll_registers_sql()})
 UNION ALL
-SELECT event_type, reg, "rank" FROM ({_gen.hll_group_registers_sql()})
+SELECT 'hll', event_type, reg, CAST(0 AS BIGINT), "rank"
+FROM ({_gen.hll_group_registers_sql()})
+UNION ALL
+SELECT 'cms', '*', "row", col, CAST(cnt AS BIGINT)
+FROM ({_gen.cms_cells_sql()})
 """,
-    "cms_users_events": _gen.cms_cells_sql(),
     "sampling_docs": f"""
 SELECT 'sample' AS q, doc_id, source AS v
 FROM ({_gen.hash_sample_sql(rates_ppm=SAMPLE_RATES_PPM)})
@@ -2734,13 +2960,65 @@ SELECT doc_id, n_tok_ws, "offset",
        CAST("offset" % 2048 AS BIGINT) AS seq_off
 FROM o
 """,
-    "quantiles_events": """
-SELECT event_type,
+    # sliding arm: each point expanded to its 5 covering windows (the
+    # engine's pre-expansion replayed via a cross join on j=0..4)
+    "quantiles_events": f"""
+WITH pts AS (
+  SELECT event_type, epoch_us(ts) AS uts, value
+  FROM events WHERE isfinite(value))
+SELECT 'global' AS route, event_type, CAST(0 AS BIGINT) AS window_start,
        CAST(ROUND(quantile_cont(value, 0.5)  * 1e6) AS BIGINT) AS p50,
        CAST(ROUND(quantile_cont(value, 0.95) * 1e6) AS BIGINT) AS p95,
-       CAST(ROUND(quantile_cont(value, 0.99) * 1e6) AS BIGINT) AS p99
-FROM events WHERE isfinite(value)
-GROUP BY event_type
+       CAST(ROUND(quantile_cont(value, 0.99) * 1e6) AS BIGINT) AS p99,
+       count(*) AS n
+FROM pts GROUP BY event_type
+UNION ALL
+SELECT 'sliding', event_type, window_start,
+       CAST(ROUND(quantile_cont(value, 0.5)  * 1e6) AS BIGINT),
+       CAST(ROUND(quantile_cont(value, 0.95) * 1e6) AS BIGINT),
+       CAST(ROUND(quantile_cont(value, 0.99) * 1e6) AS BIGINT),
+       count(*)
+FROM (
+  SELECT p.event_type, p.value,
+         ((p.uts // {US_1M}) - g.j) * {US_1M} AS window_start
+  FROM pts p CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS j) g)
+GROUP BY event_type, window_start
+""",
+    "spike_flags_events": f"""
+WITH pts AS (
+  SELECT event_type, epoch_us(ts) AS uts, {_CENTS} AS v FROM events),
+agg AS (
+  SELECT event_type, uts - uts % {US_1M} AS window_start,
+         CAST(sum(v) AS BIGINT) AS wsum, count(*) AS n
+  FROM pts GROUP BY 1, 2),
+f AS (
+  SELECT *,
+         max(wsum) OVER w AS tmax,
+         min(wsum) OVER w AS tmin,
+         count(*) OVER w AS cnt
+  FROM agg
+  WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+               ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+SELECT event_type, window_start, wsum, n,
+       cnt AS n_baseline,
+       CASE WHEN cnt > 0 THEN tmax END AS trailing_max,
+       CASE WHEN cnt > 0 THEN tmin END AS trailing_min,
+       CASE WHEN cnt >= 3 THEN CAST(2 * wsum > 3 * tmax AS BIGINT) END
+         AS spike_up,
+       CASE WHEN cnt >= 3 THEN CAST(2 * wsum < tmin AS BIGINT) END
+         AS spike_down
+FROM f
+""",
+    "interval_join_events": f"""
+WITH w AS (SELECT epoch_us(ts) AS uts, event_id FROM events),
+c AS (SELECT uts - uts % {US_1H} AS ws, count(*) AS n FROM w GROUP BY 1),
+top AS (
+  SELECT ws, CAST(row_number() OVER (ORDER BY n DESC, ws) AS BIGINT)
+         AS incident
+  FROM c ORDER BY n DESC, ws LIMIT 20)
+SELECT w.event_id, t.incident
+FROM w JOIN top t
+  ON w.uts >= t.ws - 90000000 AND w.uts < t.ws + {US_1H} + 90000000
 """,
     # brute / exhaustive-probe IVF (same exact top-k oracle) / pruned
     # IVF vs an exhaustive SQL rank over regenerated planted vectors
@@ -2872,11 +3150,11 @@ QUERIES = {
     "filter_selectors_events": filter_selectors_events,
     "lines_roundtrip_events": lines_roundtrip_events,
     "routed_write_roundtrip_events": routed_write_roundtrip_events,
-    "topk_users_events": topk_users_events,
-    "distinct_users_events": distinct_users_events,
+    "user_stats_events": user_stats_events,
     "quantiles_events": quantiles_events,
-    "hll_sketch_events": hll_sketch_events,
-    "cms_users_events": cms_users_events,
+    "sketch_state_events": sketch_state_events,
+    "spike_flags_events": spike_flags_events,
+    "interval_join_events": interval_join_events,
     # --- documents: training-data ops ---
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_minhash_docs": dedup_minhash_docs,

@@ -157,11 +157,11 @@ QUERY_NAMES = [
     "parse_prometheus_events",
     "relabel_events",
     "filter_selectors_events",
-    "topk_users_events",
-    "distinct_users_events",
+    "user_stats_events",
     "quantiles_events",
-    "hll_sketch_events",
-    "cms_users_events",
+    "sketch_state_events",
+    "spike_flags_events",
+    "interval_join_events",
     "dedup_exact_docs",
     "dedup_minhash_docs",
     "dedup_simhash_docs",
