@@ -404,12 +404,30 @@ class _DocSignals:
         )
 
 
-def doc_signals_docs(sf_dir: str):
-    from beamium_ray.functions.cluster import cached_stage
+class _DocQualityAll:
+    """The fused per-doc map family (one read, one pass): quality
+    scores + Gopher repetition counters + 5-rule filter + the stateful
+    _DocSignals (lang-id, fingerprint). Fused so the whole family fits
+    one driver gate entry (50-entry cap)."""
 
-    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        cached_stage(_DocSignals), batch_format="pyarrow"
-    )
+    def __init__(self):
+        self.sig = _DocSignals()
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        from beamium_ray.datapipe.textstats import (
+            quality_filter_batch, quality_score_batch, repetition_stats_batch,
+        )
+
+        score = quality_score_batch(b)
+        rep = repetition_stats_batch(b)
+        filt = quality_filter_batch(b)
+        sig = self.sig(b)
+        cols = {"doc_id": score["doc_id"]}
+        for t in (score, rep, filt, sig):
+            for name in t.column_names:
+                if name != "doc_id":
+                    cols[name] = t[name]
+        return pa.table(cols)
 
 
 def dedup_minhash_docs(sf_dir: str):
@@ -543,29 +561,19 @@ def quantiles_events(sf_dir: str):
 
 
 def doc_quality_docs(sf_dir: str):
-    """The whole per-doc quality family in one wide row: heuristic
-    quality scores (char/punct/upper/digit ratios), Gopher-style
-    repetition counters (integer, so the oracle — which groups by the
-    word STRINGS — hash-matches the engine's hash-grouped counts
-    exactly), and the composite 5-rule filter (reason bitmask + keep).
-    All three are pure map kernels over the same read."""
-    from beamium_ray.datapipe.textstats import (
-        quality_filter_batch, quality_score_batch, repetition_stats_batch,
-    )
-
-    def go(b: pa.Table) -> pa.Table:
-        score = quality_score_batch(b)
-        rep = repetition_stats_batch(b)
-        filt = quality_filter_batch(b)
-        cols = {"doc_id": score["doc_id"]}
-        for t in (score, rep, filt):
-            for name in t.column_names:
-                if name != "doc_id":
-                    cols[name] = t[name]
-        return pa.table(cols)
+    """The whole per-doc text-analysis family in one wide row:
+    heuristic quality scores (char/punct/upper/digit ratios),
+    Gopher-style repetition counters (integer, so the oracle — which
+    groups by the word STRINGS — hash-matches the engine's hash-grouped
+    counts exactly), the composite 5-rule filter (reason bitmask +
+    keep), and the stateful signals (lang-id via per-worker stopword
+    profiles, rolling-hash fingerprint — the former doc_signals_docs,
+    fused here so the family fits one driver gate entry). All pure map
+    kernels over the same single read."""
+    from beamium_ray.functions.cluster import cached_stage
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        go, batch_format="pyarrow", batch_size=None
+        cached_stage(_DocQualityAll), batch_format="pyarrow", batch_size=None
     )
 
 
@@ -2225,6 +2233,80 @@ def interval_join_events(sf_dir: str):
     )
 
 
+def hash_join_events(sf_dir: str):
+    """General distributed equi-join (datapipe/join.py hash_join): the
+    events stream enriched with a per-user profile (total cents,
+    event count) built from the same table. TWO routes in one entry:
+    route='inner' — full profile; route='left' — the profile missing
+    every user_id divisible by 3, so unmatched rows exercise the
+    null-fill path. Both sides co-shuffle ONCE on hash(user_id); match
+    expansion is dictionary-code + searchsorted range arithmetic (no
+    per-key Python)."""
+    from ray.data.aggregate import Count, Sum
+
+    from beamium_ray.datapipe.join import hash_join
+    from beamium_ray.functions.cluster import shuffle_blocks_for
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = np.floor(b["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        return pa.table(
+            {"user_id": b["user_id"], "cents": pa.array(v, pa.int64())}
+        )
+
+    prof = (
+        ds.map_batches(cents, batch_format="pyarrow", batch_size=None)
+        .groupby("user_id")
+        .aggregate(
+            Sum("cents", alias_name="total_cents"),
+            Count(alias_name="n_events"),
+        )
+    ).materialize()  # both routes consume it
+
+    left = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def prof_no3(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(uid % 3 != 0))
+
+    inner = hash_join(
+        left, prof, on="user_id", how="inner",
+        num_buckets=16, shuffle_blocks=shuffle_blocks_for(16),
+    )
+    left_j = hash_join(
+        left,
+        prof.map_batches(prof_no3, batch_format="pyarrow", batch_size=None),
+        on="user_id", how="left",
+        num_buckets=16, shuffle_blocks=shuffle_blocks_for(16),
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "total_cents": t["total_cents"],
+                "n_events": t["n_events"],
+            }
+        )
+
+    return _union(
+        [
+            _tag(
+                inner.map_batches(fin, batch_format="pyarrow", batch_size=None),
+                "route", "inner",
+            ),
+            _tag(
+                left_j.map_batches(
+                    fin, batch_format="pyarrow", batch_size=None
+                ),
+                "route", "left",
+            ),
+        ]
+    )
+
+
 def lines_roundtrip_events(sf_dir: str):
     """Text-file ingest round-trips for BOTH wire formats in one gate
     entry (fmt='prometheus' / fmt='sensision'):
@@ -2605,11 +2687,6 @@ WHERE window_start BETWEEN {1_700_000_000_000_000 + 100 * US_1M}
 """,
     "tokens_payload_roundtrip": _gen.tokens_payload_sql(),
     "flagship_stage_metrics": _gen.stage_metrics_sql(),
-    "doc_signals_docs": f"""
-SELECT doc_id, lang_pred, fingerprint
-FROM ({_gen.lang_id_sql()}) l JOIN ({_gen.fingerprint_sql()}) f
-USING (doc_id)
-""",
     "multimodal_decode": _gen.multimodal_decode_sql(),
     "embedding_neardup_embeddings": "\nUNION ALL\n".join(
         f"""SELECT '{route}' AS route, a, b FROM (
@@ -2899,8 +2976,13 @@ SELECT doc_id, n_chars, n_punct,
        CAST(n_digit AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS digit_ratio,
        n_words, n_distinct_words, top_word_n, n_2grams, n_dup_2grams,
        CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep,
-       reasons
+       reasons, s.lang_pred, s.fingerprint
 FROM bits
+JOIN (
+  SELECT doc_id, lang_pred, fingerprint
+  FROM ({_gen.lang_id_sql()}) l JOIN ({_gen.fingerprint_sql()}) f
+  USING (doc_id)
+) s USING (doc_id)
 """,
     "pack_emit_docs": _gen.pack_emit_sql(seq_len=128),
     "decontaminate_docs": f"""
@@ -3008,6 +3090,19 @@ SELECT event_type, window_start, wsum, n,
        CASE WHEN cnt >= 3 THEN CAST(2 * wsum < tmin AS BIGINT) END
          AS spike_down
 FROM f
+""",
+    "hash_join_events": f"""
+WITH pts AS (SELECT event_id, user_id, {_CENTS} AS v FROM events),
+prof AS (
+  SELECT user_id, CAST(sum(v) AS BIGINT) AS total_cents,
+         count(*) AS n_events
+  FROM pts GROUP BY 1)
+SELECT 'inner' AS route, e.event_id, e.user_id, p.total_cents, p.n_events
+FROM pts e JOIN prof p USING (user_id)
+UNION ALL
+SELECT 'left', e.event_id, e.user_id, p.total_cents, p.n_events
+FROM pts e LEFT JOIN (SELECT * FROM prof WHERE user_id % 3 != 0) p
+  USING (user_id)
 """,
     "interval_join_events": f"""
 WITH w AS (SELECT epoch_us(ts) AS uts, event_id FROM events),
@@ -3155,6 +3250,7 @@ QUERIES = {
     "sketch_state_events": sketch_state_events,
     "spike_flags_events": spike_flags_events,
     "interval_join_events": interval_join_events,
+    "hash_join_events": hash_join_events,
     # --- documents: training-data ops ---
     "dedup_exact_docs": dedup_exact_docs,
     "dedup_minhash_docs": dedup_minhash_docs,
@@ -3162,7 +3258,6 @@ QUERIES = {
     "chunk_dedup_docs": chunk_dedup_docs,
     "token_count_docs": token_count_docs,
     "doc_quality_docs": doc_quality_docs,
-    "doc_signals_docs": doc_signals_docs,
     "sampling_docs": sampling_docs,
     "cap_shuffle_docs": cap_shuffle_docs,
     "mixture_sample_docs": mixture_sample_docs,

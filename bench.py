@@ -162,13 +162,13 @@ QUERY_NAMES = [
     "sketch_state_events",
     "spike_flags_events",
     "interval_join_events",
+    "hash_join_events",
     "dedup_exact_docs",
     "dedup_minhash_docs",
     "dedup_simhash_docs",
     "chunk_dedup_docs",
     "token_count_docs",
     "doc_quality_docs",
-    "doc_signals_docs",
     "sampling_docs",
     "cap_shuffle_docs",
     "mixture_sample_docs",
