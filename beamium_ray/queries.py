@@ -106,7 +106,8 @@ def _union(parts):
 
 
 def _rolled_events(
-    sf_dir: str, tiers: dict[str, int], pick: str | None, gapfill: bool
+    sf_dir: str, tiers: dict[str, int], pick: str | None, gapfill: bool,
+    include_first: bool = False,
 ):
     ds = _read(sf_dir, "events", ["ts", "event_type", "value", "event_id"])
     from beamium_ray.functions.cluster import shuffle_blocks_for
@@ -114,7 +115,7 @@ def _rolled_events(
     pts = ds.map_batches(_events_points, batch_format="pyarrow", batch_size=None)
     rolled = rollup_dataset(
         pts, tiers, order_col="order", num_buckets=16, gapfill=gapfill,
-        shuffle_blocks=shuffle_blocks_for(16),
+        shuffle_blocks=shuffle_blocks_for(16), include_first=include_first,
     )
 
     def finalize(t: pa.Table) -> pa.Table:
@@ -129,6 +130,8 @@ def _rolled_events(
             "n": t["n"],
             "last": t["last"],
         }
+        if include_first:  # M4 mode: min/max/first/last per window
+            out["vfirst"] = t["first"]
         if pick is None:  # merged-tier mode keeps the discriminator
             out["tier"] = t["tier"]
         return pa.table(out)
@@ -139,12 +142,18 @@ def _rolled_events(
 def rollup_tiers_events(sf_dir: str):
     """W1+W2+W4 in one gate entry: the FULL 1m→1h→1d cascade (all three
     tiers emitted by one pipeline — the partial→final reuse under test)
-    unioned with the gap-filled 1m tier (tier='1m_gapfill')."""
+    unioned with the gap-filled 1m tier (tier='1m_gapfill'). Round 4:
+    rows carry ``vfirst`` (include_first — min/max/first/last per
+    window is the M4 visualization downsample; the cascade exercises
+    first-of-firsts merging, the gapfill arm null vfirst on gap rows)."""
     cascade = _rolled_events(
-        sf_dir, {"1m": US_1M, "1h": US_1H, "1d": US_1D}, None, gapfill=False
+        sf_dir, {"1m": US_1M, "1h": US_1H, "1d": US_1D}, None, gapfill=False,
+        include_first=True,
     )
     gap = _tag(
-        _rolled_events(sf_dir, {"1m": US_1M}, "1m", gapfill=True),
+        _rolled_events(
+            sf_dir, {"1m": US_1M}, "1m", gapfill=True, include_first=True
+        ),
         "tier", "1m_gapfill",
     )
     return _union([cascade, gap])
@@ -2463,11 +2472,15 @@ WITH w AS (
          {_CENTS} AS v, epoch_us(ts) AS ts_us, event_id,
          row_number() OVER (
            PARTITION BY event_type, epoch_us(ts) - (epoch_us(ts) % {tier_us})
-           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
+         row_number() OVER (
+           PARTITION BY event_type, epoch_us(ts) - (epoch_us(ts) % {tier_us})
+           ORDER BY epoch_us(ts) ASC, event_id ASC) AS rnf
   FROM events)
 SELECT event_type, window_start,
        min(v) AS vmin, max(v) AS vmax, CAST(sum(v) AS BIGINT) AS vsum,
-       count(*) AS n, max(CASE WHEN rn = 1 THEN v END) AS last
+       count(*) AS n, max(CASE WHEN rn = 1 THEN v END) AS last,
+       max(CASE WHEN rnf = 1 THEN v END) AS vfirst
 FROM w GROUP BY 1, 2
 """
 
@@ -2479,12 +2492,16 @@ WITH w AS (
          {_CENTS} AS v, epoch_us(ts) AS ts_us, event_id,
          row_number() OVER (
            PARTITION BY event_type, epoch_us(ts) - (epoch_us(ts) % {US_1M})
-           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
+         row_number() OVER (
+           PARTITION BY event_type, epoch_us(ts) - (epoch_us(ts) % {US_1M})
+           ORDER BY epoch_us(ts) ASC, event_id ASC) AS rnf
   FROM events),
 agg AS (
   SELECT event_type, window_start,
          min(v) AS vmin, max(v) AS vmax, CAST(sum(v) AS BIGINT) AS vsum,
-         count(*) AS n, max(CASE WHEN rn = 1 THEN v END) AS last
+         count(*) AS n, max(CASE WHEN rn = 1 THEN v END) AS last,
+         max(CASE WHEN rnf = 1 THEN v END) AS vfirst
   FROM w GROUP BY 1, 2),
 bounds AS (SELECT event_type, min(window_start) lo, max(window_start) hi
            FROM agg GROUP BY 1),
@@ -2492,7 +2509,7 @@ dense AS (
   SELECT b.event_type, unnest(generate_series(b.lo, b.hi, {US_1M})) AS window_start
   FROM bounds b)
 SELECT d.event_type, d.window_start, a.vmin, a.vmax, a.vsum,
-       coalesce(a.n, 0) AS n, a.last
+       coalesce(a.n, 0) AS n, a.last, a.vfirst
 FROM dense d LEFT JOIN agg a
   ON d.event_type = a.event_type AND d.window_start = a.window_start
 """

@@ -60,6 +60,7 @@ def partial_rollup_batch(
     order_col: str | None = None,
     num_buckets: int = 64,
     window_col: str | None = None,
+    include_first: bool = False,
 ) -> pa.Table:
     """Per-batch combiner: ≤1 row per (series_key, window) per batch.
 
@@ -68,6 +69,12 @@ def partial_rollup_batch(
     tumbling ``ts - ts % tier`` assignment with a precomputed window
     column (sliding windows pre-expand points to their covering
     windows, then reuse this same machinery).
+
+    ``include_first=True`` adds first/first_ts/first_order (tie-break:
+    LEAST (ts, order) — the mirror of ``last``), making the rollup row
+    the standard M4 visualization downsample (min/max/first/last per
+    window). Downstream stages detect the columns by schema, so the
+    flag only exists here and on rollup_dataset.
     """
     cols = {
         "series_key": batch[key_col],
@@ -86,7 +93,7 @@ def partial_rollup_batch(
             "order", pa.array(np.arange(t.num_rows, dtype=np.int64))
         )
     if t.num_rows == 0:
-        return _empty_partial_schema(t)
+        return _empty_partial_schema(t, include_first)
 
     if window_col is None:
         ts = t["ts"].to_numpy()
@@ -94,31 +101,35 @@ def partial_rollup_batch(
             "window_start", pa.array(window_start(ts, tier_us), pa.int64())
         )
     # sort so hash 'last' (scan order, use_threads=False) = max (ts, order)
+    # and hash 'first' = min (ts, order)
     t = t.sort_by([("ts", "ascending"), ("order", "ascending")])
+    aggs = [
+        ("value", "min"),
+        ("value", "max"),
+        ("value", "sum"),
+        ("value", "count"),
+        ("value", "last"),
+        ("ts", "last"),
+        ("order", "last"),
+    ]
+    names = [
+        "series_key",
+        "window_start",
+        "vmin",
+        "vmax",
+        "vsum",
+        "n",
+        "last",
+        "last_ts",
+        "last_order",
+    ]
+    if include_first:
+        aggs += [("value", "first"), ("ts", "first"), ("order", "first")]
+        names += ["first", "first_ts", "first_order"]
     g = t.group_by(["series_key", "window_start"], use_threads=False).aggregate(
-        [
-            ("value", "min"),
-            ("value", "max"),
-            ("value", "sum"),
-            ("value", "count"),
-            ("value", "last"),
-            ("ts", "last"),
-            ("order", "last"),
-        ]
+        aggs
     )
-    g = g.rename_columns(
-        [
-            "series_key",
-            "window_start",
-            "vmin",
-            "vmax",
-            "vsum",
-            "n",
-            "last",
-            "last_ts",
-            "last_order",
-        ]
-    )
+    g = g.rename_columns(names)
     g = g.set_column(
         g.column_names.index("n"), "n", pc.cast(g["n"], pa.int64())
     )
@@ -126,22 +137,29 @@ def partial_rollup_batch(
     return g.append_column("bucket", pa.array(bucket, pa.int32()))
 
 
-def _empty_partial_schema(t: pa.Table) -> pa.Table:
+def _empty_partial_schema(
+    t: pa.Table, include_first: bool = False
+) -> pa.Table:
     vtype = t.schema.field("value").type
-    return pa.schema(
-        [
-            ("series_key", pa.string()),
-            ("window_start", pa.int64()),
-            ("vmin", vtype),
-            ("vmax", vtype),
-            ("vsum", vtype),
-            ("n", pa.int64()),
-            ("last", vtype),
-            ("last_ts", pa.int64()),
-            ("last_order", pa.int64()),
-            ("bucket", pa.int32()),
+    fields = [
+        ("series_key", pa.string()),
+        ("window_start", pa.int64()),
+        ("vmin", vtype),
+        ("vmax", vtype),
+        ("vsum", vtype),
+        ("n", pa.int64()),
+        ("last", vtype),
+        ("last_ts", pa.int64()),
+        ("last_order", pa.int64()),
+    ]
+    if include_first:
+        fields += [
+            ("first", vtype),
+            ("first_ts", pa.int64()),
+            ("first_order", pa.int64()),
         ]
-    ).empty_table()
+    fields.append(("bucket", pa.int32()))
+    return pa.schema(fields).empty_table()
 
 
 def merge_partials(t: pa.Table) -> pa.Table:
@@ -149,8 +167,13 @@ def merge_partials(t: pa.Table) -> pa.Table:
 
     ``last`` merge rule: the partial with the greatest (last_ts,
     last_order) wins — achieved by sorting ascending and taking hash
-    'last' in scan order.
+    'last' in scan order. If the partials carry ``first`` columns
+    (include_first, M4 mode), the mirror rule needs its OWN scan
+    order — a partial can hold both a group's earliest first and
+    latest last, so one sort can't serve both — hence a second sorted
+    group_by whose rows align by the same (series, window) sort.
     """
+    has_first = "first" in t.column_names
     t = t.sort_by(
         [
             ("series_key", "ascending"),
@@ -183,16 +206,39 @@ def merge_partials(t: pa.Table) -> pa.Table:
             "last_order",
         ]
     )
-    return g.sort_by(
+    g = g.sort_by(
         [("series_key", "ascending"), ("window_start", "ascending")]
     )
+    if not has_first:
+        return g
+    tf = t.sort_by(
+        [
+            ("series_key", "ascending"),
+            ("window_start", "ascending"),
+            ("first_ts", "ascending"),
+            ("first_order", "ascending"),
+        ]
+    )
+    gf = tf.group_by(
+        ["series_key", "window_start"], use_threads=False
+    ).aggregate(
+        [("first", "first"), ("first_ts", "first"), ("first_order", "first")]
+    )
+    gf = gf.rename_columns(
+        ["series_key", "window_start", "first", "first_ts", "first_order"]
+    ).sort_by([("series_key", "ascending"), ("window_start", "ascending")])
+    # same groups, same sort → positional alignment is exact
+    for name in ("first", "first_ts", "first_order"):
+        g = g.append_column(name, gf[name])
+    return g
 
 
 def cascade_tier(fine: pa.Table, tier_us: int) -> pa.Table:
     """Re-aggregate a merged finer tier into a coarser one (1m→1h→1d).
 
     Correct because every aggregate here is decomposable: min of mins,
-    max of maxes, sum of sums/counts, last of lasts by (last_ts, order).
+    max of maxes, sum of sums/counts, last of lasts by (last_ts, order)
+    — and, in M4 mode, first of firsts by least (first_ts, order).
     """
     ws = window_start(fine["window_start"].to_numpy(), tier_us)
     t = fine.set_column(
@@ -200,21 +246,7 @@ def cascade_tier(fine: pa.Table, tier_us: int) -> pa.Table:
         "window_start",
         pa.array(ws, pa.int64()),
     )
-    return merge_partials(
-        t.rename_columns(
-            [
-                "series_key",
-                "window_start",
-                "vmin",
-                "vmax",
-                "vsum",
-                "n",
-                "last",
-                "last_ts",
-                "last_order",
-            ]
-        )
-    )
+    return merge_partials(t)
 
 
 def gapfill_tier(
@@ -277,7 +309,10 @@ def gapfill_tier(
         "series_key": keys.take(take),
         "window_start": pa.array(out_ws, pa.int64()),
     }
-    for name in ["vmin", "vmax", "vsum", "last", "last_ts", "last_order"]:
+    agg_names = ["vmin", "vmax", "vsum", "last", "last_ts", "last_order"]
+    if "first" in t.column_names:
+        agg_names += ["first", "first_ts", "first_order"]
+    for name in agg_names:
         src = t[name].combine_chunks()
         np_dtype = np.float64 if pa.types.is_floating(src.type) else np.int64
         arr_np = src.to_numpy(zero_copy_only=False)
@@ -301,19 +336,20 @@ def gapfill_tier(
     nvals = np.zeros(total, dtype=np.int64)
     nvals[present] = t["n"].to_numpy()
     out_cols["n"] = pa.array(nvals, pa.int64())
-    return pa.table(out_cols).select(
-        [
-            "series_key",
-            "window_start",
-            "vmin",
-            "vmax",
-            "vsum",
-            "n",
-            "last",
-            "last_ts",
-            "last_order",
-        ]
-    )
+    sel = [
+        "series_key",
+        "window_start",
+        "vmin",
+        "vmax",
+        "vsum",
+        "n",
+        "last",
+        "last_ts",
+        "last_order",
+    ]
+    if "first" in t.column_names:
+        sel += ["first", "first_ts", "first_order"]
+    return pa.table(out_cols).select(sel)
 
 
 def merge_cascade_gapfill(
@@ -367,11 +403,15 @@ def rollup_dataset(
     shuffle_blocks: int | None = None,
     gapfill_max_gap: int | None = None,
     gapfill_interpolate: bool = False,
+    include_first: bool = False,
 ):
     """Full Ray Data rollup pipeline over a datapoint Dataset.
 
     Returns a Dataset of (tier, series_key, window_start, vmin, vmax,
-    vsum, n, last, last_ts, last_order) rows. One shuffle (bucket).
+    vsum, n, last, last_ts, last_order) rows — plus
+    first/first_ts/first_order when ``include_first`` (the M4
+    visualization downsample: min/max/first/last per window). One
+    shuffle (bucket).
 
     ``shuffle_blocks``: coalesce the (already combiner-reduced) partials
     to this many blocks before the groupby. The shuffle's fixed cost
@@ -385,7 +425,8 @@ def rollup_dataset(
 
     def _partial(batch: pa.Table) -> pa.Table:
         return partial_rollup_batch(
-            batch, base_us, key_col, ts_col, value_col, order_col, num_buckets
+            batch, base_us, key_col, ts_col, value_col, order_col,
+            num_buckets, include_first=include_first,
         )
 
     def _merge(group: pa.Table) -> pa.Table:

@@ -234,3 +234,84 @@ def test_non_nested_tiers_rejected():
         merge_cascade_gapfill(p, {"1m": 60, "45m": 2700, "2h": 7200}, False)
     # properly nested tiers still fine
     merge_cascade_gapfill(p, {"1m": 60, "45m": 2700, "2h15": 8100}, False)
+
+
+# ---------------------------------------------------------------------------
+# include_first (M4 mode: min/max/first/last per window)
+# ---------------------------------------------------------------------------
+
+
+def full_rollup_m4(t, tiers, gapfill=False, batches=None):
+    base = min(tiers.values())
+    if batches is None:
+        batches = [t]
+    partials = pa.concat_tables(
+        [
+            partial_rollup_batch(
+                b, base, order_col="order", num_buckets=1, include_first=True
+            )
+            for b in batches
+        ]
+    )
+    return merge_cascade_gapfill(partials, tiers, gapfill)
+
+
+def test_first_tiebreak_on_order():
+    # equal ts → LEAST order wins for first (mirror of last), across splits
+    t1 = mk(ts=[100], key=["s"], val=[1.0], order=[5])
+    t2 = mk(ts=[100], key=["s"], val=[2.0], order=[9])
+    for batches in ([t1, t2], [t2, t1]):
+        out = full_rollup_m4(
+            pa.concat_tables(batches), {"1m": 60}, batches=batches
+        )
+        row = out.to_pylist()[0]
+        assert row["first"] == 1.0 and row["last"] == 2.0
+
+
+def test_merge_first_and_last_need_different_partials():
+    """The counterexample that forces the second merge pass: partial A
+    holds both the group's earliest first AND latest last; partial B
+    sits between. Sorting by last alone would pick B's first."""
+    a = mk(ts=[10, 90], key=["s", "s"], val=[1.0, 9.0], order=[0, 3])
+    b = mk(ts=[40], key=["s"], val=[5.0], order=[1])
+    for batches in ([a, b], [b, a]):
+        out = full_rollup_m4(
+            pa.concat_tables(batches), {"1m": 100}, batches=batches
+        )
+        row = out.to_pylist()[0]
+        assert row["first"] == 1.0, batches
+        assert row["last"] == 9.0, batches
+
+
+def test_cascade_first_matches_direct():
+    rng = np.random.default_rng(99)
+    n = 4000
+    t = mk(
+        ts=rng.integers(0, 100_000, n).tolist(),
+        key=rng.choice(["a", "b"], n).tolist(),
+        val=np.round(rng.normal(0, 10, n), 2).tolist(),
+        order=list(range(n)),
+    )
+    out = full_rollup_m4(
+        t, TIERS, batches=[t.slice(0, 1500), t.slice(1500, 1500), t.slice(3000)]
+    )
+    got_1h = out.filter(pa.compute.equal(out["tier"], "1h"))
+    direct = full_rollup_m4(t, {"1h": 3600})
+    key = lambda tbl: sorted(
+        zip(
+            tbl["series_key"].to_pylist(),
+            tbl["window_start"].to_pylist(),
+            tbl["first"].to_pylist(),
+            tbl["last"].to_pylist(),
+        )
+    )
+    assert key(got_1h) == key(direct)
+
+
+def test_gapfill_first_null_on_gap_rows():
+    t = mk(ts=[10, 130], key=["s", "s"], val=[1.0, 2.0])
+    out = full_rollup_m4(t, {"1m": 60}, gapfill=True)
+    rows = {r["window_start"]: r for r in out.to_pylist()}
+    assert rows[0]["first"] == 1.0
+    assert rows[60]["first"] is None and rows[60]["n"] == 0
+    assert rows[120]["first"] == 2.0
