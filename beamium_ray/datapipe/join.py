@@ -48,10 +48,40 @@ def _null_safe_codes(idx: pa.Array) -> np.ndarray:
 
 
 def _renamed(names, taken, rsuffix):
-    out = []
+    """Collision-safe right-column renames, sequentially: each right
+    name keeps appending ``rsuffix`` until it collides with neither a
+    left column nor an EARLIER right rename. Right (v, v_r) against a
+    left v → v takes v_r first, then the real v_r chains to v_r_r —
+    deterministic, and no column is ever silently dropped."""
+    out, used = [], set(taken)
     for n in names:
-        out.append(n + rsuffix if n in taken else n)
+        c = n
+        while c in used:
+            c = c + rsuffix
+        out.append(c)
+        used.add(c)
     return out
+
+
+def _expand_matches(lk: np.ndarray, rk_sorted: np.ndarray, how: str):
+    """Vectorized M:N equi-match expansion shared by both join paths:
+    given left codes and the SORTED right codes, return
+    (l_idx, r_pos) — parallel arrays where r_pos indexes into the
+    sorted right order, with -1 marking left-join misses."""
+    lo = np.searchsorted(rk_sorted, lk, side="left")
+    hi = np.searchsorted(rk_sorted, lk, side="right")
+    cnt = hi - lo
+    l_idx = np.repeat(np.arange(len(lk), dtype=np.int64), cnt)
+    total = int(cnt.sum())
+    # intra-segment offsets 0..cnt-1 per left row, fully vectorized
+    seg_start = np.repeat(np.cumsum(cnt) - cnt, cnt)
+    intra = np.arange(total, dtype=np.int64) - seg_start
+    r_pos = np.repeat(lo, cnt) + intra
+    if how == "left":
+        miss = np.flatnonzero(cnt == 0)
+        l_idx = np.concatenate([l_idx, miss])
+        r_pos = np.concatenate([r_pos, np.full(len(miss), -1, np.int64)])
+    return l_idx, r_pos
 
 
 def hash_join(
@@ -147,24 +177,14 @@ def hash_join(
         keep_r = rk >= 0
         ri, rk = ri[keep_r], rk[keep_r]
         order = np.argsort(rk, kind="stable")
-        rk_s = rk[order]
-        lo = np.searchsorted(rk_s, lk, side="left")
-        hi = np.searchsorted(rk_s, lk, side="right")
-        cnt = hi - lo
-        rep_l = np.repeat(np.arange(len(lk), dtype=np.int64), cnt)
-        total = int(cnt.sum())
-        # intra-segment offsets 0..cnt-1 per left row, fully vectorized
-        seg_start = np.repeat(np.cumsum(cnt) - cnt, cnt)
-        intra = np.arange(total, dtype=np.int64) - seg_start
-        r_pos = np.repeat(lo, cnt) + intra
-
-        l_take = li[rep_l]
-        r_take = ri[order[r_pos]]
-        if how == "left":
-            miss = np.flatnonzero(cnt == 0)
-            l_take = np.concatenate([l_take, li[miss]])
-            r_miss = np.full(len(miss), -1, np.int64)
-            r_take = np.concatenate([r_take, r_miss])
+        l_idx, r_pos = _expand_matches(lk, rk[order], how)
+        l_take = li[l_idx]
+        if len(order):
+            r_take = np.where(
+                r_pos >= 0, ri[order[np.maximum(r_pos, 0)]], -1
+            )
+        else:  # bucket with no (non-null-key) right rows at all
+            r_take = np.full(len(r_pos), -1, np.int64)
         lt = pa.array(l_take, pa.int64())
         # -1 → null take: arrow take() has no sentinel, mask explicitly
         r_null = r_take < 0
@@ -200,9 +220,11 @@ def broadcast_lookup(
     rsuffix: str = "_r",
 ):
     """Small-side equi-join without a shuffle: ``right_table`` is a
-    driver-held pa.Table broadcast once via ``ray.put``; each left
-    batch resolves matches with one dictionary-encode + searchsorted.
-    Same M:N / left-null semantics as hash_join."""
+    driver-held pa.Table, encoded + key-sorted ONCE here (not per
+    batch) and broadcast via ``ray.put``; each left batch only codes
+    its own keys against the fixed right key set (``pc.index_in``) and
+    runs the shared searchsorted expansion. Same M:N / left-null
+    semantics as hash_join."""
     import ray
 
     if how not in ("inner", "left"):
@@ -212,47 +234,44 @@ def broadcast_lookup(
     rtypes = {
         n: right_table.schema.field(n).type for n in right_table.column_names
     }
-    ref = ray.put(right_table.combine_chunks())
+    rt = right_table.combine_chunks()
+    # null right keys never match (SQL semantics): drop them up front
+    rt = rt.filter(pc.is_valid(rt[right_on]))
+    runiq = pc.unique(rt[right_on].combine_chunks())
+    rk = (
+        pc.index_in(rt[right_on].combine_chunks(), value_set=runiq)
+        .cast(pa.int64()).to_numpy()
+    )
+    order = np.argsort(rk, kind="stable")
+    ref = ray.put((rt, runiq, rk[order], order))
 
     def f(b: pa.Table, _ref=ref) -> pa.Table:
-        rt = ray.get(_ref)
+        rt, runiq, rk_sorted, order = ray.get(_ref)
         out_rnames = _renamed(rnames, set(b.column_names), rsuffix)
-        # one dictionary over both key sets → dense exact-equality codes
-        both = _null_safe_codes(
-            pa.chunked_array(
-                [b[on].combine_chunks(), rt[right_on].combine_chunks()]
-            ).combine_chunks().dictionary_encode().indices
-        )
-        lk, rk = both[: b.num_rows], both[b.num_rows:]
-        rkeep = np.flatnonzero(rk >= 0)
-        rk = rk[rkeep]
-        order = np.argsort(rk, kind="stable")
-        rk_s = rk[order]
-        lo = np.searchsorted(rk_s, lk, side="left")
-        hi = np.searchsorted(rk_s, lk, side="right")
-        cnt = hi - lo
-        rep_l = np.repeat(np.arange(b.num_rows, dtype=np.int64), cnt)
-        total = int(cnt.sum())
-        seg_start = np.repeat(np.cumsum(cnt) - cnt, cnt)
-        intra = np.arange(total, dtype=np.int64) - seg_start
-        r_take = rkeep[order[np.repeat(lo, cnt) + intra]]
-        l_take = rep_l
-        if how == "left":
-            miss = np.flatnonzero(cnt == 0)
-            l_take = np.concatenate([l_take, miss])
-            r_take = np.concatenate(
-                [r_take, np.full(len(miss), -1, np.int64)]
+        lk_idx = pc.index_in(b[on].combine_chunks(), value_set=runiq)
+        lk = _null_safe_codes(lk_idx)  # unmatched/null left keys → -1
+        l_idx, r_pos = _expand_matches(lk, rk_sorted, how)
+        if len(order):
+            r_take = np.where(
+                r_pos >= 0, order[np.maximum(r_pos, 0)], -1
             )
+        else:
+            r_take = np.full(len(r_pos), -1, np.int64)
         r_null = r_take < 0
-        lt = pa.array(l_take, pa.int64())
+        lt = pa.array(l_idx, pa.int64())
         rt_idx = pa.array(np.where(r_null, 0, r_take), pa.int64())
         out = b.take(lt)
         for n, o in zip(rnames, out_rnames):
-            taken = rt[n].take(rt_idx)
-            if r_null.any():
-                taken = pc.if_else(
-                    pa.array(~r_null), taken, pa.nulls(len(r_null), rtypes[n])
-                )
+            if rt.num_rows == 0:  # empty right side: all-null fills
+                taken = pa.nulls(len(r_null), rtypes[n])
+            else:
+                taken = rt[n].take(rt_idx)
+                if r_null.any():
+                    taken = pc.if_else(
+                        pa.array(~r_null),
+                        taken,
+                        pa.nulls(len(r_null), rtypes[n]),
+                    )
             out = out.append_column(o, taken)
         return out
 

@@ -39,15 +39,23 @@ def _read(sf_dir: str, table: str, columns=None):
 # ---------- events → datapoint prep ----------
 
 
+def _cents(col) -> pa.Array:
+    """float dollars → int64 cents, the ONE engine-side mirror of the
+    oracle's _CENTS SQL macro (floor(v*100 + 0.5)); every gate that
+    integerizes event values must go through this helper so the
+    rounding rule can never diverge between copies."""
+    v = np.floor(col.to_numpy(zero_copy_only=False) * 100 + 0.5)
+    return pa.array(v.astype(np.int64), pa.int64())
+
+
 def _events_points(batch: pa.Table) -> pa.Table:
     """events → (series_key=event_type, ts µs, value=cents, order=event_id)."""
     ts = pc.cast(batch["ts"], pa.int64())
-    v = np.floor(batch["value"].to_numpy() * 100 + 0.5).astype(np.int64)
     return pa.table(
         {
             "series_key": batch["event_type"],
             "ts": ts,
-            "value": pa.array(v, pa.int64()),
+            "value": _cents(batch["value"]),
             "order": batch["event_id"],
         }
     )
@@ -245,8 +253,7 @@ def user_stats_events(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id", "value"])
 
     def cents(b: pa.Table) -> pa.Table:
-        v = np.floor(b["value"].to_numpy() * 100 + 0.5).astype(np.int64)
-        return pa.table({"user_id": b["user_id"], "cents": pa.array(v, pa.int64())})
+        return pa.table({"user_id": b["user_id"], "cents": _cents(b["value"])})
 
     agg = (
         ds.map_batches(cents, batch_format="pyarrow", batch_size=None)
@@ -1959,7 +1966,7 @@ def session_windows_events(sf_dir: str):
     num_buckets = default_partitions()
 
     def prep(b: pa.Table) -> pa.Table:
-        v = np.floor(b["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        v = _cents(b["value"])
         uid = b["user_id"].to_numpy()
         bkt = (hash64(uid) % np.uint64(num_buckets)).astype(np.int32)
         return pa.table(
@@ -1967,7 +1974,7 @@ def session_windows_events(sf_dir: str):
                 "bucket": pa.array(bkt, pa.int32()),
                 "user_id": b["user_id"],
                 "tu": pc.cast(b["ts"], pa.int64()),
-                "v": pa.array(v, pa.int64()),
+                "v": v,
                 "event_id": b["event_id"],
             }
         )
@@ -2156,12 +2163,11 @@ def spike_flags_events(sf_dir: str):
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
     def pts(b: pa.Table) -> pa.Table:
-        v = np.floor(b["value"].to_numpy() * 100 + 0.5).astype(np.int64)
         return pa.table(
             {
                 "series_key": b["event_type"],
                 "ts": pc.cast(b["ts"], pa.int64()),
-                "value": pa.array(v, pa.int64()),
+                "value": _cents(b["value"]),
             }
         )
 
@@ -2204,7 +2210,7 @@ def interval_join_events(sf_dir: str):
     construction — then broadcast once via ray.put."""
     from beamium_ray.stages.window import interval_join_broadcast
 
-    ds = _read(sf_dir, "events", ["ts", "event_id"])
+    ds = _read(sf_dir, "events", ["ts"])  # count pass needs ts ONLY
 
     def hour_counts(b: pa.Table) -> pa.Table:
         tu = pc.cast(b["ts"], pa.int64()).to_numpy()
@@ -2259,10 +2265,7 @@ def hash_join_events(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
 
     def cents(b: pa.Table) -> pa.Table:
-        v = np.floor(b["value"].to_numpy() * 100 + 0.5).astype(np.int64)
-        return pa.table(
-            {"user_id": b["user_id"], "cents": pa.array(v, pa.int64())}
-        )
+        return pa.table({"user_id": b["user_id"], "cents": _cents(b["value"])})
 
     prof = (
         ds.map_batches(cents, batch_format="pyarrow", batch_size=None)

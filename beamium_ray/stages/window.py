@@ -93,9 +93,13 @@ def sliding_quantiles_bucket(
         "window_start": pa.array(ws[starts], pa.int64()),
     }
     for q, name in zip(qs, names):
-        pos = starts + q * (lens - 1)
-        lo = np.floor(pos).astype(np.int64)
-        frac = pos - lo
+        # group-RELATIVE position: pos/frac must not carry the group's
+        # absolute offset in the bucket, or float64 ulp error grows
+        # with bucket size and breaks the micro-unit hash at scale
+        pos = q * (lens - 1)
+        lo_rel = np.floor(pos).astype(np.int64)
+        frac = pos - lo_rel
+        lo = starts + lo_rel
         hi = np.minimum(lo + 1, starts + lens - 1)
         val = v[lo] + frac * (v[hi] - v[lo])
         cols[name] = pa.array(np.round(val * 1e6).astype(np.int64), pa.int64())

@@ -122,6 +122,40 @@ def test_hash_join_collision_suffix(ray_session):
     assert out.loc[0, "v"] == 5 and out.loc[0, "v_r"] == 7
 
 
+def test_hash_join_collision_chain(ray_session):
+    """Right carries BOTH v and v_r against a left v: the rename must
+    chain (v→v_r_r) instead of silently dropping a column."""
+    import ray.data
+
+    left = pa.table(
+        {"k": pa.array([1], pa.int64()), "v": pa.array([5], pa.int64())}
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1], pa.int64()),
+            "v": pa.array([7], pa.int64()),
+            "v_r": pa.array([9], pa.int64()),
+        }
+    )
+    out = hash_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        on="k", num_buckets=2,
+    ).to_pandas()
+    assert sorted(out.columns) == ["k", "v", "v_r", "v_r_r"]
+    # sequential rename rule: right's v takes v_r first, so right's
+    # real v_r chains to v_r_r — no column is ever silently dropped
+    assert (
+        out.loc[0, "v"],
+        out.loc[0, "v_r"],
+        out.loc[0, "v_r_r"],
+    ) == (5, 7, 9)
+    bl = broadcast_lookup(
+        ray.data.from_arrow(left), right, on="k"
+    ).to_pandas()
+    assert sorted(bl.columns) == ["k", "v", "v_r", "v_r_r"]
+    assert (bl.loc[0, "v"], bl.loc[0, "v_r"], bl.loc[0, "v_r_r"]) == (5, 7, 9)
+
+
 @pytest.mark.parametrize("how", ["inner", "left"])
 def test_broadcast_lookup_equals_hash_join(ray_session, how):
     import ray.data
