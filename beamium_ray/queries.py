@@ -2068,14 +2068,26 @@ def counter_rate_events(sf_dir: str):
     """PromQL-style counter ``increase``/``rate`` with reset detection
     (stages/rate.py): the cents value stream per event_type treated as
     a cumulative counter; a drop means the counter reset and recounted
-    from 0. 1m AND 1h tiers emitted from ONE series-bucket shuffle."""
+    from 0. 1m AND 1h tiers emitted from ONE series-bucket shuffle.
+    TWO routes must agree with the same SQL oracle: 'one_shot', and
+    'incremental' — the corpus split into two watch ticks at the ts
+    midpoint, processed through IncrementalRate's durable last-point
+    store (tick 2's first deltas come from tick 1's committed state;
+    per-tick PARTIAL rows summed per window, rate re-derived)."""
+    import tempfile
+
     from beamium_ray.functions.cluster import shuffle_blocks_for
-    from beamium_ray.stages.rate import counter_increase_dataset
+    from beamium_ray.stages.rate import IncrementalRate, counter_increase_dataset
+
+    TIERS = {"1m": US_1M, "1h": US_1H}
+    SECS = {"1m": 60.0, "1h": 3600.0}
 
     ds = _read(sf_dir, "events", ["ts", "event_type", "value", "event_id"])
-    pts = ds.map_batches(_events_points, batch_format="pyarrow", batch_size=None)
+    pts = ds.map_batches(
+        _events_points, batch_format="pyarrow", batch_size=None
+    ).materialize()  # one-shot + two tick filters + ts bounds all read it
     rolled = counter_increase_dataset(
-        pts, {"1m": US_1M, "1h": US_1H}, order_col="order",
+        pts, TIERS, order_col="order",
         num_buckets=16, shuffle_blocks=shuffle_blocks_for(16),
     )
 
@@ -2092,7 +2104,67 @@ def counter_rate_events(sf_dir: str):
             }
         )
 
-    return rolled.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+    one_shot = rolled.map_batches(
+        finalize, batch_format="pyarrow", batch_size=None
+    )
+
+    mid = (pts.min("ts") + pts.max("ts")) // 2
+    inc = IncrementalRate(
+        tempfile.mkdtemp(prefix="beamium_incrate_"), TIERS, num_buckets=16
+    )
+
+    def half(lo: bool):
+        def f(b: pa.Table) -> pa.Table:
+            m = (
+                pc.less(b["ts"], mid) if lo else pc.greater_equal(b["ts"], mid)
+            )
+            return b.filter(m)
+
+        return pts.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+    t1 = inc.tick(half(True), batch_key="tick1")
+    t2 = inc.tick(half(False), batch_key="tick2")
+
+    from ray.data.aggregate import Sum
+
+    summed = (
+        t1.union(t2)
+        .groupby(["tier", "series_key", "window_start"])
+        .aggregate(
+            Sum("increase", alias_name="increase"),
+            Sum("resets", alias_name="resets"),
+            Sum("n_deltas", alias_name="n_deltas"),
+        )
+    )
+
+    def fin_inc(t: pa.Table) -> pa.Table:
+        tiers = t["tier"].to_numpy(zero_copy_only=False)
+        secs = np.where(tiers == "1m", SECS["1m"], SECS["1h"])
+        inc_v = t["increase"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "tier": t["tier"],
+                "event_type": t["series_key"],
+                "window_start": t["window_start"],
+                "increase": pc.cast(t["increase"], pa.int64()),
+                "resets": pc.cast(t["resets"], pa.int64()),
+                "n_deltas": pc.cast(t["n_deltas"], pa.int64()),
+                "rate": pa.array(
+                    inc_v.astype(np.float64) / secs, pa.float64()
+                ),
+            }
+        )
+
+    incremental = summed.map_batches(
+        fin_inc, batch_format="pyarrow", batch_size=None
+    )
+
+    return _union(
+        [
+            _tag(one_shot, "route", "one_shot"),
+            _tag(incremental, "route", "incremental"),
+        ]
+    )
 
 
 def gapfill_interp_events(sf_dir: str):
@@ -3154,7 +3226,10 @@ SELECT 'ivfpq', vec_id FROM ({_gen.ivf_pruned_sql()})
     # ordering; the reset rule (drop → credit v in full) and the
     # per-tier window floor are recomputed per row. rate = the SAME
     # int64→double division both sides (IEEE-exact).
-    "counter_rate_events": f"""
+    "counter_rate_events": "\nUNION ALL\n".join(
+        f"SELECT '{route}' AS route, * FROM ({{_COUNTER_RATE_SQL}})"
+        for route in ("one_shot", "incremental")
+    ).format(_COUNTER_RATE_SQL=f"""
 WITH pts AS (
   SELECT event_type, epoch_us(ts) AS uts, {_CENTS} AS v, event_id
   FROM events),
@@ -3178,7 +3253,7 @@ SELECT '1h', event_type, uts - uts % {US_1H},
        CAST(sum(adj) AS BIGINT), CAST(sum(r) AS BIGINT),
        count(*), CAST(sum(adj) AS BIGINT) / 3600.0
 FROM dd GROUP BY 2, 3
-""",
+"""),
     # interpolated gap-fill: dense per-series windows, then the
     # bounding present lasts via IGNORE NULLS running windows; the
     # interpolation replays the engine's integer floor arithmetic as

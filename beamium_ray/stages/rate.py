@@ -61,8 +61,34 @@ def _empty_increase_table() -> pa.Table:
     ).empty_table()
 
 
+# state rows (incremental mode) ride the SAME output schema so they
+# cross the one bucket shuffle with the increase rows: tier=_STATE_TIER,
+# window_start=last_ts, increase=last_value, resets=last_order.
+_STATE_TIER = "__state"
+
+
+def _state_rows(keys, o, codes, ts, v, order_sorted) -> pa.Table:
+    """Per-series LAST point (greatest (ts, order)) encoded as state
+    rows — the durable predecessor for the next tick's first deltas."""
+    last = np.flatnonzero(
+        np.concatenate([codes[1:] != codes[:-1], [True]])
+    )
+    n = len(last)
+    return pa.table(
+        {
+            "tier": pa.array(np.repeat(_STATE_TIER, n), pa.string()),
+            "series_key": keys.take(pa.array(o[last], pa.int64())),
+            "window_start": pa.array(ts[last], pa.int64()),
+            "increase": pa.array(v[last], pa.int64()),
+            "resets": pa.array(order_sorted[last], pa.int64()),
+            "n_deltas": pa.array(np.ones(n, np.int64), pa.int64()),
+            "rate": pa.array(np.zeros(n, np.float64), pa.float64()),
+        }
+    )
+
+
 def increase_bucket(
-    g: pa.Table, tiers: dict[str, int]
+    g: pa.Table, tiers: dict[str, int], emit_state: bool = False
 ) -> pa.Table:
     """One vectorized pass per bucket: lexsort by (series, ts, order),
     adjacent diffs with reset adjustment, then per-tier window
@@ -78,6 +104,10 @@ def increase_bucket(
     o = np.lexsort((order, ts, codes))
     codes, ts, v = codes[o], ts[o], v[o]
 
+    state = (
+        _state_rows(keys, o, codes, ts, v, order[o]) if emit_state else None
+    )
+
     # deltas exist at sorted positions 1..n-1 whose predecessor is the
     # same series
     same_prev = np.empty(len(codes), dtype=bool)
@@ -85,7 +115,7 @@ def increase_bucket(
     same_prev[1:] = codes[1:] == codes[:-1]
     sel = np.flatnonzero(same_prev)
     if len(sel) == 0:
-        return _empty_increase_table()
+        return state if state is not None else _empty_increase_table()
     dv = v[sel] - v[sel - 1]
     reset = dv < 0
     adj = np.where(reset, v[sel], dv)
@@ -126,6 +156,8 @@ def increase_bucket(
                 }
             )
         )
+    if state is not None:
+        pieces.append(state)
     return pa.concat_tables(pieces)
 
 
@@ -138,6 +170,7 @@ def counter_increase_dataset(
     order_col: str | None = None,
     num_buckets: int = 64,
     shuffle_blocks: int | None = None,
+    emit_state: bool = False,
 ):
     """Ray Data pipeline: narrow points → ONE bucket shuffle → per-bucket
     vectorized increase/resets/rate for every tier. Returns rows of
@@ -164,7 +197,7 @@ def counter_increase_dataset(
         return t.append_column("bucket", pa.array(bkt, pa.int32()))
 
     def merge(g: pa.Table) -> pa.Table:
-        return increase_bucket(g, tiers)
+        return increase_bucket(g, tiers, emit_state=emit_state)
 
     prepped = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
     if shuffle_blocks:
@@ -282,3 +315,143 @@ def series_churn_dataset(
     # final merge: ≤ B rows per (cls, window); group on cls (handful of
     # classes — each group's row count is bounded by windows × B)
     return partials.groupby("cls").map_groups(final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# incremental counter rate across watch ticks
+# ---------------------------------------------------------------------------
+
+
+class IncrementalRate:
+    """Counter increase/rate across watch-mode ticks: a durable
+    per-series LAST-POINT store (series_key, ts, value, order — one
+    narrow row per live series) supplies each new tick's boundary
+    predecessors, so the first in-tick point of every series yields its
+    delta against the committed stream without re-reading history.
+
+    Scale shape: the stored state joins the tick as ordinary synthetic
+    points through the SAME one bucket shuffle (never driver-collected
+    — state rows come back out of the shuffle tagged ``__state`` and
+    are written straight to parquet by Ray tasks), so a tick costs
+    O(tick points + live series). Per-tick outputs are PARTIAL rows —
+    ``increase``/``resets``/``n_deltas`` are additive per (tier,
+    series, window), and a window straddling a tick split emits one
+    partial per tick; sum them (``rate`` re-derives as
+    increase/window-secs). Commit protocol = the engine invariant:
+    deterministic ``state-<tick>``/``out-<tick>`` dirs (crash replay
+    overwrites), manifest pointer rename LAST, superseded generations
+    GC'd after the switch, ``batch_key`` no-op for a replayed-after-
+    commit tick (returns the committed output).
+
+    Out-of-order arrivals ACROSS ticks: a tick's points that precede
+    the stored last point sort before it, so they delta against each
+    other and the stored point deltas against the first later point —
+    arrival-order semantics, same as a Prometheus server ingesting a
+    late scrape. Within a tick, (ts, order) ordering is exact.
+    """
+
+    def __init__(self, store_dir: str, tiers: dict[str, int],
+                 num_buckets: int = 64):
+        import os
+
+        self.dir = store_dir
+        self.tiers = dict(tiers)
+        self.num_buckets = num_buckets
+        os.makedirs(store_dir, exist_ok=True)
+
+    @property
+    def _manifest_path(self) -> str:
+        import os
+
+        return os.path.join(self.dir, "MANIFEST.json")
+
+    def _manifest(self) -> dict:
+        import json
+
+        try:
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return {"tick": 0, "state": None, "out": None,
+                    "last_batch": None}
+
+    def _read_dir(self, name: str):
+        import os
+
+        import ray.data
+
+        return ray.data.read_parquet(os.path.join(self.dir, name))
+
+    def state_points(self):
+        """Stored last points as a (series_key, ts, value, order)
+        Dataset, or None before the first tick."""
+        man = self._manifest()
+        if man["state"] is None:
+            return None
+        return self._read_dir(man["state"])
+
+    def tick(self, points_ds, batch_key: str | None = None):
+        """Process one tick of (series_key, ts, value, order) points;
+        returns the tick's PARTIAL increase rows as a Dataset."""
+        import json
+        import os
+        import shutil
+
+        import ray.data
+
+        from beamium_ray.state.manifest import atomic_write_bytes
+
+        man = self._manifest()
+        if batch_key is not None and man.get("last_batch") == batch_key:
+            return self._read_dir(man["out"])  # replayed-after-commit
+        tick = man["tick"] + 1
+
+        prev = self.state_points()
+        src = points_ds if prev is None else points_ds.union(prev)
+        rolled = counter_increase_dataset(
+            src, self.tiers, order_col="order",
+            num_buckets=self.num_buckets, emit_state=True,
+        ).materialize()  # split consumes it twice
+
+        state_name, out_name = f"state-{tick:05d}", f"out-{tick:05d}"
+        for name in (state_name, out_name):
+            p = os.path.join(self.dir, name)
+            if os.path.isdir(p):  # crashed-tick replay
+                shutil.rmtree(p)
+
+        def pick_state(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["tier"], _STATE_TIER))
+            return pa.table(
+                {
+                    "series_key": t["series_key"],
+                    "ts": t["window_start"],
+                    "value": t["increase"],
+                    "order": t["resets"],
+                }
+            )
+
+        def pick_out(t: pa.Table) -> pa.Table:
+            return t.filter(pc.not_equal(t["tier"], _STATE_TIER))
+
+        rolled.map_batches(
+            pick_state, batch_format="pyarrow", batch_size=None
+        ).write_parquet(os.path.join(self.dir, state_name))
+        rolled.map_batches(
+            pick_out, batch_format="pyarrow", batch_size=None
+        ).write_parquet(os.path.join(self.dir, out_name))
+
+        atomic_write_bytes(
+            self._manifest_path,
+            json.dumps(
+                {"tick": tick, "state": state_name, "out": out_name,
+                 "last_batch": batch_key},
+                sort_keys=True,
+            ).encode(),
+        )
+        # GC superseded STATE generations only — out-<tick> dirs are the
+        # caller's deliverables (often still lazily unread when the next
+        # tick commits); a daemon deletes them after consumption.
+        for d in os.listdir(self.dir):
+            if d.startswith("state-") and d != state_name:
+                shutil.rmtree(os.path.join(self.dir, d), ignore_errors=True)
+        return self._read_dir(out_name)

@@ -219,3 +219,93 @@ def test_series_churn_matches_pandas(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_incremental_rate_two_ticks_equal_one_shot(ray_session, tmp_path):
+    """Arbitrary ts split (mid-window): summed per-tick partials must
+    equal the one-shot increase rows; a series absent from tick 2
+    keeps its state without emitting spurious rows."""
+    import ray.data
+
+    from beamium_ray.stages.rate import (
+        IncrementalRate, counter_increase_dataset,
+    )
+
+    rng = np.random.default_rng(31)
+    keys, ts, vals, orders = _mk_points(rng, n=500)
+    # one series confined to the first half: absent from tick 2
+    keys = ["only1" if i % 97 == 0 and ts[i] < US_1H else k
+            for i, k in enumerate(keys)]
+    t = pa.table(
+        {
+            "series_key": pa.array(keys),
+            "ts": pa.array(ts),
+            "value": pa.array(vals),
+            "order": pa.array(orders),
+        }
+    )
+    tiers = {"1m": US_1M, "1h": US_1H}
+    one = counter_increase_dataset(
+        ray.data.from_arrow(t), tiers, order_col="order", num_buckets=4
+    ).to_pandas()
+    want = {
+        (r.tier, r.series_key, r.window_start): (r.increase, r.resets, r.n_deltas)
+        for r in one.itertuples(index=False)
+    }
+
+    mid = int(ts.max()) // 2 + 7  # deliberately NOT a window boundary
+    inc = IncrementalRate(str(tmp_path / "rate"), tiers, num_buckets=4)
+    parts = []
+    for lo in (True, False):
+        m = ts < mid if lo else ts >= mid
+        tick = pa.table(
+            {
+                "series_key": pa.array([k for k, keep in zip(keys, m) if keep]),
+                "ts": pa.array(ts[m]),
+                "value": pa.array(vals[m]),
+                "order": pa.array(orders[m]),
+            }
+        )
+        parts.append(
+            inc.tick(
+                ray.data.from_arrow(tick), batch_key=f"t{lo}"
+            ).to_pandas()
+        )
+    import pandas as pd
+
+    both = pd.concat(parts)
+    got = (
+        both.groupby(["tier", "series_key", "window_start"])[
+            ["increase", "resets", "n_deltas"]
+        ]
+        .sum()
+        .to_dict("index")
+    )
+    got = {k: (v["increase"], v["resets"], v["n_deltas"]) for k, v in got.items()}
+    assert got == want
+
+
+def test_incremental_rate_replay_noop(ray_session, tmp_path):
+    import ray.data
+
+    from beamium_ray.stages.rate import IncrementalRate
+
+    t = pa.table(
+        {
+            "series_key": pa.array(["a", "a"]),
+            "ts": pa.array(np.array([0, 70_000_000], np.int64)),
+            "value": pa.array(np.array([10, 25], np.int64)),
+            "order": pa.array(np.array([0, 1], np.int64)),
+        }
+    )
+    inc = IncrementalRate(str(tmp_path / "rate"), {"1m": US_1M}, num_buckets=2)
+    out1 = inc.tick(ray.data.from_arrow(t), batch_key="k1").to_pandas()
+    # a watcher replaying the SAME batch after commit must not re-delta
+    # against the advanced state (25 -> 10 would count as a reset)
+    out2 = inc.tick(ray.data.from_arrow(t), batch_key="k1").to_pandas()
+    assert inc._manifest()["tick"] == 1
+    key = ["tier", "series_key", "window_start"]
+    assert sorted(map(tuple, out1[key].values.tolist())) == sorted(
+        map(tuple, out2[key].values.tolist())
+    )
+    assert out1["resets"].sum() == 0 and out1["increase"].sum() == 15
