@@ -247,7 +247,10 @@ def user_stats_events(sf_dir: str):
     q='distinct' — exact distinct users per event_type via two-level
     groupby (dedup on the composite key first, then count per group —
     no count-distinct state larger than the key space ever
-    materializes; the former distinct_users_events)."""
+    materializes; the former distinct_users_events); and q='grouptopk'
+    — top-3 spenders PER event_type (grouped top-k: the per-(type,
+    user) sums take one shuffle, then each type's top-k is a local
+    vectorized rank inside its group — skey = type:user, n = rank)."""
     from ray.data.aggregate import Count, Sum
 
     ds = _read(sf_dir, "events", ["user_id", "value"])
@@ -288,10 +291,59 @@ def user_stats_events(sf_dir: str):
             }
         )
 
+    gt_ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def cents_g(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "user_id": b["user_id"],
+                "cents": _cents(b["value"]),
+            }
+        )
+
+    per_user = (
+        gt_ds.map_batches(cents_g, batch_format="pyarrow", batch_size=None)
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("cents", alias_name="vsum"))
+    )
+
+    _GTOP_SCHEMA = pa.schema(
+        [
+            ("q", pa.string()),
+            ("skey", pa.string()),
+            ("vsum", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def topk_group(g: pa.Table, k: int = 3) -> pa.Table:
+        if g.num_rows == 0:
+            return _GTOP_SCHEMA.empty_table()
+        vs = g["vsum"].to_numpy(zero_copy_only=False)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        pick = np.lexsort((uid, -vs))[:k]
+        et = g["event_type"].to_numpy(zero_copy_only=False)[pick]
+        return pa.table(
+            {
+                "q": pa.array(np.repeat("grouptopk", len(pick)), pa.string()),
+                "skey": pa.array(
+                    [f"{e}:{u}" for e, u in zip(et, uid[pick])], pa.string()
+                ),
+                "vsum": pa.array(vs[pick].astype(np.int64), pa.int64()),
+                "n": pa.array(np.arange(1, len(pick) + 1), pa.int64()),
+            }
+        )
+
+    gtop = per_user.groupby("event_type").map_groups(
+        topk_group, batch_format="pyarrow"
+    )
+
     return _union(
         [
             top.map_batches(fin_top, batch_format="pyarrow", batch_size=None),
             dist.map_batches(fin_dist, batch_format="pyarrow", batch_size=None),
+            gtop,
         ]
     )
 
@@ -2742,6 +2794,16 @@ FROM (
 UNION ALL
 SELECT 'distinct', event_type, NULL, count(DISTINCT user_id)
 FROM events GROUP BY event_type
+UNION ALL
+SELECT 'grouptopk', event_type || ':' || CAST(user_id AS VARCHAR), vsum,
+       CAST(rn AS BIGINT)
+FROM (
+  SELECT event_type, user_id, CAST(sum({_CENTS}) AS BIGINT) AS vsum,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(sum({_CENTS}) AS BIGINT) DESC, user_id) AS rn
+  FROM events GROUP BY 1, 2)
+WHERE rn <= 3
 """,
     "dedup_exact_docs": """
 SELECT 'text' AS mode, min(doc_id) AS doc_id, count(*) AS n
