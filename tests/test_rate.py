@@ -309,3 +309,107 @@ def test_incremental_rate_replay_noop(ray_session, tmp_path):
         map(tuple, out2[key].values.tolist())
     )
     assert out1["resets"].sum() == 0 and out1["increase"].sum() == 15
+
+
+def test_directory_watcher_incremental_rate(ray_session, tmp_path):
+    """DirectoryWatcher with a rate appender: counter samples landing
+    across ticks delta against the committed last-point store; a
+    crash-replayed pending batch is a no-op (no phantom resets)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from beamium_ray.pipelines.watch import DirectoryWatcher
+    from beamium_ray.stages.rate import (
+        IncrementalRate, counter_increase_dataset,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = tmp_path / "out"
+    inc = IncrementalRate(str(out / "rate_state"), {"1m": US_1M},
+                          num_buckets=2)
+
+    state = {"files": None}
+    outs = []
+
+    def loader(files):
+        state["files"] = list(files)
+        return ray.data.read_parquet(files)
+
+    def appender(ds):
+        key = hashlib.sha256(
+            "\n".join(sorted(state["files"])).encode()
+        ).hexdigest()
+        outs.append(inc.tick(ds, batch_key=key).to_pandas())
+        return {"batch": key}
+
+    w = DirectoryWatcher(
+        str(landing), None, str(out), file_extension="parquet",
+        loader=loader, appender=appender,
+    )
+
+    def land(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "series_key": pa.array([r[0] for r in rows]),
+                    "ts": pa.array([r[1] for r in rows], pa.int64()),
+                    "value": pa.array([r[2] for r in rows], pa.int64()),
+                    "order": pa.array(
+                        list(range(len(rows))), pa.int64()
+                    ),
+                }
+            ),
+            landing / name,
+        )
+
+    # counter climbs 10→25 in tick 1; tick 2 opens at 5 (a RESET) then 8
+    land("t1.parquet", [("a", 0, 10), ("a", 10_000_000, 25)])
+    w.tick()
+    land("t2.parquet", [("a", 70_000_000, 5), ("a", 80_000_000, 8)])
+    w.tick()
+
+    import pandas as pd
+
+    got = (
+        pd.concat(outs)
+        .groupby(["tier", "series_key", "window_start"])[
+            ["increase", "resets", "n_deltas"]
+        ]
+        .sum()
+    )
+    # window 0: +15; window 60s: reset→5 then +3 = 8, one reset
+    assert got.loc[("1m", "a", 0)].tolist() == [15, 0, 1]
+    assert got.loc[("1m", "a", US_1M)].tolist() == [8, 1, 2]
+
+    # crash replay of tick 2 → batch_key no-op, store still at tick 2
+    st = w._load_state()
+    last = [f for f in st["seen"] if f.endswith("t2.parquet")]
+    st["pending"] = {"files": last}
+    st["seen"] = [f for f in st["seen"] if f not in last]
+    w._save_state(st)
+    w.tick()
+    assert inc._manifest()["tick"] == 2
+    # equivalence with the one-shot over the full stream
+    full = pa.table(
+        {
+            "series_key": pa.array(["a"] * 4),
+            "ts": pa.array(
+                np.array([0, 10_000_000, 70_000_000, 80_000_000], np.int64)
+            ),
+            "value": pa.array(np.array([10, 25, 5, 8], np.int64)),
+            "order": pa.array(np.array([0, 1, 0, 1], np.int64)),
+        }
+    )
+    one = counter_increase_dataset(
+        ray.data.from_arrow(full), {"1m": US_1M}, order_col="order",
+        num_buckets=2,
+    ).to_pandas()
+    want = {
+        (r.tier, r.series_key, r.window_start): [r.increase, r.resets, r.n_deltas]
+        for r in one.itertuples(index=False)
+    }
+    assert {k: v.tolist() for k, v in got.iterrows()} == want
