@@ -146,3 +146,124 @@ def test_histogram_merge_matches_naive(pairs):
     for tok, n in pairs:
         want[tok] = want.get(tok, 0) + n
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-4 kernels: join match expansion, window kernels
+# ---------------------------------------------------------------------------
+
+_codes = st.lists(st.integers(min_value=0, max_value=8), max_size=30)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_codes, _codes, st.sampled_from(["inner", "left"]))
+def test_expand_matches_property(lk_list, rk_list, how):
+    """_expand_matches ≡ the brute-force nested loop for any code
+    multiset, any M:N duplication, any join mode."""
+    from beamium_ray.datapipe.join import _expand_matches
+
+    lk = np.array(lk_list, np.int64)
+    rk_sorted = np.sort(np.array(rk_list, np.int64))
+    l_idx, r_pos = _expand_matches(lk, rk_sorted, how)
+    got = sorted(zip(l_idx.tolist(), r_pos.tolist()))
+    want = []
+    for i, k in enumerate(lk_list):
+        hits = [j for j, rkv in enumerate(rk_sorted.tolist()) if rkv == k]
+        for j in hits:
+            want.append((i, j))
+        if not hits and how == "left":
+            want.append((i, -1))
+    assert got == sorted(want)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # series code
+            st.integers(min_value=0, max_value=20),  # window index
+            st.floats(min_value=-100, max_value=100,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_sliding_quantiles_bucket_property(rows):
+    """Per-(series, window) p50/p95 ≡ np.quantile over the group's
+    values, for arbitrary group shapes incl. singletons."""
+    from beamium_ray.stages.window import sliding_quantiles_bucket
+
+    g = pa.table(
+        {
+            "series_key": pa.array([f"s{r[0]}" for r in rows]),
+            "window_start": pa.array([r[1] * 60 for r in rows], pa.int64()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    got = sliding_quantiles_bucket(g, (0.5, 0.95), ("p50", "p95"))
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault((f"s{r[0]}", r[1] * 60), []).append(r[2])
+    assert got.num_rows == len(groups)
+    for row in got.to_pylist():
+        vals = np.array(groups[(row["series_key"], row["window_start"])])
+        assert row["p50"] == int(np.round(np.quantile(vals, 0.5) * 1e6))
+        assert row["p95"] == int(np.round(np.quantile(vals, 0.95) * 1e6))
+        assert row["n"] == len(vals)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.integers(min_value=0, max_value=15),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+def test_spike_flags_bucket_property(rows, lookback):
+    """Trailing max/min/count over the previous ≤lookback PRESENT
+    windows ≡ the brute loop, any gaps, any lookback."""
+    from beamium_ray.stages.window import spike_flags_bucket
+
+    g = pa.table(
+        {
+            "series_key": pa.array([f"s{r[0]}" for r in rows]),
+            "window_start": pa.array([r[1] * 60 for r in rows], pa.int64()),
+            "v": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    got = spike_flags_bucket(g, lookback=lookback, min_baseline=3)
+    agg: dict = {}
+    for r in rows:
+        k = (f"s{r[0]}", r[1] * 60)
+        w, n = agg.get(k, (0, 0))
+        agg[k] = (w + r[2], n + 1)
+    per: dict = {}
+    for (s, ws), (w, n) in sorted(agg.items()):
+        per.setdefault(s, []).append((ws, w, n))
+    want = {}
+    for s, items in per.items():
+        for i, (ws, w, n) in enumerate(items):
+            base = [x[1] for x in items[max(0, i - lookback):i]]
+            cnt = len(base)
+            want[(s, ws)] = (
+                w, n, cnt,
+                max(base) if base else None,
+                min(base) if base else None,
+                (2 * w > 3 * max(base)) if cnt >= 3 else None,
+                (2 * w < min(base)) if cnt >= 3 else None,
+            )
+    assert got.num_rows == len(want)
+    for row in got.to_pylist():
+        k = (row["series_key"], row["window_start"])
+        assert want[k] == (
+            row["wsum"], row["n"], row["n_baseline"],
+            row["trailing_max"], row["trailing_min"],
+            row["spike_up"], row["spike_down"],
+        ), (k, lookback)
