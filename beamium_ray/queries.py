@@ -253,45 +253,10 @@ def user_stats_events(sf_dir: str):
     vectorized rank inside its group — skey = type:user, n = rank)."""
     from ray.data.aggregate import Count, Sum
 
-    ds = _read(sf_dir, "events", ["user_id", "value"])
-
-    def cents(b: pa.Table) -> pa.Table:
-        return pa.table({"user_id": b["user_id"], "cents": _cents(b["value"])})
-
-    agg = (
-        ds.map_batches(cents, batch_format="pyarrow", batch_size=None)
-        .groupby("user_id")
-        .aggregate(Sum("cents", alias_name="vsum"), Count(alias_name="n"))
-    )
-    top = agg.sort(["vsum", "user_id"], descending=[True, False]).limit(10)
-
-    def fin_top(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "q": pa.array(np.repeat("top10", t.num_rows), pa.string()),
-                "skey": pc.cast(t["user_id"], pa.string()),
-                "vsum": t["vsum"],
-                "n": t["n"],
-            }
-        )
-
-    dist_ds = _read(sf_dir, "events", ["event_type", "user_id"])
-    pairs = dist_ds.groupby(["event_type", "user_id"]).aggregate(
-        Count(alias_name="_c")
-    )
-    dist = pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
-
-    def fin_dist(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "q": pa.array(np.repeat("distinct", t.num_rows), pa.string()),
-                "skey": t["event_type"],
-                "vsum": pa.nulls(t.num_rows, pa.int64()),
-                "n": pc.cast(t["n_users"], pa.int64()),
-            }
-        )
-
-    gt_ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+    # ONE read, ONE full-size shuffle: the (type, user) partial table
+    # (vsum + row count per pair) feeds all three arms — top10 and
+    # distinct re-aggregate the BOUNDED pair table, never the raw rows
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
 
     def cents_g(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -303,10 +268,39 @@ def user_stats_events(sf_dir: str):
         )
 
     per_user = (
-        gt_ds.map_batches(cents_g, batch_format="pyarrow", batch_size=None)
+        ds.map_batches(cents_g, batch_format="pyarrow", batch_size=None)
         .groupby(["event_type", "user_id"])
-        .aggregate(Sum("cents", alias_name="vsum"))
+        .aggregate(Sum("cents", alias_name="vsum"), Count(alias_name="_c"))
+    ).materialize()  # three arms consume it
+
+    agg = per_user.groupby("user_id").aggregate(
+        Sum("vsum", alias_name="vsum_u"), Sum("_c", alias_name="n_u")
     )
+    top = agg.sort(["vsum_u", "user_id"], descending=[True, False]).limit(10)
+
+    def fin_top(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "q": pa.array(np.repeat("top10", t.num_rows), pa.string()),
+                "skey": pc.cast(t["user_id"], pa.string()),
+                "vsum": pc.cast(t["vsum_u"], pa.int64()),
+                "n": pc.cast(t["n_u"], pa.int64()),
+            }
+        )
+
+    dist = per_user.groupby("event_type").aggregate(
+        Count(alias_name="n_users")
+    )
+
+    def fin_dist(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "q": pa.array(np.repeat("distinct", t.num_rows), pa.string()),
+                "skey": t["event_type"],
+                "vsum": pa.nulls(t.num_rows, pa.int64()),
+                "n": pc.cast(t["n_users"], pa.int64()),
+            }
+        )
 
     _GTOP_SCHEMA = pa.schema(
         [

@@ -321,6 +321,29 @@ def series_churn_dataset(
 # incremental counter rate across watch ticks
 # ---------------------------------------------------------------------------
 
+_STATE_SCHEMA = pa.schema(
+    [
+        ("series_key", pa.string()),
+        ("ts", pa.int64()),
+        ("value", pa.int64()),
+        ("order", pa.int64()),
+    ]
+)
+
+
+def _ensure_parquet_dir(path: str, schema: pa.Schema) -> None:
+    """Guarantee ``path`` exists and is readable as a parquet dataset of
+    ``schema`` even when the writing Dataset had zero rows."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    if glob.glob(os.path.join(path, "*.parquet")):
+        return
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(schema.empty_table(), os.path.join(path, "empty.parquet"))
+
 
 class IncrementalRate:
     """Counter increase/rate across watch-mode ticks: a durable
@@ -351,12 +374,15 @@ class IncrementalRate:
     """
 
     def __init__(self, store_dir: str, tiers: dict[str, int],
-                 num_buckets: int = 64):
+                 num_buckets: int = 64, keep_outputs: int = 2):
         import os
 
         self.dir = store_dir
         self.tiers = dict(tiers)
         self.num_buckets = num_buckets
+        # out-<tick> retention depth (≥1); 2 covers a consumer that is
+        # still lazily reading the previous tick's output
+        self.keep_outputs = max(1, int(keep_outputs))
         os.makedirs(store_dir, exist_ok=True)
 
     @property
@@ -439,6 +465,15 @@ class IncrementalRate:
         rolled.map_batches(
             pick_out, batch_format="pyarrow", batch_size=None
         ).write_parquet(os.path.join(self.dir, out_name))
+        # Ray's write_parquet of a ZERO-row dataset writes no files and
+        # no directory — but the manifest must never point at a missing
+        # generation (the engine's manifest-after-blocks invariant). An
+        # all-single-sample tick (no deltas) or an empty landed batch is
+        # a legitimate tick; land a schema-typed empty file instead.
+        _ensure_parquet_dir(os.path.join(self.dir, state_name), _STATE_SCHEMA)
+        _ensure_parquet_dir(
+            os.path.join(self.dir, out_name), _empty_increase_table().schema
+        )
 
         atomic_write_bytes(
             self._manifest_path,
@@ -448,10 +483,18 @@ class IncrementalRate:
                 sort_keys=True,
             ).encode(),
         )
-        # GC superseded STATE generations only — out-<tick> dirs are the
-        # caller's deliverables (often still lazily unread when the next
-        # tick commits); a daemon deletes them after consumption.
+        # GC AFTER the pointer switch: superseded state generations go
+        # immediately; out-<tick> deliverables keep the last
+        # ``keep_outputs`` generations — a consumer may still hold a
+        # LAZY Dataset over the previous tick's output when this tick
+        # commits, so keeping only the current one would yank files out
+        # from under it (bounded disk, unlike keeping every generation).
+        keep_outs = {
+            f"out-{t:05d}" for t in range(tick - self.keep_outputs + 1, tick + 1)
+        }
         for d in os.listdir(self.dir):
             if d.startswith("state-") and d != state_name:
+                shutil.rmtree(os.path.join(self.dir, d), ignore_errors=True)
+            elif d.startswith("out-") and d not in keep_outs:
                 shutil.rmtree(os.path.join(self.dir, d), ignore_errors=True)
         return self._read_dir(out_name)

@@ -413,3 +413,44 @@ def test_directory_watcher_incremental_rate(ray_session, tmp_path):
         for r in one.itertuples(index=False)
     }
     assert {k: v.tolist() for k, v in got.iterrows()} == want
+
+
+def test_incremental_rate_empty_and_single_sample_ticks(ray_session, tmp_path):
+    """A first tick of single samples (zero deltas) and a fully EMPTY
+    tick must both commit cleanly (no missing-generation wedge) and
+    the deltas must surface on the next tick."""
+    import ray.data
+
+    from beamium_ray.stages.rate import IncrementalRate
+
+    def tick_tbl(rows):
+        return pa.table(
+            {
+                "series_key": pa.array([r[0] for r in rows], pa.string()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                "value": pa.array([r[2] for r in rows], pa.int64()),
+                "order": pa.array(list(range(len(rows))), pa.int64()),
+            }
+        )
+
+    inc = IncrementalRate(str(tmp_path / "rate"), {"1m": US_1M},
+                          num_buckets=2)
+    # tick 1: the canonical first scrape — one sample per series
+    out1 = inc.tick(ray.data.from_arrow(tick_tbl([("a", 0, 10)])),
+                    batch_key="k1").to_pandas()
+    assert len(out1) == 0
+    # tick 2: EMPTY landed batch — state must persist untouched
+    out2 = inc.tick(ray.data.from_arrow(tick_tbl([])),
+                    batch_key="k2").to_pandas()
+    assert len(out2) == 0 and inc._manifest()["tick"] == 2
+    # tick 3: the second sample deltas against the tick-1 state
+    out3 = inc.tick(
+        ray.data.from_arrow(tick_tbl([("a", 10_000_000, 25)])),
+        batch_key="k3",
+    ).to_pandas()
+    assert out3["increase"].tolist() == [15]
+    # out-dir retention is bounded (keep_outputs=2 default)
+    import os
+
+    outs = sorted(d for d in os.listdir(inc.dir) if d.startswith("out-"))
+    assert outs == ["out-00002", "out-00003"]
