@@ -129,7 +129,10 @@ def emit_packed_rows(
     """Actually EMIT the packed training stream: every token of every
     document as a (seq_id, pos_in_seq, token) row, where documents are
     concatenated in ``id_col`` order and cut into ``seq_len``-token
-    sequences (the writer stage on top of :func:`pack_offsets`).
+    sequences (the writer stage on top of :func:`pack_offsets`),
+    plus ``src_id`` — each token's source document id, the
+    attention-boundary column a packed training stream needs to
+    rebuild per-document masks after concatenation.
 
     Unlike the index, emission inherently moves the tokens themselves
     through ONE range-bucketed shuffle — a token can only land in its
@@ -173,7 +176,8 @@ def emit_packed_rows(
     agg = narrow.aggregate(Min(id_col), Max(id_col))
     lo, hi = agg[f"min({id_col})"], agg[f"max({id_col})"]
     out_schema = {
-        "seq_id": pa.int64(), "pos_in_seq": pa.int64(), "token": pa.int64()
+        "seq_id": pa.int64(), "pos_in_seq": pa.int64(),
+        "token": pa.int64(), "src_id": pa.int64(),
     }
     empty = pa.table({k: pa.array([], t) for k, t in out_schema.items()})
     if lo is None:
@@ -231,6 +235,9 @@ def emit_packed_rows(
                 "seq_id": pa.array(gp // seq_len, pa.int64()),
                 "pos_in_seq": pa.array(gp % seq_len, pa.int64()),
                 "token": pa.array(vals, pa.int64()),
+                "src_id": pa.array(
+                    np.repeat(ids[order].astype(np.int64), n), pa.int64()
+                ),
             }
         )
 

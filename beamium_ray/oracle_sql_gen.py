@@ -1040,10 +1040,12 @@ def pack_emit_sql(table: str = "documents", vocab: int = 50257,
     sequence row's token list from doc_id (same splitmix rules as
     sequences_from_documents_batch), lay the docs end to end in ord
     order via a window prefix sum, and cut into seq_len-token
-    sequences — (seq_id, pos_in_seq, token) for every token."""
+    sequences — (seq_id, pos_in_seq, token, src_id) for every token
+    (src_id = the source document, the attention-boundary column a
+    packed training stream needs to rebuild document masks)."""
     chain, final, _ = _splitmix_chain([("ntok_h", 0x5EED_0001)])
     tok_chain, tok_final = splitmix_cte_steps(
-        "positions", "x", "tok_h", "gp", "sm_tok"
+        "positions", "x", "tok_h", "gp, ord", "sm_tok"
     )
     return f"""
 WITH base AS (SELECT CAST(doc_id AS HUGEINT) AS i FROM {table}),
@@ -1061,14 +1063,15 @@ offs AS (
 positions0 AS (
   SELECT ord, o, unnest(range(0, n_tok)) AS pos FROM offs),
 positions AS (
-  SELECT o + pos AS gp,
+  SELECT ord, o + pos AS gp,
          CAST(xor(CAST(ord AS UBIGINT) * 1048576, CAST(pos AS UBIGINT))
               AS HUGEINT) AS x
   FROM positions0),
 {tok_chain}
 SELECT CAST(gp // {seq_len} AS BIGINT) AS seq_id,
        CAST(gp % {seq_len} AS BIGINT) AS pos_in_seq,
-       CAST(tok_h % {vocab} AS BIGINT) AS token
+       CAST(tok_h % {vocab} AS BIGINT) AS token,
+       CAST(ord AS BIGINT) AS src_id
 FROM {tok_final}
 """
 

@@ -1170,7 +1170,9 @@ def pack_emit_docs(sf_dir: str):
     """Packed-sequence EMISSION, token-exactly verified: derive the
     canonical tokenized-sequence table from doc_id, concatenate the
     token arrays in ord order, cut into 128-token sequences, and emit
-    every token as a (seq_id, pos_in_seq, token) row. The tokens move
+    every token as a (seq_id, pos_in_seq, token, src_id) row (src_id =
+    the token's source document — the attention-boundary column a
+    packed training stream needs). The tokens move
     through exactly ONE range-bucketed shuffle (inherent: a sequence
     interleaves neighboring documents); the oracle regenerates every
     token and the window prefix sum in SQL."""

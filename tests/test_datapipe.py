@@ -1733,7 +1733,9 @@ def test_run_clean_tokenize_truncate_pack(ray_session, tmp_path):
     got = pq_.read_table(str(out)).sort_by(
         [("seq_id", "ascending"), ("pos_in_seq", "ascending")]
     )
-    assert set(got.column_names) == {"seq_id", "pos_in_seq", "token"}
+    assert set(got.column_names) == {
+        "seq_id", "pos_in_seq", "token", "src_id"
+    }
     n = got.num_rows
     assert res["rows_out"] == n and n > 0
     # the packed stream is dense: positions cycle 0..seq_len-1
