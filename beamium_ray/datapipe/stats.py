@@ -707,3 +707,111 @@ def bigram_topk(
             "n": pa.array(n[top], pa.int64()),
         }
     )
+
+
+# ---------------- binned (mergeable) quantile sketch ----------------
+
+
+def binned_quantile_partials(
+    batch: pa.Table,
+    key_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> pa.Table:
+    """Per-block PARTIAL fixed-bin histograms as (key, bin, cnt) rows —
+    the mergeable-quantile combiner: at most #keys × n_bins narrow rows
+    leave a block no matter its size, and bin counts sum exactly across
+    blocks. Deterministic binning: ``floor((v - lo) / width)`` clipped
+    to [0, n_bins) — one IEEE division + floor, reproducible in SQL."""
+    keep = pc.is_finite(batch[value_col])
+    t = batch.filter(keep)
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                key_col: pa.array([], batch.schema.field(key_col).type),
+                "bin": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+    v = t[value_col].to_numpy(zero_copy_only=False)
+    width = (hi - lo) / n_bins
+    b = np.clip(
+        np.floor((v - lo) / width), 0, n_bins - 1
+    ).astype(np.int64)
+    keys = t[key_col].combine_chunks()
+    codes_arr = keys.dictionary_encode()
+    codes = codes_arr.indices.to_numpy().astype(np.int64)
+    comb = codes * n_bins + b
+    uniq, cnt = np.unique(comb, return_counts=True)
+    first_row = np.searchsorted(np.sort(comb), uniq)  # any row per combo
+    # map combo → a representative row index for the key value
+    order = np.argsort(comb, kind="stable")
+    rep = order[first_row]
+    return pa.table(
+        {
+            key_col: keys.take(pa.array(rep, pa.int64())),
+            "bin": pa.array(uniq % n_bins, pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def binned_quantiles(
+    ds,
+    key_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 4096,
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+    names: tuple[str, ...] = ("p50", "p95", "p99"),
+):
+    """Approximate per-key quantiles with BOUNDED state — the 100 TB
+    path where exact quantiles' raw-value shuffle is unaffordable: the
+    estimate is the LOWER EDGE of the bin holding the rank-
+    ``floor(q·(n-1))`` value (error ≤ one bin width, deterministic —
+    no sampling), emitted as int64 micro-units. Only (key, bin, cnt)
+    partials cross the one small shuffle; merging is exact count
+    addition, so the result is identical at any cluster size or block
+    split (unlike t-digest/KLL whose merge is order-dependent)."""
+    if len(qs) != len(names):
+        raise ValueError("qs and names must align")
+    width = (hi - lo) / n_bins
+
+    def partial(b: pa.Table) -> pa.Table:
+        return binned_quantile_partials(b, key_col, value_col, lo, hi, n_bins)
+
+    out_fields = [(key_col, pa.string())]
+    out_fields += [(n, pa.int64()) for n in names]
+    out_fields.append(("n", pa.int64()))
+    out_schema = pa.schema(out_fields)
+
+    def final(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        dense = np.zeros(n_bins, dtype=np.int64)
+        np.add.at(
+            dense,
+            g["bin"].to_numpy(zero_copy_only=False),
+            g["cnt"].to_numpy(zero_copy_only=False),
+        )
+        cum = np.cumsum(dense)
+        n = int(cum[-1])
+        cols: dict = {key_col: g[key_col].slice(0, 1)}
+        for q, name in zip(qs, names):
+            rank = int(np.floor(q * (n - 1)))
+            b = int(np.searchsorted(cum, rank + 1, side="left"))
+            est = lo + b * width
+            cols[name] = pa.array(
+                [int(np.round(est * 1e6))], pa.int64()
+            )
+        cols["n"] = pa.array([n], pa.int64())
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(key_col)
+        .map_groups(final, batch_format="pyarrow")
+    )

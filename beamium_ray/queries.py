@@ -559,8 +559,16 @@ def quantiles_events(sf_dir: str):
     values, so each narrow point is pre-expanded to its 5 covering
     windows and takes ONE hash(series) bucket shuffle; per-bucket
     linear interpolation is pure index arithmetic (no per-group
-    Python)."""
-    from beamium_ray.datapipe.stats import group_quantiles
+    Python).
+
+    route='binned' — the BOUNDED-state sketch path for when the exact
+    routes' raw-value movement is unaffordable (datapipe/stats.py
+    binned_quantiles): fixed-bin histogram partials (≤ keys × 4096
+    narrow rows per block), exact count merge, estimate = the lower
+    edge of the rank's bin (error ≤ one bin width, deterministic at
+    any cluster size — unlike t-digest/KLL whose merge is
+    order-dependent)."""
+    from beamium_ray.datapipe.stats import binned_quantiles, group_quantiles
     from beamium_ray.functions.cluster import shuffle_blocks_for
     from beamium_ray.stages.window import sliding_quantiles_dataset
 
@@ -612,11 +620,36 @@ def quantiles_events(sf_dir: str):
             }
         )
 
+    binned = binned_quantiles(
+        _read(sf_dir, "events", ["event_type", "value"]),
+        "event_type", "value", lo=0.0, hi=512.0, n_bins=4096,
+    )
+
+    def fin_binned(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "route": pa.array(
+                    np.repeat("binned", t.num_rows), pa.string()
+                ),
+                "event_type": t["event_type"],
+                "window_start": pa.array(
+                    np.zeros(t.num_rows, np.int64), pa.int64()
+                ),
+                "p50": t["p50"],
+                "p95": t["p95"],
+                "p99": t["p99"],
+                "n": t["n"],
+            }
+        )
+
     return _union(
         [
             glob.map_batches(fin_glob, batch_format="pyarrow", batch_size=None),
             sliding.map_batches(
                 fin_slide, batch_format="pyarrow", batch_size=None
+            ),
+            binned.map_batches(
+                fin_binned, batch_format="pyarrow", batch_size=None
             ),
         ]
     )
@@ -3215,6 +3248,28 @@ FROM (
          ((p.uts // {US_1M}) - g.j) * {US_1M} AS window_start
   FROM pts p CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS j) g)
 GROUP BY event_type, window_start
+UNION ALL
+SELECT 'binned', event_type, CAST(0 AS BIGINT),
+       CAST(ROUND((b50 * 0.125) * 1e6) AS BIGINT),
+       CAST(ROUND((b95 * 0.125) * 1e6) AS BIGINT),
+       CAST(ROUND((b99 * 0.125) * 1e6) AS BIGINT),
+       CAST(n AS BIGINT)
+FROM (
+  SELECT event_type, n,
+         min(CASE WHEN cum >= floor(0.5  * (n - 1)) + 1 THEN bin END) AS b50,
+         min(CASE WHEN cum >= floor(0.95 * (n - 1)) + 1 THEN bin END) AS b95,
+         min(CASE WHEN cum >= floor(0.99 * (n - 1)) + 1 THEN bin END) AS b99
+  FROM (
+    SELECT event_type, bin,
+           sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+           sum(cnt) OVER (PARTITION BY event_type) AS n
+    FROM (
+      SELECT event_type,
+             CAST(least(greatest(floor(value / 0.125), 0), 4095) AS BIGINT)
+               AS bin,
+             count(*) AS cnt
+      FROM pts GROUP BY 1, 2))
+  GROUP BY event_type, n)
 """,
     "spike_flags_events": f"""
 WITH pts AS (

@@ -278,3 +278,44 @@ def test_dataset_report_sums(ray_session):
         }
         assert got.loc["b"]["n_docs"] == 2
         assert got.loc["b"]["n_keep"] == 1
+
+
+def test_binned_quantiles_bounded_error_and_split_invariance(ray_session):
+    """The sketch's estimate is the rank's bin lower edge: within one
+    bin width below the exact rank value, and byte-identical across
+    block splits (exact count merge — no order dependence)."""
+    import ray.data
+
+    from beamium_ray.datapipe.stats import binned_quantiles
+
+    rng = np.random.default_rng(41)
+    n = 5000
+    t = pa.table(
+        {
+            "k": pa.array(rng.choice(["a", "b", "c"], n)),
+            "v": pa.array(rng.uniform(0, 500, n), pa.float64()),
+        }
+    )
+    lo, hi, bins = 0.0, 512.0, 4096
+    width = (hi - lo) / bins
+    results = []
+    for nblocks in (1, 7):
+        out = binned_quantiles(
+            ray.data.from_arrow(t).repartition(nblocks),
+            "k", "v", lo=lo, hi=hi, n_bins=bins,
+        ).to_pandas()
+        results.append(
+            sorted(map(tuple, out[["k", "p50", "p95", "p99", "n"]].values))
+        )
+    assert results[0] == results[1]  # split invariance
+
+    vals = {k: [] for k in "abc"}
+    for k, v in zip(t["k"].to_pylist(), t["v"].to_pylist()):
+        vals[k].append(v)
+    for k, p50, p95, p99, cnt in results[0]:
+        arr = np.sort(np.array(vals[k]))
+        assert cnt == len(arr)
+        for q, est_micro in ((0.5, p50), (0.95, p95), (0.99, p99)):
+            exact = arr[int(np.floor(q * (len(arr) - 1)))]
+            est = est_micro / 1e6
+            assert est <= exact < est + width + 1e-9, (k, q)
