@@ -741,14 +741,14 @@ def binned_quantile_partials(
         np.floor((v - lo) / width), 0, n_bins - 1
     ).astype(np.int64)
     keys = t[key_col].combine_chunks()
-    codes_arr = keys.dictionary_encode()
-    codes = codes_arr.indices.to_numpy().astype(np.int64)
+    idx = keys.dictionary_encode().indices
+    if idx.null_count:  # null keys form their own group (SQL GROUP BY)
+        codes = pc.fill_null(idx, -1).cast(pa.int64()).to_numpy() + 1
+    else:
+        codes = idx.to_numpy(zero_copy_only=False).astype(np.int64)
     comb = codes * n_bins + b
-    uniq, cnt = np.unique(comb, return_counts=True)
-    first_row = np.searchsorted(np.sort(comb), uniq)  # any row per combo
-    # map combo → a representative row index for the key value
-    order = np.argsort(comb, kind="stable")
-    rep = order[first_row]
+    # first-occurrence index doubles as the representative row per combo
+    uniq, rep, cnt = np.unique(comb, return_index=True, return_counts=True)
     return pa.table(
         {
             key_col: keys.take(pa.array(rep, pa.int64())),
@@ -783,14 +783,13 @@ def binned_quantiles(
     def partial(b: pa.Table) -> pa.Table:
         return binned_quantile_partials(b, key_col, value_col, lo, hi, n_bins)
 
-    out_fields = [(key_col, pa.string())]
-    out_fields += [(n, pa.int64()) for n in names]
-    out_fields.append(("n", pa.int64()))
-    out_schema = pa.schema(out_fields)
-
     def final(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
-            return out_schema.empty_table()
+            # key type comes from the group schema, not an assumption
+            fields = [(key_col, g.schema.field(key_col).type)]
+            fields += [(n, pa.int64()) for n in names]
+            fields.append(("n", pa.int64()))
+            return pa.schema(fields).empty_table()
         dense = np.zeros(n_bins, dtype=np.int64)
         np.add.at(
             dense,

@@ -374,15 +374,21 @@ class IncrementalRate:
     """
 
     def __init__(self, store_dir: str, tiers: dict[str, int],
-                 num_buckets: int = 64, keep_outputs: int = 2):
+                 num_buckets: int = 64, keep_outputs: int | None = None):
         import os
 
         self.dir = store_dir
         self.tiers = dict(tiers)
         self.num_buckets = num_buckets
-        # out-<tick> retention depth (≥1); 2 covers a consumer that is
-        # still lazily reading the previous tick's output
-        self.keep_outputs = max(1, int(keep_outputs))
+        # out-<tick> retention: None (default) keeps EVERY delivered
+        # generation — the engine has no consumption signal, so it must
+        # not guess when a consumer is done (a lazy Dataset returned by
+        # tick() reads its files only when executed). A daemon that
+        # consumes each tick promptly should pass its consumption lag
+        # (e.g. 2) to bound disk; deletions are logged.
+        self.keep_outputs = (
+            None if keep_outputs is None else max(1, int(keep_outputs))
+        )
         os.makedirs(store_dir, exist_ok=True)
 
     @property
@@ -484,17 +490,32 @@ class IncrementalRate:
             ).encode(),
         )
         # GC AFTER the pointer switch: superseded state generations go
-        # immediately; out-<tick> deliverables keep the last
-        # ``keep_outputs`` generations — a consumer may still hold a
-        # LAZY Dataset over the previous tick's output when this tick
-        # commits, so keeping only the current one would yank files out
-        # from under it (bounded disk, unlike keeping every generation).
-        keep_outs = {
-            f"out-{t:05d}" for t in range(tick - self.keep_outputs + 1, tick + 1)
-        }
+        # immediately. out-<tick> deliverables are only reclaimed when
+        # the caller declared its consumption lag via ``keep_outputs``
+        # (a consumer may still hold a LAZY Dataset over an older
+        # tick's output — deleting under it is data loss, so the
+        # default keeps everything and reclamation is logged).
+        keep_outs = (
+            None
+            if self.keep_outputs is None
+            else {
+                f"out-{t:05d}"
+                for t in range(tick - self.keep_outputs + 1, tick + 1)
+            }
+        )
         for d in os.listdir(self.dir):
             if d.startswith("state-") and d != state_name:
                 shutil.rmtree(os.path.join(self.dir, d), ignore_errors=True)
-            elif d.startswith("out-") and d not in keep_outs:
+            elif (
+                keep_outs is not None
+                and d.startswith("out-")
+                and d not in keep_outs
+            ):
+                import logging
+
+                logging.getLogger("beamium_ray.rate").info(
+                    "IncrementalRate: reclaiming delivered output %s "
+                    "(keep_outputs=%d)", d, self.keep_outputs,
+                )
                 shutil.rmtree(os.path.join(self.dir, d), ignore_errors=True)
         return self._read_dir(out_name)

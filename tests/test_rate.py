@@ -434,7 +434,7 @@ def test_incremental_rate_empty_and_single_sample_ticks(ray_session, tmp_path):
         )
 
     inc = IncrementalRate(str(tmp_path / "rate"), {"1m": US_1M},
-                          num_buckets=2)
+                          num_buckets=2, keep_outputs=2)
     # tick 1: the canonical first scrape — one sample per series
     out1 = inc.tick(ray.data.from_arrow(tick_tbl([("a", 0, 10)])),
                     batch_key="k1").to_pandas()
@@ -449,7 +449,7 @@ def test_incremental_rate_empty_and_single_sample_ticks(ray_session, tmp_path):
         batch_key="k3",
     ).to_pandas()
     assert out3["increase"].tolist() == [15]
-    # out-dir retention is bounded (keep_outputs=2 default)
+    # out-dir retention is bounded when opted in (keep_outputs=2)
     import os
 
     outs = sorted(d for d in os.listdir(inc.dir) if d.startswith("out-"))
