@@ -188,7 +188,10 @@ def counter_increase_dataset(
             {
                 "series_key": b[key_col],
                 "ts": pc.cast(b[ts_col], pa.int64()),
-                "value": b[value_col],
+                # explicit cast: a float value column would otherwise
+                # propagate a float 'increase' that drifts from the
+                # documented int64 schema (and IncrementalRate's state)
+                "value": pc.cast(b[value_col], pa.int64()),
                 "order": order,
             }
         )

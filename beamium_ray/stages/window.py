@@ -67,11 +67,12 @@ def sliding_quantiles_bucket(
 ) -> pa.Table:
     """One vectorized pass per bucket: lexsort by (series, window,
     value), then per-(series, window) linear-interpolation quantiles via
-    pure index arithmetic — ``pos = start + q*(len-1)`` — exactly
-    numpy's/DuckDB's ``linear``/``quantile_cont`` formula
-    ``v[lo] + frac*(v[hi]-v[lo])``, emitted as int64 micro-units so
-    last-ulp differences can't break value hashes (the
-    stats.group_quantiles convention)."""
+    pure index arithmetic — ``pos = start + q*(len-1)`` — DuckDB's
+    ``quantile_cont`` ONE-SIDED lerp ``v[lo] + frac*(v[hi]-v[lo])``
+    (NOT numpy's: np.quantile's _lerp switches to ``b-(b-a)*(1-t)``
+    for t>=0.5 and differs at ulp boundaries that survive micro-unit
+    rounding), emitted as int64 micro-units (the stats.group_quantiles
+    convention, which shares this exact formula)."""
     if g.num_rows == 0:
         return _quantile_schema(names).empty_table()
     keys = g["series_key"].combine_chunks()
@@ -220,9 +221,14 @@ def spike_flags_bucket(
         tmin[sl] = np.where(ok, np.minimum(tmin[sl], wsum[:-j]), tmin[sl])
         cnt[sl] += ok
     has_base = cnt > 0
-    flag_ok = cnt >= min_baseline
-    up = (2 * wsum > 3 * tmax) & flag_ok
-    dn = (2 * wsum < tmin) & flag_ok
+    # flags need BOTH a real baseline (no int64-min/max sentinels in the
+    # comparison — 3*sentinel wraps) and the min_baseline quorum; sub in
+    # 0 where there's no baseline so the vectorized compare never wraps
+    flag_ok = (cnt >= min_baseline) & has_base
+    safe_max = np.where(has_base, tmax, 0)
+    safe_min = np.where(has_base, tmin, 0)
+    up = (2 * wsum > 3 * safe_max) & flag_ok
+    dn = (2 * wsum < safe_min) & flag_ok
     return pa.table(
         {
             "series_key": keys.take(pa.array(o[starts], pa.int64())),

@@ -176,6 +176,18 @@ def test_expand_matches_property(lk_list, rk_list, how):
     assert got == sorted(want)
 
 
+def _lerp_quantile(vals: np.ndarray, q: float) -> float:
+    """The kernel's (and DuckDB quantile_cont's) ONE-SIDED lerp
+    ``v[lo] + frac*(v[hi]-v[lo])`` — deliberately NOT np.quantile,
+    whose _lerp switches to ``b-(b-a)*(1-t)`` for t>=0.5 and differs
+    at ulp boundaries that survive micro-unit rounding (ADVICE r4)."""
+    v = np.sort(vals)
+    pos = q * (len(v) - 1)
+    lo = int(np.floor(pos))
+    hi = min(lo + 1, len(v) - 1)
+    return v[lo] + (pos - lo) * (v[hi] - v[lo])
+
+
 @settings(max_examples=150, deadline=None)
 @given(
     st.lists(
@@ -190,8 +202,8 @@ def test_expand_matches_property(lk_list, rk_list, how):
     )
 )
 def test_sliding_quantiles_bucket_property(rows):
-    """Per-(series, window) p50/p95 ≡ np.quantile over the group's
-    values, for arbitrary group shapes incl. singletons."""
+    """Per-(series, window) p50/p95 ≡ the one-sided-lerp reference over
+    the group's values, for arbitrary group shapes incl. singletons."""
     from beamium_ray.stages.window import sliding_quantiles_bucket
 
     g = pa.table(
@@ -208,8 +220,8 @@ def test_sliding_quantiles_bucket_property(rows):
     assert got.num_rows == len(groups)
     for row in got.to_pylist():
         vals = np.array(groups[(row["series_key"], row["window_start"])])
-        assert row["p50"] == int(np.round(np.quantile(vals, 0.5) * 1e6))
-        assert row["p95"] == int(np.round(np.quantile(vals, 0.95) * 1e6))
+        assert row["p50"] == int(np.round(_lerp_quantile(vals, 0.5) * 1e6))
+        assert row["p95"] == int(np.round(_lerp_quantile(vals, 0.95) * 1e6))
         assert row["n"] == len(vals)
 
 
