@@ -105,21 +105,32 @@ class _IncrementalDedupBase:
         appends its index/payload partitions; the manifest rename is
         LAST so a crashed tick is invisible and its deterministic
         files overwrite on replay. Returns the new assignment
-        Dataset."""
+        Dataset.
+
+        ``new_id_set`` may be a Python set (small-tick callers) or an
+        int64 numpy array (the distributed mega-tick route) — label
+        assignment is vectorized either way, so the per-tick driver
+        cost here is O(new ids + verified edges), never a Python loop
+        over the batch."""
         import ray
         import ray.data
 
         from beamium_ray.datapipe.dedup import _numpy_components
 
+        if isinstance(new_id_set, np.ndarray):
+            new_arr = np.unique(new_id_set.astype(np.int64))
+        else:
+            new_arr = np.unique(
+                np.fromiter(new_id_set, np.int64, len(new_id_set))
+            )
         prev = self.assignments()
         remap: dict[int, int] = {}
-        new_labels: dict[int, int] = {}
         graph_a = np.asarray(edges_a, np.int64)
         graph_b = np.asarray(edges_b, np.int64)
         if prev is not None and len(graph_a):
             # bind each committed partner to its current cluster root
             part = np.unique(np.concatenate([graph_a, graph_b]))
-            part = part[~np.isin(part, list(new_id_set))]
+            part = part[~np.isin(part, new_arr)]
             if len(part):
                 rows = [
                     b
@@ -139,22 +150,31 @@ class _IncrementalDedupBase:
                     graph_b = np.concatenate(
                         [graph_b, bt["cluster"].to_numpy()]
                     )
+        nn = nl = np.zeros(0, np.int64)
         if len(graph_a):
             nodes, labels = _numpy_components(graph_a, graph_b)
-            for n, lb in zip(nodes.tolist(), labels.tolist()):
-                if n in new_id_set:
-                    new_labels[n] = lb
-                elif n != lb:
+            is_new = np.isin(nodes, new_arr)
+            nn, nl = nodes[is_new], labels[is_new]
+            for n, lb in zip(
+                nodes[~is_new].tolist(), labels[~is_new].tolist()
+            ):
+                if n != lb:
                     # a committed node relabeled; if it was a cluster
                     # ROOT, its whole cluster follows via the remap
                     remap[n] = lb
+        # vectorized label assignment for the new ids: default own-id,
+        # overridden where the id appears in a component
+        cl = new_arr.copy()
+        if len(nn):
+            o = np.argsort(nn)
+            nn, nl = nn[o], nl[o]
+            pos = np.clip(np.searchsorted(nn, new_arr), 0, len(nn) - 1)
+            hit = nn[pos] == new_arr
+            cl[hit] = nl[pos[hit]]
         assign_new = pa.table(
             {
-                self.id_col: pa.array(sorted(new_id_set), pa.int64()),
-                "cluster": pa.array(
-                    [new_labels.get(d, d) for d in sorted(new_id_set)],
-                    pa.int64(),
-                ),
+                self.id_col: pa.array(new_arr, pa.int64()),
+                "cluster": pa.array(cl, pa.int64()),
             }
         )
 
@@ -229,6 +249,8 @@ class IncrementalMinHashDedup(_IncrementalDedupBase):
         bucket_cap: int = 256,
         text_col: str = "text",
         id_col: str = "doc_id",
+        max_tick_rows: int = 100_000,
+        num_partitions: int | None = None,
     ):
         super().__init__(store_dir, id_col)
         self.num_perm = num_perm
@@ -238,6 +260,8 @@ class IncrementalMinHashDedup(_IncrementalDedupBase):
         self.B = num_buckets
         self.bucket_cap = bucket_cap
         self.text_col = text_col
+        self.max_tick_rows = max_tick_rows
+        self.num_partitions = num_partitions
 
     # -- stored-index access ----------------------------------------------
     def _read_band_rows(self, buckets: set[int]) -> pa.Table:
@@ -285,7 +309,12 @@ class IncrementalMinHashDedup(_IncrementalDedupBase):
         return pa.concat_tables(tables)
 
     # -- one tick ----------------------------------------------------------
-    def tick(self, new_ds, batch_key: str | None = None):
+    def tick(
+        self,
+        new_ds,
+        batch_key: str | None = None,
+        distributed: bool | None = None,
+    ):
         """Fold one batch of new documents in; returns the updated full
         (doc_id, cluster) assignment Dataset.
 
@@ -295,31 +324,53 @@ class IncrementalMinHashDedup(_IncrementalDedupBase):
         batch after a crash that happened between this manifest's
         promotion and the watcher's own seen-promotion.
 
-        Steps: shingle+band the NEW docs (distributed map — the only
-        text-heavy work), collide them against the stored index rows of
-        the touched hash buckets, verify candidate pairs with exact
-        k-gram Jaccard (new texts from this batch, committed partner
-        texts via a filtered doc-store read), then merge components —
-        committed clusters absorbed by a cross-tick edge are relabeled
-        through a broadcast root-remap pass over the assignment table."""
+        TWO routes, auto-picked by tick size (``distributed`` forces):
+
+        - **driver** (≤ ``max_tick_rows`` new docs — the watch-mode
+          contract of small frequent ticks): band rows of the new batch
+          + touched store partitions are collected and collided on the
+          driver, candidate pairs verified with exact k-gram Jaccard
+          (committed partner texts via a filtered doc-store read).
+        - **distributed** (above the cap — backfill replays / mega
+          ticks, VERDICT r4 item 1): candidate pairs are generated by
+          the same bucketed-groupby machinery as one-shot
+          ``minhash_dedup`` (``candidate_pair_ds``), old/new tagged via
+          the pair payload channel, and exact verification runs as
+          Bloom-pruned pair↔text bucket joins (``pair_metric_join``) —
+          neither band rows nor texts ever land on the driver; the
+          only per-tick driver terms left are the new-id array
+          (8 B/doc), the verified-edge list and the ≤ num_buckets
+          touched-partition ids.
+
+        Both routes produce the identical verified edge set (the same
+        (band, band_hash) candidate semantics, the same exact-Jaccard
+        decision), so assignments are route-independent — enforced by
+        the route-equality test in tests/test_incdedup.py."""
+        man = self._manifest()
+        if batch_key is not None and man.get("last_batch") == batch_key:
+            return self.assignments()  # committed replay → no-op
+        tick = man["tick"] + 1
+        mat = new_ds.materialize()
+        n_new = mat.count()
+        if n_new == 0:
+            # a legitimately empty batch (scraper tick that matched
+            # nothing) must not wedge the watch loop: iter_batches
+            # yields ZERO batches for an empty Dataset and the concats
+            # below would raise. Nothing to fold in → no-op.
+            return self.assignments()
+        if distributed is None:
+            distributed = n_new > self.max_tick_rows
+        if distributed:
+            return self._tick_distributed(mat, tick, batch_key)
+        return self._tick_driver(mat, tick, batch_key)
+
+    def _tick_driver(self, mat, tick: int, batch_key: str | None):
         from beamium_ray.datapipe.dedup import (
             _jaccard_for_pairs,
             _segment_pair_indices,
             minhash_bands_batch,
             shingle_sets_for,
         )
-
-        man = self._manifest()
-        if batch_key is not None and man.get("last_batch") == batch_key:
-            return self.assignments()  # committed replay → no-op
-        tick = man["tick"] + 1
-        mat = new_ds.materialize()
-        if mat.count() == 0:
-            # a legitimately empty batch (scraper tick that matched
-            # nothing) must not wedge the watch loop: iter_batches
-            # yields ZERO batches for an empty Dataset and the concats
-            # below would raise. Nothing to fold in → no-op.
-            return self.assignments()
 
         # 1. band rows for the new docs (distributed; narrow result)
         band_ds = mat.map_batches(
@@ -449,6 +500,245 @@ class IncrementalMinHashDedup(_IncrementalDedupBase):
         return self._commit_tick(
             tick, new_id_set, edges_a, edges_b, write_store, batch_key
         )
+
+    # -- distributed mega-tick route ---------------------------------------
+    def _bucket_files(self, sub: str, buckets) -> list[str]:
+        """Parquet files of the given store partitions (bands/ or docs/)."""
+        out: list[str] = []
+        for b in sorted(buckets):
+            d = os.path.join(self.dir, sub, f"bkt={b}")
+            if os.path.isdir(d):
+                out.extend(
+                    os.path.join(d, f)
+                    for f in sorted(os.listdir(d))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    def _tick_distributed(self, mat, tick: int, batch_key: str | None):
+        """Mega-tick route: identical semantics to ``_tick_driver`` with
+        every O(tick-size) term Dataset-resident. Candidate pairs come
+        from ``candidate_pair_ds`` over the UNION of new band rows
+        (tagged ``is_new=1``) and the touched store partitions
+        (``is_new=0``) — the old/new tag rides the pair payload channel,
+        so the old-old filter (pairs already found in their own tick)
+        is one vectorized mask, no id broadcast. Exact-Jaccard
+        verification is the Bloom-pruned ``pair_metric_join`` against
+        new texts ∪ the doc-store partitions holding committed
+        endpoints. Store appends are bucketed ``map_groups`` writes to
+        the same deterministic ``tick-<n>.parquet`` names the driver
+        route uses (atomic per file; manifest promotion stays LAST)."""
+        import ray.data as rd
+
+        from beamium_ray.datapipe.dedup import (
+            candidate_pair_ds,
+            minhash_bands_batch,
+        )
+        from beamium_ray.datapipe.pairjoin import (
+            jaccard_text_metric,
+            pair_metric_join,
+        )
+        from beamium_ray.functions.cluster import default_partitions
+
+        P = self.num_partitions or default_partitions()
+        B = self.B
+        idc, txc = self.id_col, self.text_col
+
+        # narrow band rows, reused by touched-scan, pairgen and store
+        # write — materialized so shingling runs exactly once
+        band_ds = mat.map_batches(
+            lambda b: minhash_bands_batch(
+                b, txc, idc, self.num_perm, self.bands, self.k
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).materialize()
+
+        # touched store partitions: ≤ B distinct values leave each block
+        def _bkts(t: pa.Table) -> pa.Table:
+            h = t["band_hash"].to_numpy().astype(np.uint64)
+            u = np.unique((h % np.uint64(B)).astype(np.int64))
+            return pa.table({"bkt": pa.array(u, pa.int64())})
+
+        touched: set[int] = set()
+        for b in band_ds.map_batches(
+            _bkts, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow", batch_size=None):
+            touched.update(b["bkt"].to_pylist())
+
+        def _flag(val: int):
+            def f(t: pa.Table) -> pa.Table:
+                return t.append_column(
+                    "is_new",
+                    pa.array(np.full(t.num_rows, val, np.int64), pa.int64()),
+                )
+
+            return f
+
+        index = band_ds.map_batches(
+            _flag(1), batch_format="pyarrow", batch_size=None
+        )
+        old_files = self._bucket_files("bands", touched)
+        if old_files:
+            index = index.union(
+                rd.read_parquet(old_files).map_batches(
+                    _flag(0), batch_format="pyarrow", batch_size=None
+                )
+            )
+
+        def _new_touch(t: pa.Table) -> pa.Table:
+            keep = pc.or_(
+                pc.equal(t["pa"], 1), pc.equal(t["pb"], 1)
+            )
+            return t.filter(keep).select(["a", "b", "pa", "pb"])
+
+        pairs = (
+            candidate_pair_ds(
+                index,
+                ["band", "band_hash"],
+                idc,
+                payload_col="is_new",
+                bucket_cap=self.bucket_cap,
+                num_partitions=P,
+            )
+            .map_batches(_new_touch, batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
+        n_pairs = pairs.count()
+
+        edges_a = np.zeros(0, np.int64)
+        edges_b = np.zeros(0, np.int64)
+        if n_pairs:
+            # doc-store partitions holding committed pair endpoints
+            def _doc_bkts(t: pa.Table) -> pa.Table:
+                ids = np.concatenate(
+                    [
+                        t["a"].to_numpy()[t["pa"].to_numpy() == 0],
+                        t["b"].to_numpy()[t["pb"].to_numpy() == 0],
+                    ]
+                )
+                u = np.unique(ids.astype(np.int64) % B)
+                return pa.table({"bkt": pa.array(u, pa.int64())})
+
+            doc_bkts: set[int] = set()
+            for b in pairs.map_batches(
+                _doc_bkts, batch_format="pyarrow", batch_size=None
+            ).iter_batches(batch_format="pyarrow", batch_size=None):
+                doc_bkts.update(b["bkt"].to_pylist())
+
+            payload = mat.map_batches(
+                lambda t: t.select([idc, txc]),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            doc_files = self._bucket_files("docs", doc_bkts)
+            if doc_files:
+                payload = payload.union(rd.read_parquet(doc_files))
+            pair_ab = pairs.map_batches(
+                lambda t: t.select(["a", "b"]),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            ver = pair_metric_join(
+                pair_ab, payload, idc, txc,
+                jaccard_text_metric(self.k), P, "jaccard",
+                prune_hint=n_pairs,
+            )
+            et_parts = [
+                pa.table(
+                    {"a": pa.array([], pa.int64()),
+                     "b": pa.array([], pa.int64())}
+                )
+            ]
+            for b in ver.map_batches(
+                lambda t: t.filter(
+                    pc.greater_equal(t["jaccard"], self.threshold)
+                ).select(["a", "b"]),
+                batch_format="pyarrow",
+                batch_size=None,
+            ).iter_batches(batch_format="pyarrow", batch_size=None):
+                et_parts.append(b)
+            et = pa.concat_tables(et_parts)
+            edges_a = et["a"].to_numpy()
+            edges_b = et["b"].to_numpy()
+
+        new_arr = np.unique(
+            np.concatenate(
+                [
+                    b[idc].to_numpy()
+                    for b in mat.select_columns([idc]).iter_batches(
+                        batch_format="pyarrow", batch_size=None
+                    )
+                ]
+            ).astype(np.int64)
+        )
+
+        def write_store(t: int) -> None:
+            self._write_bands_distributed(band_ds, t)
+            self._write_docs_distributed(mat, t)
+
+        return self._commit_tick(
+            tick, new_arr, edges_a, edges_b, write_store, batch_key
+        )
+
+    def _write_bands_distributed(self, band_ds, tick: int) -> None:
+        """Append the tick's band rows, hash-bucketed, WITHOUT driver
+        collection: one groupby(store-bucket) whose groups each write
+        their single deterministic ``tick-<n>.parquet`` atomically (same
+        names as the driver route — replay overwrites idempotently)."""
+        B, idc = self.B, self.id_col
+        base = os.path.join(self.dir, "bands")
+
+        def tag(t: pa.Table) -> pa.Table:
+            h = t["band_hash"].to_numpy().astype(np.uint64)
+            sb = (h % np.uint64(B)).astype(np.int32)
+            return t.append_column("sbkt", pa.array(sb, pa.int32()))
+
+        def w(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0:
+                return pa.table({"n": pa.array([], pa.int64())})
+            bkt = int(g["sbkt"][0].as_py())
+            _atomic_write_table(
+                g.select(["band", "band_hash", idc]),
+                os.path.join(base, f"bkt={bkt}", f"tick-{tick:05d}.parquet"),
+            )
+            return pa.table({"n": pa.array([g.num_rows], pa.int64())})
+
+        band_ds.map_batches(
+            tag, batch_format="pyarrow", batch_size=None
+        ).groupby("sbkt").map_groups(w, batch_format="pyarrow").count()
+
+    def _write_docs_distributed(self, mat, tick: int) -> None:
+        """Append the tick's (id, text) payload, bucketed by id % B.
+        This is the ONE documented payload-bucketed shuffle of the
+        route (its OUTPUT is the doc store itself, per the engine's
+        payload-shuffle invariant)."""
+        B, idc, txc = self.B, self.id_col, self.text_col
+        base = os.path.join(self.dir, "docs")
+
+        def tag(t: pa.Table) -> pa.Table:
+            ids = t[idc].to_numpy().astype(np.int64)
+            return pa.table(
+                {
+                    idc: t[idc],
+                    txc: t[txc],
+                    "sbkt": pa.array((ids % B).astype(np.int32), pa.int32()),
+                }
+            )
+
+        def w(g: pa.Table) -> pa.Table:
+            if g.num_rows == 0:
+                return pa.table({"n": pa.array([], pa.int64())})
+            bkt = int(g["sbkt"][0].as_py())
+            _atomic_write_table(
+                g.select([idc, txc]),
+                os.path.join(base, f"bkt={bkt}", f"tick-{tick:05d}.parquet"),
+            )
+            return pa.table({"n": pa.array([g.num_rows], pa.int64())})
+
+        mat.map_batches(
+            tag, batch_format="pyarrow", batch_size=None
+        ).groupby("sbkt").map_groups(w, batch_format="pyarrow").count()
 
 
 class IncrementalSemanticDedup(_IncrementalDedupBase):
