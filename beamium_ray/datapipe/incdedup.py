@@ -59,7 +59,21 @@ class _IncrementalDedupBase:
     stores: the manifest (pointer-switch commit), the full (id,
     cluster) table, and the per-tick component merge + committed-root
     remap. Subclasses implement candidate generation + verification
-    and write their own index/payload partitions inside the commit."""
+    and write their own index/payload partitions inside the commit.
+
+    Also hosts the store LIFECYCLE (``retention``/``compact``,
+    state/storegc.py): without it the index/payload partitions and the
+    assignment table grow O(ever-seen corpus) — the reference daemon
+    bounds every sink dir with TTL + size-cap retention
+    (src/sink.rs:102-221) and these stores need the same."""
+
+    # subclasses: store subdir roots swept by retention/compaction; the
+    # subdir whose files carry ``id_col`` (drives assignment pruning);
+    # the subdir needing key-column compaction (vector payloads Arrow
+    # can't full-row group)
+    _GC_SUBDIRS: tuple[str, ...] = ()
+    _GC_ID_SUBDIR: str | None = None
+    _GC_VEC_SUBDIR: str | None = None
 
     def __init__(self, store_dir: str, id_col: str):
         self.dir = store_dir
@@ -88,6 +102,138 @@ class _IncrementalDedupBase:
         return ray.data.read_parquet(
             os.path.join(self.dir, "assign", man["assign"])
         )
+
+    # -- store lifecycle ---------------------------------------------------
+    def retention(
+        self,
+        *,
+        max_ticks: int | None = None,
+        ttl_seconds: float | None = None,
+        max_bytes: int | None = None,
+        prune_assignments: bool = True,
+        now: float | None = None,
+    ) -> dict:
+        """Reference-parity retention over the index/payload stores
+        (sink.rs:102-221 re-expressed, see state/storegc.py): expired
+        ticks' partition files are deleted — TTL by deterministic
+        tick-age (``max_ticks``) or wall-clock file age
+        (``ttl_seconds``) — then the size cap drops the OLDEST
+        surviving ticks until the store fits ``max_bytes``. Assignment
+        rows of the expired docs are pruned through the same
+        manifest-pointer switch every tick uses, so durable state is
+        O(retained corpus).
+
+        Run BETWEEN ticks (single-owner daemon contract, like the
+        reference's scanner loop). Crash-safe by ordering: index and
+        payload files are deleted BEFORE the assignment rewrite — a
+        crash leaves assignment rows whose index is gone (inert; the
+        next sweep re-prunes), never index rows whose assignment
+        vanished. Retained docs keep their cluster LABEL even when the
+        labeling root doc expired — labels are ids, not references.
+
+        Returns counters {files_deleted, bytes_deleted, ticks_dropped,
+        ids_pruned} (the reference's ``beamium_skip_ttl`` /
+        ``beamium_skip_max_size`` analogs)."""
+        from beamium_ray.state import storegc
+
+        man = self._manifest()
+        files = storegc.scan(
+            [os.path.join(self.dir, s) for s in self._GC_SUBDIRS]
+        )
+        drop = storegc.select_expired(
+            files, man["tick"], max_ticks, ttl_seconds, max_bytes, now
+        )
+        expired_ids = np.zeros(0, np.int64)
+        if prune_assignments and self._GC_ID_SUBDIR is not None and drop:
+            marker = os.sep + self._GC_ID_SUBDIR + os.sep
+            parts = [
+                pq.read_table(f["path"], columns=[self.id_col])[
+                    self.id_col
+                ].to_numpy()
+                for f in drop
+                if marker in f["path"]
+            ]
+            if parts:
+                expired_ids = np.unique(
+                    np.concatenate(parts).astype(np.int64)
+                )
+        n_bytes = sum(f["size"] for f in drop)
+        for f in drop:
+            os.remove(f["path"])
+        if len(expired_ids):
+            self._prune_assignments(expired_ids)
+        return {
+            "files_deleted": len(drop),
+            "bytes_deleted": n_bytes,
+            "ticks_dropped": sorted({f["hi"] for f in drop}),
+            "ids_pruned": int(len(expired_ids)),
+        }
+
+    def compact(self) -> int:
+        """Merge each store partition's tick files into one
+        ``compact-<lo>-<hi>.parquet`` (storegc.compact_dir) so per-tick
+        read cost stays O(partitions), not O(partitions × ticks).
+        Returns the number of files merged away."""
+        from beamium_ray.state import storegc
+
+        n = 0
+        for s in self._GC_SUBDIRS:
+            root = os.path.join(self.dir, s)
+            if not os.path.isdir(root):
+                continue
+            keys = [self.id_col] if s == self._GC_VEC_SUBDIR else None
+            for part in sorted(os.listdir(root)):
+                d = os.path.join(root, part)
+                if os.path.isdir(d):
+                    n += storegc.compact_dir(d, keys)
+        return n
+
+    def _prune_assignments(self, expired_ids: np.ndarray) -> None:
+        """Drop the expired ids from the assignment table via a new
+        generation + manifest-pointer switch (the tick commit
+        protocol; superseded generations GC'd after the switch)."""
+        import ray
+        import ray.data
+
+        prev = self.assignments()
+        if prev is None:
+            return
+        man = self._manifest()
+        assign_name = f"assign-{man['tick']:05d}-gc"
+        if man["assign"] == assign_name:  # second sweep between ticks
+            assign_name += "b"
+        assign_dir = os.path.join(self.dir, "assign", assign_name)
+        if os.path.isdir(assign_dir):  # crashed-sweep replay
+            shutil.rmtree(assign_dir)
+        ref = ray.put(np.sort(expired_ids))
+        idc = self.id_col
+
+        def drop_rows(t: pa.Table, _r=ref) -> pa.Table:
+            import ray as _ray
+
+            bad = _ray.get(_r)
+            ids = t[idc].to_numpy()
+            if len(bad) == 0 or len(ids) == 0:
+                return t
+            pos = np.clip(np.searchsorted(bad, ids), 0, len(bad) - 1)
+            return t.filter(pa.array(bad[pos] != ids))
+
+        prev.map_batches(
+            drop_rows, batch_format="pyarrow", batch_size=None
+        ).write_parquet(assign_dir)
+
+        from beamium_ray.state.manifest import atomic_write_bytes
+
+        atomic_write_bytes(
+            self._manifest_path,
+            json.dumps(
+                {**man, "assign": assign_name}, sort_keys=True
+            ).encode(),
+        )
+        base = os.path.join(self.dir, "assign")
+        for d in os.listdir(base):
+            if d.startswith("assign-") and d != assign_name:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
 
     # -- shared commit -----------------------------------------------------
     def _commit_tick(
@@ -237,6 +383,9 @@ class _IncrementalDedupBase:
 
 
 class IncrementalMinHashDedup(_IncrementalDedupBase):
+    _GC_SUBDIRS = ("bands", "docs")
+    _GC_ID_SUBDIR = "docs"
+
     def __init__(
         self,
         store_dir: str,
@@ -759,6 +908,10 @@ class IncrementalSemanticDedup(_IncrementalDedupBase):
     Semantics match the one-shot :func:`dedup.semantic_dedup` under the
     same fixed centroids (equality pinned by the tests)."""
 
+    _GC_SUBDIRS = ("cells",)
+    _GC_ID_SUBDIR = "cells"
+    _GC_VEC_SUBDIR = "cells"
+
     def __init__(
         self,
         store_dir: str,
@@ -955,6 +1108,9 @@ class IncrementalExactDedup(_IncrementalDedupBase):
     connect every (h1, h2) group that contains a new doc to its min
     id, and run the shared committed-root merge. Same assignment/
     manifest semantics as the minhash store."""
+
+    _GC_SUBDIRS = ("hashes",)
+    _GC_ID_SUBDIR = "hashes"
 
     def __init__(
         self,
@@ -1162,16 +1318,16 @@ class IncrementalSpanDedup:
         """(h1, h2) of stored windows in the touched buckets written by
         ticks STRICTLY BEFORE ``before_tick`` (excludes a crashed or
         replayed tick's own files)."""
+        from beamium_ray.state.storegc import parse_ticks
+
         parts = []
         for b in sorted(buckets):
             d = os.path.join(self.dir, "windows", f"bkt={b}")
             if not os.path.isdir(d):
                 continue
             for f in sorted(os.listdir(d)):
-                if not f.endswith(".parquet"):
-                    continue
-                n = int(f[len("tick-"):-len(".parquet")])
-                if n < before_tick:
+                rng = parse_ticks(f)  # tick-<n> or compact-<lo>-<hi>
+                if rng is not None and rng[1] < before_tick:
                     parts.append(pq.read_table(os.path.join(d, f)))
         if not parts:
             return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
@@ -1180,6 +1336,47 @@ class IncrementalSpanDedup:
             t["h1"].to_numpy().astype(np.uint64),
             t["h2"].to_numpy().astype(np.uint64),
         )
+
+    def retention(
+        self,
+        *,
+        max_ticks: int | None = None,
+        ttl_seconds: float | None = None,
+        max_bytes: int | None = None,
+        now: float | None = None,
+    ) -> dict:
+        """TTL/size-cap retention over the window-hash store (see
+        _IncrementalDedupBase.retention — same semantics; this store
+        has no assignment table to prune: expired windows simply stop
+        marking spans in FUTURE ticks, the TTL'd-dedup contract)."""
+        from beamium_ray.state import storegc
+
+        man = self._manifest()
+        files = storegc.scan([os.path.join(self.dir, "windows")])
+        drop = storegc.select_expired(
+            files, man["tick"], max_ticks, ttl_seconds, max_bytes, now
+        )
+        n_bytes = sum(f["size"] for f in drop)
+        for f in drop:
+            os.remove(f["path"])
+        return {
+            "files_deleted": len(drop),
+            "bytes_deleted": n_bytes,
+            "ticks_dropped": sorted({f["hi"] for f in drop}),
+        }
+
+    def compact(self) -> int:
+        """Merge each bucket's tick files into one compact file
+        (storegc.compact_dir; _read_windows reads compact names)."""
+        from beamium_ray.state import storegc
+
+        root = os.path.join(self.dir, "windows")
+        n = 0
+        for part in sorted(os.listdir(root)):
+            d = os.path.join(root, part)
+            if os.path.isdir(d):
+                n += storegc.compact_dir(d)
+        return n
 
     @staticmethod
     def _pair_hits(

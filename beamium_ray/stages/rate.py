@@ -425,6 +425,51 @@ class IncrementalRate:
             return None
         return self._read_dir(man["state"])
 
+    def retention(self, *, max_age_us: int, now_us: int) -> dict:
+        """Drop DEAD series from the last-point store: any series whose
+        most recent point is older than ``max_age_us`` stops occupying
+        state (the store is otherwise O(every series ever seen) — the
+        reference's sink TTL, src/sink.rs:102-146, applied to series
+        instead of files). A pruned series that later revives simply
+        starts a fresh delta chain, exactly as a brand-new series does.
+
+        Commit = the tick protocol: filtered state written to a new
+        ``state-<tick>-gc`` generation, manifest pointer switched,
+        superseded generations GC'd after. Run between ticks."""
+        import json
+        import os
+        import shutil
+
+        from beamium_ray.state.manifest import atomic_write_bytes
+
+        man = self._manifest()
+        if man["state"] is None:
+            return {"series_pruned": 0}
+        prev = self.state_points()
+        cutoff = int(now_us) - int(max_age_us)
+        state_name = man["state"].split("-gc")[0] + "-gc"
+        if man["state"] == state_name:  # second sweep between ticks
+            state_name += "b"
+        p = os.path.join(self.dir, state_name)
+        if os.path.isdir(p):  # crashed-sweep replay
+            shutil.rmtree(p)
+        n_before = prev.count()
+        kept = prev.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["ts"], cutoff)),
+            batch_format="pyarrow",
+            batch_size=None,
+        ).materialize()
+        kept.write_parquet(p)
+        _ensure_parquet_dir(p, _STATE_SCHEMA)
+        atomic_write_bytes(
+            self._manifest_path,
+            json.dumps({**man, "state": state_name}, sort_keys=True).encode(),
+        )
+        for d in os.listdir(self.dir):
+            if d.startswith("state-") and d != state_name:
+                shutil.rmtree(os.path.join(self.dir, d), ignore_errors=True)
+        return {"series_pruned": int(n_before - kept.count())}
+
     def tick(self, points_ds, batch_key: str | None = None):
         """Process one tick of (series_key, ts, value, order) points;
         returns the tick's PARTIAL increase rows as a Dataset."""
