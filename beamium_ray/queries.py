@@ -2353,15 +2353,19 @@ def spike_flags_events(sf_dir: str):
 
 def interval_join_events(sf_dir: str):
     """Broadcast interval (range) join — the join Ray Data lacks
-    (stages/window.py interval_join_broadcast): incidents = the 20
-    globally busiest 1h windows (count ties broken by window_start),
-    widened ±90 s so boundaries are unaligned and neighbors can
-    overlap; every event joins to EACH incident interval containing
-    its ts (one row per match). The incident table is derived from
-    bounded per-block hour-count partials (≤ distinct hours per block)
-    re-summed on the driver — the small side is driver-held by
-    construction — then broadcast once via ray.put."""
-    from beamium_ray.stages.window import interval_join_broadcast
+    (stages/window.py interval_join): incidents = the 20 globally
+    busiest 1h windows (count ties broken by window_start), widened
+    ±90 s so boundaries are unaligned and neighbors can overlap; every
+    event joins to EACH incident interval containing its ts (one row
+    per match). The incident table is derived from bounded per-block
+    hour-count partials (≤ distinct hours per block) re-summed on the
+    driver — the small side is driver-held by construction — then
+    broadcast once via ray.put. TWO kernel routes in one entry:
+    route='scan' (one vectorized mask per interval — small sets) and
+    route='sorted' (sweep-colored non-overlapping levels + one
+    searchsorted per level per batch — the 10⁵-interval escalation)
+    must land on identical matches."""
+    from beamium_ray.stages.window import interval_join
 
     ds = _read(sf_dir, "events", ["ts"])  # count pass needs ts ONLY
 
@@ -2392,12 +2396,18 @@ def interval_join_events(sf_dir: str):
             "hi": pa.array(ws[top] + US_1H + 90_000_000, pa.int64()),
         }
     )
-    return interval_join_broadcast(
-        _read(sf_dir, "events", ["ts", "event_id"]),
-        intervals,
-        ts_col="ts",
-        id_col="incident",
-        out_cols=["event_id"],
+    events = _read(sf_dir, "events", ["ts", "event_id"])
+    return _union(
+        [
+            _tag(
+                interval_join(
+                    events, intervals, ts_col="ts", id_col="incident",
+                    out_cols=["event_id"], route=route,
+                ),
+                "route", route,
+            )
+            for route in ("scan", "sorted")
+        ]
     )
 
 
@@ -3309,7 +3319,10 @@ SELECT 'left', e.event_id, e.user_id, p.total_cents, p.n_events
 FROM pts e LEFT JOIN (SELECT * FROM prof WHERE user_id % 3 != 0) p
   USING (user_id)
 """,
-    "interval_join_events": f"""
+    "interval_join_events": "\nUNION ALL\n".join(
+        f"SELECT '{route}' AS route, * FROM ({{_IVJ_SQL}})"
+        for route in ("scan", "sorted")
+    ).format(_IVJ_SQL=f"""
 WITH w AS (SELECT epoch_us(ts) AS uts, event_id FROM events),
 c AS (SELECT uts - uts % {US_1H} AS ws, count(*) AS n FROM w GROUP BY 1),
 top AS (
@@ -3319,7 +3332,7 @@ top AS (
 SELECT w.event_id, t.incident
 FROM w JOIN top t
   ON w.uts >= t.ws - 90000000 AND w.uts < t.ws + {US_1H} + 90000000
-""",
+"""),
     # brute / exhaustive-probe IVF (same exact top-k oracle) / pruned
     # IVF vs an exhaustive SQL rank over regenerated planted vectors
     "simsearch_topk_embeddings": f"""

@@ -27,17 +27,20 @@ semantics, so the SQL oracle is a plain window function). The lag scan
 is vectorized as ``lookback`` shifted-array reductions — fine because
 lookback is a small constant, never data-sized.
 
-**interval_join_broadcast** — the broadcast range join Ray Data lacks:
-match each row whose ``ts`` falls inside any of a SMALL set of
-[lo, hi) intervals (incident windows, maintenance windows, ad
-campaigns), emitting one output row per (row, interval) match so
-overlapping intervals are honest. The interval table is driver-held
-and broadcast once via ``ray.put``; each batch loops over the
-*intervals* (bounded small side) with a vectorized mask per interval —
-never over rows. For thousands+ of non-overlapping intervals the right
-kernel is a searchsorted over the sorted bounds; for large overlapping
-sets, an interval tree held by an actor pool — both are documented
-escalation paths, not needed for the alerting-sized sets this targets.
+**interval_join** — the broadcast range join Ray Data lacks: match
+each row whose ``ts`` falls inside any of a set of [lo, hi) intervals
+(incident windows, maintenance windows, ad campaigns), emitting one
+output row per (row, interval) match so overlapping intervals are
+honest. The interval table is driver-held and broadcast once via
+``ray.put``. TWO kernels, auto-picked by interval count:
+``interval_join_broadcast`` loops over a SMALL interval set with one
+vectorized mask each (alerting-sized sets); ``interval_join_sorted``
+decomposes the set into non-overlapping LEVELS once (sweep coloring,
+level count = max overlap depth) and stabs each level with one
+``searchsorted`` per batch — O(depth × n log m), the 10⁵-interval
+shape. Both broadcast: the interval table itself must fit a worker's
+heap; a genuinely big×big range join belongs to ``stages/join.py``'s
+co-shuffle machinery instead.
 """
 
 from __future__ import annotations
@@ -332,3 +335,123 @@ def interval_join_broadcast(
         return out.append_column(id_col, matched)
 
     return ds.map_batches(join, batch_format="pyarrow", batch_size=None)
+
+
+def _interval_levels(
+    lo: np.ndarray, hi: np.ndarray
+) -> tuple[np.ndarray, int]:
+    """Greedy sweep coloring: assign each interval a LEVEL such that
+    intervals sharing a level never overlap; the level count equals the
+    max concurrent-overlap depth D (optimal — interval graphs are
+    perfect). One driver-side O(m log m) pass; per-batch stabbing then
+    costs one searchsorted per level instead of one mask per
+    interval."""
+    import heapq
+
+    order = np.lexsort((hi, lo))
+    free: list[int] = []
+    busy: list[tuple[int, int]] = []  # (hi, level) min-heap
+    levels = np.empty(len(lo), np.int64)
+    next_level = 0
+    for i in order.tolist():
+        li = int(lo[i])
+        while busy and busy[0][0] <= li:
+            _, lv = heapq.heappop(busy)
+            heapq.heappush(free, lv)
+        if free:
+            lv = heapq.heappop(free)
+        else:
+            lv = next_level
+            next_level += 1
+        levels[i] = lv
+        heapq.heappush(busy, (int(hi[i]), lv))
+    return levels, next_level
+
+
+def interval_join_sorted(
+    ds,
+    intervals: pa.Table,
+    ts_col: str = "ts",
+    id_col: str = "interval_id",
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    out_cols: list[str] | None = None,
+):
+    """The LARGE-interval-table escalation of
+    :func:`interval_join_broadcast` (VERDICT r4 item 3): identical
+    inner-range-join semantics (one output row per ``lo <= ts < hi``
+    match, overlaps honest), but per-batch work is
+    O(depth × n log m), not O(m × n).
+
+    The interval set is decomposed ONCE driver-side into D levels of
+    mutually non-overlapping intervals (``_interval_levels`` sweep,
+    D = max overlap depth); within a level, sorted-``lo`` stabbing is
+    one ``searchsorted`` + one bound check for the whole batch. The
+    (levels, sorted endpoints) pack broadcasts via ``ray.put`` exactly
+    like the scan route — still a BROADCAST join: the interval table
+    must fit each worker's heap (~24 B/interval + ids). 10⁵ intervals
+    over a metrics stream with depth ≤ a few dozen costs ~D vector
+    passes per batch — the shape the scan route melts on."""
+    import ray
+
+    ids = intervals[id_col].to_numpy(zero_copy_only=False)
+    lo = intervals[lo_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    hi = intervals[hi_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    lvl, n_lvl = _interval_levels(lo, hi)
+    packs = []
+    for v in range(n_lvl):
+        idx = np.flatnonzero(lvl == v)
+        o = np.argsort(lo[idx], kind="stable")
+        idx = idx[o]
+        packs.append((lo[idx], hi[idx], idx))
+    ref = ray.put((ids, packs))
+    id_type = intervals.schema.field(id_col).type
+
+    def join(b: pa.Table, _ref=ref) -> pa.Table:
+        iv_ids, lv_packs = ray.get(_ref)
+        tu = pc.cast(b[ts_col], pa.int64()).to_numpy()
+        src = b.select(out_cols) if out_cols is not None else b
+        takes, tag = [], []
+        for lo_s, hi_s, idx_s in lv_packs:
+            if len(lo_s) == 0:
+                continue
+            pos = np.searchsorted(lo_s, tu, side="right") - 1
+            ok = pos >= 0
+            posc = np.maximum(pos, 0)
+            ok &= tu < hi_s[posc]
+            sel = np.flatnonzero(ok)
+            if len(sel):
+                takes.append(sel)
+                tag.append(idx_s[posc[sel]])
+        if not takes:
+            return src.schema.empty_table().append_column(
+                id_col, pa.array([], id_type)
+            )
+        idx = np.concatenate(takes)
+        out = src.take(pa.array(idx, pa.int64()))
+        matched = pa.array(iv_ids[np.concatenate(tag)], id_type)
+        return out.append_column(id_col, matched)
+
+    return ds.map_batches(join, batch_format="pyarrow", batch_size=None)
+
+
+def interval_join(
+    ds,
+    intervals: pa.Table,
+    ts_col: str = "ts",
+    id_col: str = "interval_id",
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    out_cols: list[str] | None = None,
+    route: str | None = None,
+    scan_threshold: int = 64,
+):
+    """Route-picking front door: the per-interval mask scan wins for a
+    handful of intervals (no level bookkeeping, one fused mask each);
+    above ``scan_threshold`` intervals the sorted-endpoint route's
+    O(depth × log m) per-batch stabbing takes over. ``route``
+    ('scan' | 'sorted') forces."""
+    if route is None:
+        route = "scan" if intervals.num_rows <= scan_threshold else "sorted"
+    fn = interval_join_broadcast if route == "scan" else interval_join_sorted
+    return fn(ds, intervals, ts_col, id_col, lo_col, hi_col, out_cols)

@@ -186,3 +186,75 @@ def test_interval_join_broadcast(ray_session):
     if both:
         sub = out[out["rid"] == both[0]]
         assert sorted(sub["interval_id"]) == [1, 2]
+
+
+def test_interval_levels_sweep():
+    """Sweep coloring: levels are non-overlapping within themselves and
+    the level count equals the max overlap depth."""
+    from beamium_ray.stages.window import _interval_levels
+
+    rng = np.random.default_rng(23)
+    lo = rng.integers(0, 900, 200).astype(np.int64)
+    hi = lo + rng.integers(1, 200, 200).astype(np.int64)
+    lvl, n_lvl = _interval_levels(lo, hi)
+    # within a level: no two intervals overlap
+    for v in range(n_lvl):
+        idx = np.flatnonzero(lvl == v)
+        o = np.argsort(lo[idx])
+        assert (hi[idx][o][:-1] <= lo[idx][o][1:]).all()
+    # level count == max stabbing depth (interval graphs are perfect)
+    probes = np.unique(lo)
+    depth = max(
+        int(((lo <= p) & (p < hi)).sum()) for p in probes.tolist()
+    )
+    assert n_lvl == depth
+
+
+def test_interval_join_sorted_equals_scan(ray_session):
+    """The sorted-endpoint escalation (many overlapping intervals,
+    several levels) matches the per-interval scan exactly."""
+    import ray.data
+
+    from beamium_ray.stages.window import (
+        interval_join,
+        interval_join_broadcast,
+        interval_join_sorted,
+    )
+
+    rng = np.random.default_rng(41)
+    n = 500
+    ts = rng.integers(0, 2000, n).astype(np.int64)
+    rid = np.arange(n, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"ts": pa.array(ts), "rid": pa.array(rid)})
+    ).repartition(4)
+    m = 120  # > scan_threshold → auto route picks 'sorted'
+    lo = rng.integers(0, 1900, m).astype(np.int64)
+    hi = lo + rng.integers(1, 400, m).astype(np.int64)
+    intervals = pa.table(
+        {
+            "interval_id": pa.array(np.arange(1, m + 1, dtype=np.int64)),
+            "lo": pa.array(lo),
+            "hi": pa.array(hi),
+        }
+    )
+
+    def pairs(out):
+        return sorted(zip(out["interval_id"], out["rid"]))
+
+    scan = pairs(
+        interval_join_broadcast(
+            ds, intervals, ts_col="ts", out_cols=["rid"]
+        ).to_pandas()
+    )
+    srt = pairs(
+        interval_join_sorted(
+            ds, intervals, ts_col="ts", out_cols=["rid"]
+        ).to_pandas()
+    )
+    auto = pairs(
+        interval_join(
+            ds, intervals, ts_col="ts", out_cols=["rid"]
+        ).to_pandas()
+    )
+    assert srt == scan and auto == scan and len(scan) > 0
