@@ -292,13 +292,14 @@ FROM {table} d LEFT JOIN scores s USING (doc_id)
 
 def multimodal_decode_sql(n: int = 512, payload_bytes: int = 4096,
                           w: int = 32, h: int = 32) -> str:
-    """Exact SQL for the fake-codec decode stats: payload = sha256 of
-    str(media_id) repeated; the w×h image is the first w·h bytes =
-    (w·h/32) repetitions of the 32-byte digest, so integer pixel sums
-    are digest-byte sums scaled by the repetition count."""
+    """Exact SQL for BOTH decode routes' stats: each arm's pixel bytes
+    are sha256(str(media_id)) repeated to w·h (the fake codec reads
+    them raw; the ppm arm wraps the same bytes in a real binary PGM
+    the hand parser decodes), so per-route integer pixel sums are the
+    same digest-byte sums scaled by the repetition count."""
     reps = (w * h) // 32
     assert (w * h) % 32 == 0
-    return f"""
+    per_route = f"""
 WITH m AS (SELECT unnest(range(0, {n})) AS media_id),
 hx AS (SELECT media_id, sha256(CAST(media_id AS VARCHAR)) AS hh FROM m),
 b AS (SELECT media_id, hh, unnest(range(0, 32)) AS k FROM hx),
@@ -313,6 +314,10 @@ SELECT media_id,
        CAST({w * h} AS BIGINT) AS n_px
 FROM vals GROUP BY media_id
 """
+    return "\nUNION ALL\n".join(
+        f"SELECT '{route}' AS route, * FROM ({per_route})"
+        for route in ("fake", "ppm")
+    )
 
 
 def tokens_payload_sql(table: str = "documents", vocab: int = 50257) -> str:

@@ -1959,17 +1959,30 @@ def flagship_stage_metrics(sf_dir: str):
 
 
 def multimodal_decode(sf_dir: str):
-    """Actor-pool decode over synthetic media (rows-only check)."""
+    """Actor-pool decode over synthetic media, TWO decoder routes in
+    one entry: route='fake' (deterministic pixels straight from
+    payload bytes — the plumbing check) and route='ppm' (REAL binary
+    netpbm files parsed by the zero-dependency P5/P6 decoder — the
+    real-codec branch, VERDICT r4 item 4). Both arms' pixel bytes are
+    sha256(str(media_id)) repetitions, so the SAME exact integer
+    pixel-sum oracle verifies the real parser bit-for-bit."""
     import ray.data
 
-    from beamium_ray.datapipe.multimodal import decode_dataset, synth_media_batch
+    from beamium_ray.datapipe.multimodal import (
+        decode_dataset, synth_media_batch, synth_pgm_batch,
+    )
 
-    media = ray.data.from_arrow(synth_media_batch(0, 512))
+    cols = ["media_id", "px_sum", "px_sqsum", "n_px"]
     # integer pixel sums: exact under any batch/actor split, so the
     # decode plumbing is value-verifiable against the sha256 oracle
-    return decode_dataset(media, batch_size=64).select_columns(
-        ["media_id", "px_sum", "px_sqsum", "n_px"]
-    )
+    fake = decode_dataset(
+        ray.data.from_arrow(synth_media_batch(0, 512)), batch_size=64
+    ).select_columns(cols)
+    ppm = decode_dataset(
+        ray.data.from_arrow(synth_pgm_batch(0, 512)),
+        decoder="ppm", batch_size=64,
+    ).select_columns(cols)
+    return _union([_tag(fake, "route", "fake"), _tag(ppm, "route", "ppm")])
 
 
 # ---------- windowed ops beyond tumbling (streaming-shaped, SURVEY §2.4) ----------

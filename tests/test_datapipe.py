@@ -2029,3 +2029,48 @@ def test_run_clean_dedup_minhash_tokens_stage(ray_session, tmp_path):
     assert res["rows_out"] == 2
     got = pq_.read_table(str(out)).sort_by("doc_id")
     assert got["doc_id"].to_pylist() == [0, 2]
+
+
+def test_ppm_decoder_real_roundtrip(ray_session):
+    """The zero-dependency netpbm decoder is a REAL parser: encode →
+    decode roundtrips exactly; headers with comments and P6 color
+    parse; non-netpbm payloads are rejected."""
+    import ray.data
+
+    from beamium_ray.datapipe.multimodal import encode_pgm, synth_pgm_batch
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (6, 8)).astype(np.uint8)
+    dec = DecodeImage(decoder="ppm")
+    got = dec._decode(encode_pgm(px), 0, 0)  # sidecar hint ignored
+    assert got.shape == (6, 8) and (got == px.astype(np.float32)).all()
+
+    # comment + multi-whitespace header (the netpbm spec's ugly corner)
+    payload = b"P5 # magic\n# a comment line\n 8\t6 # dims\n255\n" \
+        + px.tobytes()
+    got = dec._decode(payload, 0, 0)
+    assert (got == px.astype(np.float32)).all()
+
+    # P6 color → grayscale mean of channels
+    rgb = rng.integers(0, 256, (4, 5, 3)).astype(np.uint8)
+    p6 = b"P6\n5 4\n255\n" + rgb.tobytes()
+    got = dec._decode(p6, 0, 0)
+    assert np.allclose(got, rgb.astype(np.float32).mean(axis=2))
+
+    with pytest.raises(ValueError, match="netpbm"):
+        dec._decode(b"JFIFxxxx", 0, 0)
+
+    # the gate arm's synthetic PGMs decode to the digest bytes exactly,
+    # through the real actor-pool path
+    media = synth_pgm_batch(0, 32)
+    ds = ray.data.from_arrow(media).repartition(2)
+    rows = decode_dataset(ds, decoder="ppm", batch_size=8,
+                          concurrency=2).take_all()
+    assert len(rows) == 32
+    import hashlib as _hl
+
+    for r in rows[:4]:
+        seed = _hl.sha256(str(r["media_id"]).encode()).digest()
+        want = np.frombuffer((seed * 33)[:1024], np.uint8).astype(np.int64)
+        assert r["px_sum"] == int(want.sum())
+        assert r["n_px"] == 1024
