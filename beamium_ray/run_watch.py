@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -108,6 +109,7 @@ def main(argv: list[str] | None = None) -> int:
 
         relay = HttpSinkConf(url=args.relay_url, token=args.relay_token)
         totals = {"files": 0, "bytes": 0, "requests": 0, "retries": 0}
+        status_totals: dict[str, int] = {}
     else:
         w = DirectoryWatcher(
             args.input, cfg, args.output, config_path=args.config
@@ -121,17 +123,37 @@ def main(argv: list[str] | None = None) -> int:
 
     server = None
     if args.metrics_addr:
-        from beamium_ray.state.metrics_server import MetricsServer
+        from beamium_ray.state.metrics_server import (
+            MetricsServer,
+            with_reference_aliases,
+        )
 
         def provider():
             vals = {"watch_ticks": ticks}
             if relay is not None:
                 vals.update(totals)  # the reference's push counters
+                for st, n in status_totals.items():
+                    # ref sink.rs push_http_status{sink,status}
+                    vals[f'push_http_status{{status="{st}"}}'] = n
             else:
                 vals["reload_count"] = w.reload_count  # ref main.rs:28-32
                 for k, v in ((last_run or {}).get("counters") or {}).items():
                     vals[k] = v
-            return vals
+            # ref README.md:190 beamium_directory_files{directory}: live
+            # gauge of spool files, computed per scrape
+            try:
+                n_files = sum(
+                    1
+                    for _r, _d, fs in os.walk(args.input)
+                    for f in fs
+                    if f.endswith(".metrics")
+                )
+                vals[
+                    f'directory_files{{directory="{args.input}"}}'
+                ] = n_files
+            except OSError:
+                pass
+            return with_reference_aliases(vals)
 
         host, _, port = args.metrics_addr.partition(":")
         server = MetricsServer(provider, host or "127.0.0.1",
@@ -150,6 +172,8 @@ def main(argv: list[str] | None = None) -> int:
                 idle = 0
                 for k in totals:
                     totals[k] += res[k]
+                for st, n in (res.get("status") or {}).items():
+                    status_totals[st] = status_totals.get(st, 0) + n
                 last_run = res
                 print(json.dumps({"tick": ticks, "relay": res}))
                 sys.stdout.flush()

@@ -20,6 +20,40 @@ from typing import Callable, Mapping
 
 PREFIX = "beamium"  # the reference's metric namespace (main.rs:23-37)
 
+# Engine counter key → the reference's metric name (README.md:190-198,
+# scraper.rs:36-45, sink.rs:23-40, main.rs:28-32). The engine keeps its
+# own names (they describe the rollup engine's stages); these aliases
+# re-emit each series under the reference daemon's name so a dashboard
+# built against beamium scrapes this /metrics unchanged.
+REF_ALIASES = {
+    "points_rolled": "beamium_fetch_datapoints",  # datapoints ingested
+    "windows": "beamium_push_datapoints",  # datapoints written out
+    "retries": "beamium_push_errors",  # each retry follows a failed push
+    "blocks_ttl_evicted": "beamium_skip_ttl",
+    "blocks_size_evicted": "beamium_skip_max_size",
+    "fetch_errors": "beamium_fetch_errors",
+}
+
+# Reference metric names that are gauges, not counters (README.md:190).
+GAUGES = {"beamium_directory_files"}
+
+
+def with_reference_aliases(
+    values: Mapping[str, float],
+) -> dict[str, float]:
+    """Return ``values`` plus a duplicate series under the reference's
+    metric name for every engine key in :data:`REF_ALIASES`. Label
+    suffixes (``{k="v"}``) are preserved; existing reference-named keys
+    are never clobbered."""
+    out = dict(values)
+    for key, v in values.items():
+        base, brace, rest = key.partition("{")
+        ref = REF_ALIASES.get(base)
+        if ref is not None:
+            ref_key = f"{ref}{brace}{rest}"
+            out.setdefault(ref_key, v)
+    return out
+
 
 def render_prometheus(values: Mapping[str, float]) -> str:
     """Render counters in the text exposition format. Keys may carry
@@ -39,7 +73,8 @@ def render_prometheus(values: Mapping[str, float]) -> str:
             name = f"{PREFIX}_{name}"
         if name not in typed:
             typed.add(name)
-            out.append(f"# TYPE {name} counter")
+            kind = "gauge" if name in GAUGES else "counter"
+            out.append(f"# TYPE {name} {kind}")
         out.append(f"{name}{brace}{rest} {float(v):g}")
     return "\n".join(out) + "\n"
 

@@ -9,7 +9,11 @@ import urllib.request
 
 import pytest
 
-from beamium_ray.state.metrics_server import MetricsServer, render_prometheus
+from beamium_ray.state.metrics_server import (
+    MetricsServer,
+    render_prometheus,
+    with_reference_aliases,
+)
 
 
 def test_render_prometheus_format():
@@ -23,6 +27,32 @@ def test_render_prometheus_format():
     assert "beamium_reload_count 1" in txt  # prefix not doubled
     assert 'beamium_push_http_status{sink="w10",status="200"} 7' in txt
     assert "beamium_bad_name_ 2.5" in txt
+
+
+def test_reference_aliases_and_gauge_type():
+    """Engine counters re-emit under the reference daemon's metric
+    names (README.md:190-198) without dropping the engine series, and
+    beamium_directory_files is typed as a gauge."""
+    vals = with_reference_aliases({
+        "points_rolled": 12,
+        "windows": 4,
+        'retries{sink="w10"}': 2,
+        "blocks_ttl_evicted": 1,
+        "blocks_size_evicted": 3,
+        "beamium_fetch_datapoints": 99,  # pre-existing ref name wins
+    })
+    assert vals["beamium_fetch_datapoints"] == 99  # setdefault, no clobber
+    assert vals["beamium_push_datapoints"] == 4
+    assert vals['beamium_push_errors{sink="w10"}'] == 2
+    assert vals["beamium_skip_ttl"] == 1
+    assert vals["beamium_skip_max_size"] == 3
+    assert vals["points_rolled"] == 12  # engine series kept
+    txt = render_prometheus({
+        'directory_files{directory="/spool"}': 7, "windows": 4,
+    })
+    assert "# TYPE beamium_directory_files gauge" in txt
+    assert 'beamium_directory_files{directory="/spool"} 7' in txt
+    assert "# TYPE beamium_windows counter" in txt
 
 
 def _get(url: str) -> tuple[int, str]:
@@ -93,6 +123,12 @@ def test_watch_cli_serves_metrics(tmp_path):
         assert "beamium_watch_ticks" in body
         assert "beamium_points_rolled 1" in body  # first file folded in
         assert "beamium_reload_count 0" in body
+        # reference-name parity (README.md:190-198): the same series
+        # under the daemon's metric names, live from the same provider
+        assert "beamium_fetch_datapoints 1" in body
+        assert "beamium_push_datapoints" in body
+        assert "# TYPE beamium_directory_files gauge" in body
+        assert 'beamium_directory_files{directory="' in body
     finally:
         p.terminate()
         p.wait(timeout=60)
