@@ -576,6 +576,128 @@ def train_pq_codebooks(
     )
 
 
+def train_pq_codebooks_distributed(
+    ds,
+    m: int = 8,
+    k_sub: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    rounds: int = 4,
+    sample_size: int = 4096,
+) -> np.ndarray:
+    """PQ codebooks refined over the FULL corpus (per-subspace Lloyd
+    rounds as Ray passes) — removes :func:`train_pq_codebooks`'s
+    dependence on a driver-side sample when the corpus doesn't fit a
+    representative 4k-row slice (the 100 TB posture).
+
+    Scale shape per round (same contract as
+    :func:`train_centroids_distributed`): codebooks are ``ray.put``
+    once; each block snaps its vectors per subspace locally and emits
+    PARTIAL (sub, code, j, s) sum rows — at most
+    m × k_sub × (dsub+1) narrow rows per block (e.g. 8×16×5 = 640 at
+    d=32), so the merge groupby shuffles kilobytes regardless of
+    corpus size; the driver folds only the m × k_sub × dsub merged
+    sums. Vectors never shuffle. Initialization = the sample-based
+    trainer on a per-block-head covering sample, so with a
+    representative sample this converges in 2-4 rounds. Codes that
+    attract no vectors keep their previous entry."""
+    import ray
+
+    # materialize once: the init sample needs the block count and the
+    # Lloyd rounds re-read the corpus `rounds` times
+    ds = ds.materialize()
+    books = train_pq_codebooks(
+        _block_head_sample(ds, vec_col, sample_size), m, k_sub, seed
+    )
+    _, k, dsub = books.shape
+
+    for _ in range(rounds):
+        books_ref = ray.put(books)
+
+        def partial(batch: pa.Table, _ref=books_ref) -> pa.Table:
+            b = ray.get(_ref)  # (m, k_sub, dsub)
+            mm, kk, dd = b.shape
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "sub": pa.array([], pa.int32()),
+                        "code": pa.array([], pa.int32()),
+                        "j": pa.array([], pa.int32()),
+                        "s": pa.array([], pa.float64()),
+                    }
+                )
+            M = _mat(batch[vec_col])
+            Mu = M / np.maximum(
+                np.linalg.norm(M, axis=1, keepdims=True), 1e-30
+            )
+            # per subspace: assign → (k_sub, dsub) sums + counts,
+            # flattened to the narrow (sub, code, j, s) schema with
+            # j = dsub as the count row
+            sub_l, code_l, j_l, s_l = [], [], [], []
+            for sj in range(mm):
+                X = Mu[:, sj * dd:(sj + 1) * dd]
+                assign = _nearest_centroid(X, b[sj])
+                sums = np.zeros((kk, dd))
+                np.add.at(sums, assign, X)
+                counts = np.bincount(assign, minlength=kk).astype(
+                    np.float64
+                )
+                nz = counts > 0
+                if not nz.any():
+                    continue
+                codes = np.flatnonzero(nz).astype(np.int32)
+                code_l.append(np.repeat(codes, dd + 1))
+                sub_l.append(
+                    np.full(len(codes) * (dd + 1), sj, dtype=np.int32)
+                )
+                j_l.append(
+                    np.tile(np.arange(dd + 1, dtype=np.int32), len(codes))
+                )
+                s_l.append(
+                    np.concatenate(
+                        [sums[nz], counts[nz, None]], axis=1
+                    ).ravel()
+                )
+            if not sub_l:
+                return pa.table(
+                    {
+                        "sub": pa.array([], pa.int32()),
+                        "code": pa.array([], pa.int32()),
+                        "j": pa.array([], pa.int32()),
+                        "s": pa.array([], pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "sub": pa.array(np.concatenate(sub_l)),
+                    "code": pa.array(np.concatenate(code_l)),
+                    "j": pa.array(np.concatenate(j_l)),
+                    "s": pa.array(np.concatenate(s_l)),
+                }
+            )
+
+        merged = (
+            ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby(["sub", "code", "j"])
+            .sum("s")
+        )
+        new = books.copy()
+        tot = np.zeros((m, k))
+        sums = np.zeros((m, k, dsub))
+        for b in merged.iter_batches(batch_format="pyarrow"):
+            sub = b["sub"].to_numpy()
+            code = b["code"].to_numpy()
+            jj = b["j"].to_numpy()
+            s = b["sum(s)"].to_numpy()
+            cm = jj == dsub
+            np.add.at(tot, (sub[cm], code[cm]), s[cm])
+            np.add.at(sums, (sub[~cm], code[~cm], jj[~cm]), s[~cm])
+        nz = tot > 0
+        new[nz] = sums[nz] / tot[nz][:, None]
+        books = new
+    return books
+
+
 def _codes_to_arrow(codes: np.ndarray) -> pa.Array:
     """(n, m) uint8 → FixedSizeBinary(m), zero-copy from the row-major
     buffer."""
@@ -720,11 +842,17 @@ def build_ivfpq_index(
     index_path: str | None = None,
     centroids: np.ndarray | None = None,
     concurrency: int | None = None,
+    pq_train: str = "sample",
+    pq_train_rounds: int = 4,
 ) -> IvfPqIndex:
-    """Coarse centroids + PQ codebooks (both from a bounded sample),
-    then ONE pass assigns every vector a list and a code. Persisted
-    layout: parquet partitioned by ``list_id`` carrying (id, vec,
-    code) — probes prune the read by partition AND by column."""
+    """Coarse centroids + PQ codebooks, then ONE pass assigns every
+    vector a list and a code. ``pq_train='sample'`` trains codebooks
+    on a bounded per-block-head sample (the standard recipe);
+    ``'distributed'`` refines them with full-corpus Lloyd passes
+    (:func:`train_pq_codebooks_distributed`) so codebook quality does
+    not depend on the sample at 100 TB. Persisted layout: parquet
+    partitioned by ``list_id`` carrying (id, vec, code) — probes prune
+    the read by partition AND by column."""
     import ray
 
     from beamium_ray.functions.cluster import cached_stage
@@ -736,7 +864,14 @@ def build_ivfpq_index(
         if centroids is not None
         else _kmeans_on_sample(sample, n_lists, seed)
     )
-    books = train_pq_codebooks(sample, m, k_sub, seed)
+    if pq_train == "distributed":
+        books = train_pq_codebooks_distributed(
+            ds, m, k_sub, vec_col, seed, pq_train_rounds, sample_size
+        )
+    elif pq_train == "sample":
+        books = train_pq_codebooks(sample, m, k_sub, seed)
+    else:
+        raise ValueError(f"unknown pq_train={pq_train!r}")
     cref, bref = ray.put(cent), ray.put(books)
     assigned = ds.map_batches(
         cached_stage(AssignList, cref, vec_col),

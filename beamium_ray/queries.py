@@ -1506,7 +1506,9 @@ def simsearch_topk_embeddings(sf_dir: str):
       exhaustive top-10 exactly (recall 1.0). The oracle regenerates
       every planted vector from splitmix64 in SQL and ranks ALL vectors
       by cosine — it assumes nothing about pruning.
-    - method='ivfpq': the PQ path over the same planted corpus — ADC
+    - method='ivfpq': the PQ path over the same planted corpus —
+      codebooks refined by DISTRIBUTED full-corpus Lloyd passes
+      (train_pq_codebooks_distributed, the 100 TB route), then ADC
       scan of 8-byte codes over the pruned probes → shortlist-64 →
       exact re-rank — must ALSO reproduce the exhaustive top-10
       exactly (a shortlist miss of any true neighbor hash-fails)."""
@@ -1538,6 +1540,7 @@ def simsearch_topk_embeddings(sf_dir: str):
     ).select(["vec_id"])
     pq_index = build_ivfpq_index(
         planted, n_lists=_IVF_CLUSTERS, m=8, k_sub=16, centroids=cent,
+        pq_train="distributed", pq_train_rounds=2,
     )
     pq_hits = ivfpq_search(
         pq_index, centers[3], k=10, nprobe=4, shortlist=64

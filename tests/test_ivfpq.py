@@ -98,6 +98,68 @@ def test_ivfpq_recall_and_bytes_reduction(ray_session, tmp_path):
     assert any(p.startswith("list_id=") for p in parts)
 
 
+def test_pq_distributed_training_recall_and_distortion(ray_session):
+    """train_pq_codebooks_distributed (full-corpus Lloyd passes, the
+    100 TB route): the ivfpq search hits the same recall floor as the
+    sample-trained books, and full-corpus quantization distortion is
+    no worse than the sample-trained init it starts from (Lloyd rounds
+    are monotone on their training set)."""
+    import ray.data
+
+    from beamium_ray.datapipe.similarity import (
+        train_pq_codebooks_distributed,
+    )
+
+    t, V, centers = _clustered_corpus()
+    ds = ray.data.from_arrow(t)
+    queries = V[[0, 5, 13]]
+    exact = brute_force_topk(ray.data.from_arrow(t), queries, k=10)
+
+    index = build_ivfpq_index(
+        ds, n_lists=8, m=8, k_sub=16, centroids=centers,
+        pq_train="distributed", pq_train_rounds=3,
+    )
+    got = ivfpq_search(index, queries, k=10, nprobe=2, shortlist=64)
+
+    def hits(tbl):
+        out = {}
+        for q, v in zip(tbl["query"].to_pylist(), tbl["vec_id"].to_pylist()):
+            out.setdefault(q, set()).add(v)
+        return out
+
+    eh, gh = hits(exact), hits(got)
+    recall = sum(len(eh[q] & gh.get(q, set())) for q in eh) / sum(
+        len(eh[q]) for q in eh
+    )
+    assert recall >= 0.95, recall
+
+    # distortion: distributed-refined ≤ sample-trained init, measured
+    # over the FULL unit-normalized corpus
+    sample_books = train_pq_codebooks(V, m=8, k_sub=16)  # full V = best
+    # possible "sample"; the distributed trainer inits from a 4k
+    # block-head sample (here: also full coverage) and refines
+    dist_books = train_pq_codebooks_distributed(
+        ds, m=8, k_sub=16, rounds=3
+    )
+    Vu = V / np.linalg.norm(V, axis=1, keepdims=True)
+
+    def distortion(books):
+        mm, kk, dd = books.shape
+        err = 0.0
+        for j in range(mm):
+            X = Vu[:, j * dd:(j + 1) * dd]
+            d2 = ((X[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            err += d2.min(axis=1).sum()
+        return err
+
+    assert distortion(dist_books) <= distortion(sample_books) * (1 + 1e-9)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="pq_train"):
+        build_ivfpq_index(ds, centroids=centers, pq_train="nope")
+
+
 def test_ivfpq_in_memory_matches_persisted(ray_session, tmp_path):
     import ray.data
 
