@@ -35,9 +35,9 @@ DATA_ROOT = "/tmp/beamium_bench"
 
 # sf1-posture base sizes at --scale 1.0
 BASE_DOCS = 150_000  # × ~264 tok/doc ≈ 40M tokens
-BASE_POINTS = 8_000_000
-BASE_JOIN_LEFT = 8_000_000
-BASE_USERS = 200_000
+BASE_POINTS = 24_000_000
+BASE_JOIN_LEFT = 24_000_000
+BASE_USERS = 600_000
 N_SERIES = 64
 
 
@@ -296,16 +296,20 @@ def leg_counter_rate(points_dir: str, ncpu: int) -> dict:
 
     _init(ncpu)
     tiers = {"1m": 60_000_000, "1h": 3_600_000_000}
+    # buckets scale with the session size (the multi-node posture: a
+    # bigger cluster gets more shuffle partitions) — a fixed small
+    # bucket count would cap merge parallelism below the hi leg's CPUs
+    nb = max(16, ncpu * 2)
     ds = ray.data.read_parquet(points_dir, override_num_blocks=ncpu * 3)
     n_rows = ds.count()
     counter_increase_dataset(
-        ds.limit(20_000), tiers, order_col="order", num_buckets=16,
-        shuffle_blocks=shuffle_blocks_for(16),
+        ds.limit(20_000), tiers, order_col="order", num_buckets=nb,
+        shuffle_blocks=shuffle_blocks_for(nb),
     ).count()
     t0 = time.perf_counter()
     n_out = counter_increase_dataset(
-        ds, tiers, order_col="order", num_buckets=16,
-        shuffle_blocks=shuffle_blocks_for(16),
+        ds, tiers, order_col="order", num_buckets=nb,
+        shuffle_blocks=shuffle_blocks_for(nb),
     ).count()
     sec = time.perf_counter() - t0
     ray.shutdown()
@@ -326,17 +330,18 @@ def leg_hash_join(left_dir: str, right_dir: str, ncpu: int) -> dict:
     from beamium_ray.functions.cluster import shuffle_blocks_for
 
     _init(ncpu)
+    nb = max(16, ncpu * 2)
     left = ray.data.read_parquet(left_dir, override_num_blocks=ncpu * 3)
     right = ray.data.read_parquet(right_dir)
     n_left = left.count()
     hash_join(
         left.limit(20_000), right, on="user_id", how="left",
-        num_buckets=16, shuffle_blocks=shuffle_blocks_for(16),
+        num_buckets=nb, shuffle_blocks=shuffle_blocks_for(nb),
     ).count()
     t0 = time.perf_counter()
     n_out = hash_join(
         left, right, on="user_id", how="left",
-        num_buckets=16, shuffle_blocks=shuffle_blocks_for(16),
+        num_buckets=nb, shuffle_blocks=shuffle_blocks_for(nb),
     ).count()
     sec = time.perf_counter() - t0
     ray.shutdown()
@@ -370,6 +375,11 @@ def main() -> None:
     ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument("--cpus-lo", type=int, default=8)
     ap.add_argument("--cpus-hi", type=int, default=32)
+    ap.add_argument("--repeats", type=int, default=2,
+                    help="interleaved lo/hi pairs; per-level MINIMUM is "
+                         "reported (the paired-minimum protocol from "
+                         "BASELINE.md — this host throttles 10-20x in "
+                         "windows, so the min is the clean signal)")
     ap.add_argument("--_leg", default=None, help="internal: op:ncpu")
     args = ap.parse_args()
 
@@ -413,11 +423,15 @@ def main() -> None:
             ).stdout
             return json.loads(out.strip().splitlines()[-1])
 
-        probe0 = host_probe()
-        lo = leg(args.cpus_lo)
-        probe1 = host_probe()
-        hi = leg(args.cpus_hi)
-        probe2 = host_probe()
+        probes = [host_probe()["membw_gbps"]]
+        lo_runs, hi_runs = [], []
+        for _ in range(max(1, args.repeats)):
+            lo_runs.append(leg(args.cpus_lo))
+            probes.append(host_probe()["membw_gbps"])
+            hi_runs.append(leg(args.cpus_hi))
+            probes.append(host_probe()["membw_gbps"])
+        lo = min(lo_runs, key=lambda r: r["sec"])
+        hi = min(hi_runs, key=lambda r: r["sec"])
         speedup = lo["sec"] / hi["sec"]
         eff = speedup / (args.cpus_hi / args.cpus_lo)
         thr_key = next(
@@ -427,12 +441,13 @@ def main() -> None:
         rec = {
             "metric": f"{op}_scaling",
             "sec_lo": lo["sec"], "sec_hi": hi["sec"],
+            "sec_lo_runs": [r["sec"] for r in lo_runs],
+            "sec_hi_runs": [r["sec"] for r in hi_runs],
             f"{thr_key}_lo": lo[thr_key], f"{thr_key}_hi": hi[thr_key],
             "cpus_lo": args.cpus_lo, "cpus_hi": args.cpus_hi,
             "speedup": round(speedup, 3),
             "scaling_efficiency": round(eff, 3),
-            "probes_gbps": [probe0["membw_gbps"], probe1["membw_gbps"],
-                            probe2["membw_gbps"]],
+            "probes_gbps": probes,
             "leg_lo": lo, "leg_hi": hi,
         }
         print(json.dumps(rec))
