@@ -209,6 +209,19 @@ def emit_packed_rows(
 
     def tag(t: pa.Table) -> pa.Table:
         ids = _col(t, id_col).to_numpy(zero_copy_only=False)
+        if len(ids) and (ids.min() < lo or ids.max() > hi):
+            # the id bounds came from a separate execution of the same
+            # upstream; ids outside them mean the upstream is
+            # NONDETERMINISTIC (e.g. limit() on a racing distributed
+            # read) — without this guard the emit pass would silently
+            # misplace tokens (observed as a KeyError on a negative
+            # bucket at 150k-doc scale)
+            raise ValueError(
+                f"emit_packed_rows: upstream re-execution produced "
+                f"{id_col} outside [{lo}, {hi}] — the upstream is "
+                "nondeterministic across executions; materialize() it "
+                "before packing"
+            )
         return t.append_column(
             "_bkt", pa.array((ids - lo) // span, pa.int64())
         )
@@ -224,6 +237,13 @@ def emit_packed_rows(
         ).astype(np.int64)
         vals = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
         bkt = int((ids[0] - lo) // span)
+        if bkt not in base:
+            raise ValueError(
+                f"emit_packed_rows: group bucket {bkt} has no base "
+                "offset — the counts pass and the emit pass saw "
+                "different rows (nondeterministic upstream); "
+                "materialize() the input before packing"
+            )
         excl = np.concatenate(([0], np.cumsum(n[:-1])))
         off0 = base[bkt] + excl
         total = int(n.sum())

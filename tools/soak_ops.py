@@ -239,9 +239,12 @@ def leg_span_dedup(docs_dir: str, ncpu: int) -> dict:
     seq = ds.map_batches(
         _plant_spans, batch_format="pyarrow", batch_size=None
     )
-    # warm-up: worker spawn + imports
+    # warm-up: worker spawn + imports. materialize(): the op executes
+    # its input twice, and limit() on a racing read is nondeterministic
+    # across executions
     remove_duplicate_spans(
-        seq.limit(2_000), list_col="tokens", id_col="ord", window=8
+        seq.limit(2_000).materialize(), list_col="tokens", id_col="ord",
+        window=8,
     ).count()
     metrics: dict = {}
     t0 = time.perf_counter()
@@ -274,7 +277,12 @@ def leg_pack_emit(docs_dir: str, ncpu: int) -> dict:
     seq = ds.map_batches(
         sequence_tokens_batch, batch_format="pyarrow", batch_size=None
     )
-    emit_packed_rows(seq.limit(2_000), id_col="ord", seq_len=2048).count()
+    # materialize(): emit_packed_rows executes its input twice; a raw
+    # limit() sample differs between executions (see the guard in
+    # packing.tag)
+    emit_packed_rows(
+        seq.limit(2_000).materialize(), id_col="ord", seq_len=2048
+    ).count()
     t0 = time.perf_counter()
     n_tokens = emit_packed_rows(seq, id_col="ord", seq_len=2048).count()
     sec = time.perf_counter() - t0
