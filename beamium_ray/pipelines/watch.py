@@ -237,6 +237,24 @@ class DirectoryWatcher:
             st["pending"] = None
             self._save_state(st)
             applied = new
+        # retention per scan, the reference daemon's site (sink.rs:
+        # 102-221 runs the TTL + size-cap sweep on every sink pass).
+        # Data-time TTL ("now" = the run watermark, like run.py) keeps
+        # expiry deterministic; idle ticks don't advance the watermark,
+        # so pruning only after a committed run loses nothing.
+        if (
+            run is not None
+            and self.appender is None
+            and (self.cfg.ttl_us or self.cfg.max_bytes is not None)
+        ):
+            from beamium_ray.state.retention import apply_retention
+
+            run["retention"] = apply_retention(
+                self.out_dir,
+                self.cfg.ttl_us or None,
+                self.cfg.max_bytes,
+                now_us=run.get("watermark"),
+            )
         return {
             "applied": applied,
             "replayed": replayed,

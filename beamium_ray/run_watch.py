@@ -120,6 +120,8 @@ def main(argv: list[str] | None = None) -> int:
     ticks = 0
     idle = 0
     last_run = None
+    skip_totals = {"blocks_ttl_evicted": 0, "blocks_size_evicted": 0,
+                   "windows_expired": 0}
 
     server = None
     if args.metrics_addr:
@@ -139,6 +141,10 @@ def main(argv: list[str] | None = None) -> int:
                 vals["reload_count"] = w.reload_count  # ref main.rs:28-32
                 for k, v in ((last_run or {}).get("counters") or {}).items():
                     vals[k] = v
+                # cumulative eviction counters across ticks (the
+                # reference's beamium_skip_ttl / beamium_skip_max_size
+                # via REF_ALIASES)
+                vals.update(skip_totals)
             # ref README.md:190 beamium_directory_files{directory}: live
             # gauge of spool files, computed per scrape
             try:
@@ -185,6 +191,9 @@ def main(argv: list[str] | None = None) -> int:
             if res["run"] is not None:
                 last_run = res["run"]
                 idle = 0
+                for k, v in (res["run"].get("retention") or {}).items():
+                    if k in skip_totals:
+                        skip_totals[k] += v
                 print(json.dumps({
                     "tick": ticks,
                     "applied": len(res["applied"]),

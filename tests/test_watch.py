@@ -85,6 +85,54 @@ def test_watch_ticks_equal_one_shot(ray_session, tmp_path):
     assert watch_rows == full_rows and len(watch_rows) > 0
 
 
+def test_watch_tick_applies_retention(ray_session, tmp_path):
+    """The daemon loop prunes per scan (ref sink.rs:102-221 runs the
+    TTL/size-cap sweep on every sink pass): a later tick whose
+    watermark pushes old windows past the TTL horizon evicts their
+    blocks, reports the counters on the run manifest, and the
+    surviving store still reads fine. Eviction is BLOCK-granular (the
+    reference's file-granular DFO): the two ticks use series that hash
+    to different buckets (alpha→3, gamma→1 at nb=4), because a tick
+    that touches a bucket rewrites it into a fresh-watermark block."""
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    cfg = EngineConfig(
+        num_buckets=4, tiers={"1m": US_1M},
+        ttl_us={"1m": 30 * US_1M},  # 30-minute horizon
+    )
+    w = DirectoryWatcher(str(spool), cfg, str(tmp_path / "out"))
+
+    _write_spool(spool, "old", "seq.alpha", 0, 5)  # minutes 0-4
+    r1 = w.tick()
+    assert r1["run"]["retention"]["blocks_ttl_evicted"] == 0
+    n_old = len(_blocks_table(str(tmp_path / "out")))
+    assert n_old > 0
+
+    # minutes 100-104 on an untouched bucket: watermark jumps ~100 min
+    # ahead → the first tick's windows are > 30 min old and must be
+    # evicted
+    _write_spool(spool, "new", "seq.gamma", 100, 5)
+    r2 = w.tick()
+    ret = r2["run"]["retention"]
+    assert ret["blocks_ttl_evicted"] > 0
+    assert ret["windows_expired"] >= 5
+    rows = _blocks_table(str(tmp_path / "out"))
+    assert len(rows) == 5  # only the fresh minutes survive
+    t0_us = T0_MS * 1000
+    # windows are epoch-minute aligned; t0 sits 20 s into its minute
+    assert min(r[1] for r in rows) >= t0_us + 100 * US_1M - US_1M
+
+    # no knobs → no retention key on the run manifest
+    spool2 = tmp_path / "spool2"
+    spool2.mkdir()
+    w2 = DirectoryWatcher(
+        str(spool2), EngineConfig(num_buckets=4, tiers={"1m": US_1M}),
+        str(tmp_path / "out2"),
+    )
+    _write_spool(spool2, "a", "seq.alpha", 0, 2)
+    assert "retention" not in w2.tick()["run"]
+
+
 def test_watch_crash_replay_is_exactly_once(ray_session, tmp_path):
     """Crash after the append but BEFORE the seen-promotion: the next
     tick replays the pending batch (same fingerprint → buckets no-op)
