@@ -584,6 +584,8 @@ def train_pq_codebooks_distributed(
     seed: int = 42,
     rounds: int = 4,
     sample_size: int = 4096,
+    id_col: str | None = None,
+    sample_frac: float | None = None,
 ) -> np.ndarray:
     """PQ codebooks refined over the FULL corpus (per-subspace Lloyd
     rounds as Ray passes) — removes :func:`train_pq_codebooks`'s
@@ -600,8 +602,37 @@ def train_pq_codebooks_distributed(
     sums. Vectors never shuffle. Initialization = the sample-based
     trainer on a per-block-head covering sample, so with a
     representative sample this converges in 2-4 rounds. Codes that
-    attract no vectors keep their previous entry."""
+    attract no vectors keep their previous entry.
+
+    ``sample_frac`` (with ``id_col``) is the 100 TB posture: train the
+    rounds on a deterministic salted-hash row sample
+    (``splitmix64(id ^ salt) % 1e6 < frac·1e6`` — the same
+    reproducible-draw machinery as datapipe.sample) instead of full
+    corpus passes. PQ distortion converges with sample size long
+    before 100%, so a 1-5% sample buys rounds× less read at equal
+    codebook quality; the draw is id-stable, so reruns train on the
+    SAME rows."""
     import ray
+
+    from beamium_ray.functions.hashing import splitmix64 as _smx
+
+    if sample_frac is not None:
+        if id_col is None:
+            raise ValueError("sample_frac requires id_col (the "
+                             "deterministic draw hashes the row id)")
+        if not (0.0 < sample_frac <= 1.0):
+            raise ValueError(f"sample_frac must be in (0, 1], got "
+                             f"{sample_frac!r}")
+        thresh = np.uint64(int(sample_frac * 1_000_000))
+        salt = np.uint64(0x9C0DEB00C5 ^ (seed & 0xFFFFFFFF))
+
+        def keep(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+            return t.filter(
+                pa.array(_smx(ids ^ salt) % np.uint64(1_000_000) < thresh)
+            )
+
+        ds = ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
 
     # materialize once: the init sample needs the block count and the
     # Lloyd rounds re-read the corpus `rounds` times
@@ -844,6 +875,7 @@ def build_ivfpq_index(
     concurrency: int | None = None,
     pq_train: str = "sample",
     pq_train_rounds: int = 4,
+    codebooks: np.ndarray | None = None,
 ) -> IvfPqIndex:
     """Coarse centroids + PQ codebooks, then ONE pass assigns every
     vector a list and a code. ``pq_train='sample'`` trains codebooks
@@ -864,7 +896,9 @@ def build_ivfpq_index(
         if centroids is not None
         else _kmeans_on_sample(sample, n_lists, seed)
     )
-    if pq_train == "distributed":
+    if codebooks is not None:
+        books = np.asarray(codebooks, dtype=np.float64)
+    elif pq_train == "distributed":
         books = train_pq_codebooks_distributed(
             ds, m, k_sub, vec_col, seed, pq_train_rounds, sample_size
         )

@@ -160,6 +160,57 @@ def test_pq_distributed_training_recall_and_distortion(ray_session):
         build_ivfpq_index(ds, centroids=centers, pq_train="nope")
 
 
+def test_pq_distributed_training_on_hash_sample(ray_session):
+    """sample_frac (the 100 TB posture): Lloyd rounds over a
+    deterministic salted-hash row sample — reproducible across runs,
+    and on a clustered corpus the sampled codebooks still hit the
+    recall floor."""
+    import pytest
+    import ray.data
+
+    from beamium_ray.datapipe.similarity import (
+        train_pq_codebooks_distributed,
+    )
+
+    t, V, centers = _clustered_corpus()
+    ds = ray.data.from_arrow(t)
+
+    b1 = train_pq_codebooks_distributed(
+        ds, m=8, k_sub=16, rounds=2, id_col="vec_id", sample_frac=0.5
+    )
+    b2 = train_pq_codebooks_distributed(
+        ds, m=8, k_sub=16, rounds=2, id_col="vec_id", sample_frac=0.5
+    )
+    assert np.array_equal(b1, b2)  # id-stable draw → identical books
+
+    # encode + search with the sampled-trained books (codes and ADC
+    # LUTs must come from the SAME codebooks)
+    index = build_ivfpq_index(ds, n_lists=8, m=8, k_sub=16,
+                              centroids=centers, codebooks=b1)
+    queries = V[[0, 5, 13]]
+    exact = brute_force_topk(ray.data.from_arrow(t), queries, k=10)
+    got = ivfpq_search(index, queries, k=10, nprobe=2, shortlist=64)
+
+    def hits(tbl):
+        out = {}
+        for q, v in zip(tbl["query"].to_pylist(), tbl["vec_id"].to_pylist()):
+            out.setdefault(q, set()).add(v)
+        return out
+
+    eh, gh = hits(exact), hits(got)
+    recall = sum(len(eh[q] & gh.get(q, set())) for q in eh) / sum(
+        len(eh[q]) for q in eh
+    )
+    assert recall >= 0.95, recall
+
+    with pytest.raises(ValueError, match="id_col"):
+        train_pq_codebooks_distributed(ds, sample_frac=0.5)
+    with pytest.raises(ValueError, match="sample_frac"):
+        train_pq_codebooks_distributed(
+            ds, id_col="vec_id", sample_frac=1.5
+        )
+
+
 def test_ivfpq_in_memory_matches_persisted(ray_session, tmp_path):
     import ray.data
 
