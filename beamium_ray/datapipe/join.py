@@ -96,6 +96,11 @@ def hash_join(
 ):
     """Equi-join two Datasets on a single key column.
 
+    ``shuffle_blocks`` coalesces the unioned PRE-shuffle stream — only
+    for many-tiny-block inputs (gate-scale tables); both payloads flow
+    through it, so coalescing a large input to ~CPUs/4 blocks caps the
+    co-shuffle's sort parallelism (see counter_increase_dataset note).
+
     ``how``: 'inner' or 'left'. Right columns colliding with left names
     get ``rsuffix``. One output row per matching (left row, right row)
     pair — duplicate right keys expand (honest M:N semantics);

@@ -299,25 +299,25 @@ def leg_counter_rate(points_dir: str, ncpu: int) -> dict:
     import ray
     import ray.data
 
-    from beamium_ray.functions.cluster import shuffle_blocks_for
     from beamium_ray.stages.rate import counter_increase_dataset
 
     _init(ncpu)
     tiers = {"1m": 60_000_000, "1h": 3_600_000_000}
     # buckets scale with the session size (the multi-node posture: a
     # bigger cluster gets more shuffle partitions) — a fixed small
-    # bucket count would cap merge parallelism below the hi leg's CPUs
+    # bucket count would cap merge parallelism below the hi leg's CPUs.
+    # shuffle_blocks stays None: that knob coalesces POST-COMBINER tiny
+    # partials, but this op shuffles the full point stream — squeezing
+    # 100M rows into ~CPUs/4 blocks caps the sort+merge at 8-way.
     nb = max(16, ncpu * 2)
     ds = ray.data.read_parquet(points_dir, override_num_blocks=ncpu * 3)
     n_rows = ds.count()
     counter_increase_dataset(
         ds.limit(20_000), tiers, order_col="order", num_buckets=nb,
-        shuffle_blocks=shuffle_blocks_for(nb),
     ).count()
     t0 = time.perf_counter()
     n_out = counter_increase_dataset(
         ds, tiers, order_col="order", num_buckets=nb,
-        shuffle_blocks=shuffle_blocks_for(nb),
     ).count()
     sec = time.perf_counter() - t0
     ray.shutdown()
@@ -335,21 +335,21 @@ def leg_hash_join(left_dir: str, right_dir: str, ncpu: int) -> dict:
     import ray.data
 
     from beamium_ray.datapipe.join import hash_join
-    from beamium_ray.functions.cluster import shuffle_blocks_for
 
     _init(ncpu)
+    # shuffle_blocks=None — full-payload co-shuffle, see counter_rate
     nb = max(16, ncpu * 2)
     left = ray.data.read_parquet(left_dir, override_num_blocks=ncpu * 3)
     right = ray.data.read_parquet(right_dir)
     n_left = left.count()
     hash_join(
         left.limit(20_000), right, on="user_id", how="left",
-        num_buckets=nb, shuffle_blocks=shuffle_blocks_for(nb),
+        num_buckets=nb,
     ).count()
     t0 = time.perf_counter()
     n_out = hash_join(
         left, right, on="user_id", how="left",
-        num_buckets=nb, shuffle_blocks=shuffle_blocks_for(nb),
+        num_buckets=nb,
     ).count()
     sec = time.perf_counter() - t0
     ray.shutdown()
