@@ -2166,11 +2166,15 @@ def counter_rate_events(sf_dir: str):
     (stages/rate.py): the cents value stream per event_type treated as
     a cumulative counter; a drop means the counter reset and recounted
     from 0. 1m AND 1h tiers emitted from ONE series-bucket shuffle.
-    TWO routes must agree with the same SQL oracle: 'one_shot', and
+    THREE routes must agree with the same SQL oracle: 'one_shot';
     'incremental' — the corpus split into two watch ticks at the ts
     midpoint, processed through IncrementalRate's durable last-point
     store (tick 2's first deltas come from tick 1's committed state;
-    per-tick PARTIAL rows summed per window, rate re-derived)."""
+    per-tick PARTIAL rows summed per window, rate re-derived); and
+    'combined' — the runs combiner (combine='runs': per-block window
+    partials + run-boundary rows, only ~output-sized rows cross the
+    shuffle) over a (series, ts, order)-sorted stream whose range-
+    partitioned blocks satisfy the per-series-contiguous contract."""
     import tempfile
 
     from beamium_ray.functions.cluster import shuffle_blocks_for
@@ -2204,6 +2208,11 @@ def counter_rate_events(sf_dir: str):
     one_shot = rolled.map_batches(
         finalize, batch_format="pyarrow", batch_size=None
     )
+
+    combined = counter_increase_dataset(
+        pts.sort(["series_key", "ts", "order"]),
+        TIERS, order_col="order", num_buckets=16, combine="runs",
+    ).map_batches(finalize, batch_format="pyarrow", batch_size=None)
 
     mid = (pts.min("ts") + pts.max("ts")) // 2
     inc = IncrementalRate(
@@ -2260,6 +2269,7 @@ def counter_rate_events(sf_dir: str):
         [
             _tag(one_shot, "route", "one_shot"),
             _tag(incremental, "route", "incremental"),
+            _tag(combined, "route", "combined"),
         ]
     )
 
@@ -3370,7 +3380,7 @@ SELECT 'ivfpq', vec_id FROM ({_gen.ivf_pruned_sql()})
     # int64→double division both sides (IEEE-exact).
     "counter_rate_events": "\nUNION ALL\n".join(
         f"SELECT '{route}' AS route, * FROM ({{_COUNTER_RATE_SQL}})"
-        for route in ("one_shot", "incremental")
+        for route in ("one_shot", "incremental", "combined")
     ).format(_COUNTER_RATE_SQL=f"""
 WITH pts AS (
   SELECT event_type, epoch_us(ts) AS uts, {_CENTS} AS v, event_id

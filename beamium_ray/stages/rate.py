@@ -161,6 +161,269 @@ def increase_bucket(
     return pa.concat_tables(pieces)
 
 
+# ---------------------------------------------------------------------------
+# runs combiner: pre-aggregate per block, shuffle only partials
+# ---------------------------------------------------------------------------
+#
+# Boundary rows ride the SAME 7-column output schema (the _STATE_TIER
+# trick): tier is the sentinel, window_start=ts, increase=value,
+# resets=order of the run's first/last point.
+_FIRST_TIER = "__first"
+_LAST_TIER = "__last"
+
+
+def _boundary_rows(tier: str, keys, idx, ts, v, order) -> pa.Table:
+    n = len(idx)
+    return pa.table(
+        {
+            "tier": pa.array(np.repeat(tier, n), pa.string()),
+            "series_key": keys.take(pa.array(idx, pa.int64())),
+            "window_start": pa.array(ts, pa.int64()),
+            "increase": pa.array(v, pa.int64()),
+            "resets": pa.array(order, pa.int64()),
+            "n_deltas": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "rate": pa.array(np.zeros(n, np.float64), pa.float64()),
+        }
+    )
+
+
+def runs_partial(g: pa.Table, tiers: dict[str, int]) -> pa.Table:
+    """Block-local combiner pass: within-block deltas folded into
+    per-(series, tier, window) PARTIAL rows (rate left 0 — computed at
+    the merge), plus one ``__first`` and one ``__last`` boundary row
+    per series carrying that series' block-run endpoints. Only these
+    partials cross the shuffle — never the raw points."""
+    if g.num_rows < 1:
+        return _empty_increase_table()
+    keys = g["series_key"].combine_chunks()
+    codes = keys.dictionary_encode().indices.to_numpy().astype(np.int64)
+    ts = g["ts"].to_numpy(zero_copy_only=False)
+    v = g["value"].to_numpy(zero_copy_only=False)
+    order = g["order"].to_numpy(zero_copy_only=False)
+
+    o = np.lexsort((order, ts, codes))
+    codes, ts, v, order_s = codes[o], ts[o], v[o], order[o]
+
+    brk = np.empty(len(codes), dtype=bool)
+    brk[0] = True
+    brk[1:] = codes[1:] != codes[:-1]
+    firsts = np.flatnonzero(brk)
+    lasts = np.append(firsts[1:], len(codes)) - 1
+
+    pieces = [
+        _boundary_rows(
+            _FIRST_TIER, keys, o[firsts], ts[firsts], v[firsts],
+            order_s[firsts],
+        ),
+        _boundary_rows(
+            _LAST_TIER, keys, o[lasts], ts[lasts], v[lasts], order_s[lasts]
+        ),
+    ]
+
+    sel = np.flatnonzero(~brk)
+    if len(sel):
+        dv = v[sel] - v[sel - 1]
+        reset = dv < 0
+        adj = np.where(reset, v[sel], dv)
+        reset_i = reset.astype(np.int64)
+        scodes = codes[sel]
+        sts = ts[sel]
+        for name, tier_us in sorted(tiers.items(), key=lambda kv: kv[1]):
+            ws = sts - np.mod(sts, tier_us)
+            b2 = np.empty(len(sel), dtype=bool)
+            b2[0] = True
+            b2[1:] = (scodes[1:] != scodes[:-1]) | (ws[1:] != ws[:-1])
+            starts = np.flatnonzero(b2)
+            ends = np.append(starts[1:], len(sel))
+            pieces.append(
+                pa.table(
+                    {
+                        "tier": pa.array(
+                            np.repeat(name, len(starts)), pa.string()
+                        ),
+                        "series_key": keys.take(
+                            pa.array(o[sel[starts]], pa.int64())
+                        ),
+                        "window_start": pa.array(ws[starts], pa.int64()),
+                        "increase": pa.array(
+                            np.add.reduceat(adj, starts), pa.int64()
+                        ),
+                        "resets": pa.array(
+                            np.add.reduceat(reset_i, starts), pa.int64()
+                        ),
+                        "n_deltas": pa.array(
+                            (ends - starts).astype(np.int64), pa.int64()
+                        ),
+                        "rate": pa.array(
+                            np.zeros(len(starts), np.float64), pa.float64()
+                        ),
+                    }
+                )
+            )
+    return pa.concat_tables(pieces)
+
+
+def _le(ts_a, ord_a, ts_b, ord_b) -> np.ndarray:
+    """(ts, order) lexicographic <= , vectorized."""
+    return (ts_a < ts_b) | ((ts_a == ts_b) & (ord_a <= ord_b))
+
+
+def merge_runs_bucket(
+    g: pa.Table, tiers: dict[str, int], emit_state: bool = False
+) -> pa.Table:
+    """Fold one bucket's partial + boundary rows into final windows.
+
+    Per series, the ``__first``/``__last`` rows are sorted by
+    (ts, order) and paired k-th-with-k-th — the unique non-crossing
+    matching. The chain check ``first_k <= last_k <= first_{k+1}``
+    then PROVES the blocks' runs were non-interleaved (the combiner's
+    correctness contract); any violation raises rather than returning
+    silently wrong windows. Cross-run deltas (run k's last point →
+    run k+1's first point, reset rule applied) are folded into the
+    window partials, which are then summed per (series, tier, window).
+    """
+    if g.num_rows < 1:
+        return _empty_increase_table()
+    tier_col = g["tier"].combine_chunks()
+    keys = g["series_key"].combine_chunks()
+    dict_arr = keys.dictionary_encode()
+    codes = dict_arr.indices.to_numpy().astype(np.int64)
+    uniq = dict_arr.dictionary
+    ws_col = g["window_start"].to_numpy(zero_copy_only=False)
+    inc_col = g["increase"].to_numpy(zero_copy_only=False)
+    rst_col = g["resets"].to_numpy(zero_copy_only=False)
+    nd_col = g["n_deltas"].to_numpy(zero_copy_only=False)
+    tnp = tier_col.to_numpy(zero_copy_only=False)
+
+    fm = tnp == _FIRST_TIER
+    lm = tnp == _LAST_TIER
+    f_idx = np.flatnonzero(fm)
+    l_idx = np.flatnonzero(lm)
+    if len(f_idx) != len(l_idx):
+        raise ValueError(
+            "runs combiner: mismatched __first/__last boundary rows"
+        )
+    # sort each side by (series, ts, order); per-series segments align
+    # because the per-series counts match
+    fo = np.lexsort((rst_col[f_idx], ws_col[f_idx], codes[f_idx]))
+    lo = np.lexsort((rst_col[l_idx], ws_col[l_idx], codes[l_idx]))
+    f_idx, l_idx = f_idx[fo], l_idx[lo]
+    f_cd, l_cd = codes[f_idx], codes[l_idx]
+    if not np.array_equal(f_cd, l_cd):
+        raise ValueError(
+            "runs combiner: per-series __first/__last counts differ"
+        )
+    f_ts, f_or, f_v = ws_col[f_idx], rst_col[f_idx], inc_col[f_idx]
+    l_ts, l_or, l_v = ws_col[l_idx], rst_col[l_idx], inc_col[l_idx]
+    if not _le(f_ts, f_or, l_ts, l_or).all():
+        raise ValueError(
+            "counter_increase combine='runs': input blocks interleave a "
+            "series' timeline (run first > run last after pairing) — the "
+            "combiner contract requires per-series time-contiguous blocks;"
+            " use combine=None"
+        )
+    nxt = np.flatnonzero(f_cd[1:] == f_cd[:-1]) if len(f_cd) > 1 else (
+        np.zeros(0, np.int64)
+    )
+    # pair: run k's last (index nxt) -> run k+1's first (index nxt+1)
+    if len(nxt):
+        if not _le(l_ts[nxt], l_or[nxt], f_ts[nxt + 1], f_or[nxt + 1]).all():
+            raise ValueError(
+                "counter_increase combine='runs': input blocks interleave "
+                "a series' timeline (overlapping per-series runs) — the "
+                "combiner contract requires per-series time-contiguous "
+                "blocks; use combine=None"
+            )
+        x_dv = f_v[nxt + 1] - l_v[nxt]
+        x_reset = x_dv < 0
+        x_adj = np.where(x_reset, f_v[nxt + 1], x_dv)
+        x_codes = f_cd[nxt + 1]
+        x_ts = f_ts[nxt + 1]
+        x_rst = x_reset.astype(np.int64)
+    else:
+        x_adj = np.zeros(0, np.int64)
+        x_codes = np.zeros(0, np.int64)
+        x_ts = np.zeros(0, np.int64)
+        x_rst = np.zeros(0, np.int64)
+
+    pieces = []
+    for name, tier_us in sorted(tiers.items(), key=lambda kv: kv[1]):
+        pm = np.flatnonzero(tnp == name)
+        c = np.concatenate([codes[pm], x_codes])
+        w = np.concatenate(
+            [ws_col[pm], x_ts - np.mod(x_ts, tier_us)]
+        )
+        inc = np.concatenate([inc_col[pm], x_adj])
+        rst = np.concatenate([rst_col[pm], x_rst])
+        nd = np.concatenate(
+            [nd_col[pm], np.ones(len(x_codes), np.int64)]
+        )
+        if len(c) == 0:
+            continue
+        o = np.lexsort((w, c))
+        c, w, inc, rst, nd = c[o], w[o], inc[o], rst[o], nd[o]
+        b2 = np.empty(len(c), dtype=bool)
+        b2[0] = True
+        b2[1:] = (c[1:] != c[:-1]) | (w[1:] != w[:-1])
+        starts = np.flatnonzero(b2)
+        ginc = np.add.reduceat(inc, starts)
+        secs = float(tier_us) / 1e6
+        pieces.append(
+            pa.table(
+                {
+                    "tier": pa.array(
+                        np.repeat(name, len(starts)), pa.string()
+                    ),
+                    "series_key": uniq.take(
+                        pa.array(c[starts], pa.int64())
+                    ),
+                    "window_start": pa.array(w[starts], pa.int64()),
+                    "increase": pa.array(ginc, pa.int64()),
+                    "resets": pa.array(
+                        np.add.reduceat(rst, starts), pa.int64()
+                    ),
+                    "n_deltas": pa.array(
+                        np.add.reduceat(nd, starts), pa.int64()
+                    ),
+                    "rate": pa.array(
+                        ginc.astype(np.float64) / secs, pa.float64()
+                    ),
+                }
+            )
+        )
+    if emit_state:
+        # global last point per series = (ts, order)-max __last row =
+        # the final row of each series segment in the sorted lasts
+        seg_end = np.flatnonzero(
+            np.concatenate([l_cd[1:] != l_cd[:-1], [True]])
+        ) if len(l_cd) else np.zeros(0, np.int64)
+        n = len(seg_end)
+        pieces.append(
+            pa.table(
+                {
+                    "tier": pa.array(
+                        np.repeat(_STATE_TIER, n), pa.string()
+                    ),
+                    "series_key": uniq.take(
+                        pa.array(l_cd[seg_end], pa.int64())
+                    ),
+                    "window_start": pa.array(l_ts[seg_end], pa.int64()),
+                    "increase": pa.array(l_v[seg_end], pa.int64()),
+                    "resets": pa.array(l_or[seg_end], pa.int64()),
+                    "n_deltas": pa.array(
+                        np.ones(n, np.int64), pa.int64()
+                    ),
+                    "rate": pa.array(
+                        np.zeros(n, np.float64), pa.float64()
+                    ),
+                }
+            )
+        )
+    if not pieces:
+        return _empty_increase_table()
+    return pa.concat_tables(pieces)
+
+
 def counter_increase_dataset(
     ds,
     tiers: dict[str, int],
@@ -171,6 +434,7 @@ def counter_increase_dataset(
     num_buckets: int = 64,
     shuffle_blocks: int | None = None,
     emit_state: bool = False,
+    combine: str | None = None,
 ):
     """Ray Data pipeline: narrow points → ONE bucket shuffle → per-bucket
     vectorized increase/resets/rate for every tier. Returns rows of
@@ -181,7 +445,22 @@ def counter_increase_dataset(
     shuffles the full point stream, so coalescing a large input to
     ~CPUs/4 blocks caps the sort+merge parallelism there (measured:
     flat 8→32-cpu scaling on a 96M-point soak until left at None).
+
+    ``combine='runs'`` — the scale route. Each block folds its own
+    points into per-(series, tier, window) PARTIAL rows + two boundary
+    rows per series (runs_partial), so the shuffle carries ~the output
+    size instead of the full point stream and the per-bucket merge
+    folds partials instead of lexsorting raw points (the rollup
+    flagship's combiner design; measured 6.7× merge-CPU inflation at
+    32-way concurrency when raw points cross the exchange).
+    CONTRACT: every input block must hold, per series, a time-
+    contiguous run of points (true for time-partitioned spool files
+    and for any dataset sorted by (series, ts)); the merge PROVES the
+    contract held via the run-chain check and raises on violation —
+    this route is exact-or-loud, never silently wrong.
     """
+    if combine not in (None, "runs"):
+        raise ValueError("combine must be None or 'runs'")
 
     def prep(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -204,6 +483,25 @@ def counter_increase_dataset(
         t = t.filter(pc.is_valid(t["value"]))
         bkt = bucket_of(t["series_key"].combine_chunks(), num_buckets)
         return t.append_column("bucket", pa.array(bkt, pa.int32()))
+
+    if combine == "runs":
+
+        def partial(b: pa.Table) -> pa.Table:
+            t = runs_partial(prep(b).drop_columns("bucket"), tiers)
+            bkt = bucket_of(
+                t["series_key"].combine_chunks(), num_buckets
+            )
+            return t.append_column("bucket", pa.array(bkt, pa.int32()))
+
+        def merge_runs(g: pa.Table) -> pa.Table:
+            return merge_runs_bucket(g, tiers, emit_state=emit_state)
+
+        parts = ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        )
+        return parts.groupby("bucket").map_groups(
+            merge_runs, batch_format="pyarrow"
+        )
 
     def merge(g: pa.Table) -> pa.Table:
         return increase_bucket(g, tiers, emit_state=emit_state)

@@ -128,6 +128,125 @@ def test_counter_increase_dataset_split_invariance(ray_session):
                 ), (nblocks, tier, k)
 
 
+def _runs_table(rng, n_series=11):
+    """Global per-series ts-ordered counter points (with resets)."""
+    parts = []
+    for s in range(n_series):
+        m = int(rng.integers(200, 900))
+        ts = np.sort(rng.integers(0, 10**10, m)).astype(np.int64)
+        v = np.cumsum(rng.integers(0, 50, m)).astype(np.int64)
+        for r in rng.integers(0, m, 2):
+            v[r:] = v[r:] - v[r] + rng.integers(0, 5)
+        parts.append((np.repeat(f"s{s:03d}", m), ts, v))
+    keys = np.concatenate([p[0] for p in parts])
+    ts = np.concatenate([p[1] for p in parts])
+    v = np.concatenate([p[2] for p in parts])
+    return pa.table(
+        {
+            "series_key": pa.array(keys),
+            "ts": pa.array(ts, pa.int64()),
+            "value": pa.array(v, pa.int64()),
+            "order": pa.array(np.arange(len(ts), dtype=np.int64)),
+        }
+    ), parts
+
+
+def _run_shaped_blocks(rng, full, parts, nb=7):
+    """Split every series into contiguous runs, one run per block —
+    the combiner's contract shape."""
+    blocks = [[] for _ in range(nb)]
+    pos = 0
+    for _, ts, _v in parts:
+        m = len(ts)
+        k = int(rng.integers(2, nb))
+        cuts = np.sort(
+            rng.choice(np.arange(1, m), size=k - 1, replace=False)
+        )
+        dest = rng.permutation(nb)[:k]
+        prev = 0
+        for j, c in enumerate(list(cuts) + [m]):
+            blocks[dest[j]].append(full.slice(pos + prev, c - prev))
+            prev = c
+        pos += m
+    return [pa.concat_tables(b) for b in blocks if b]
+
+
+def test_runs_combiner_matches_full_route():
+    """merge_runs_bucket over run-shaped partials ≡ increase_bucket over
+    the raw points — including state rows (seeded battery)."""
+    from beamium_ray.stages.rate import merge_runs_bucket, runs_partial
+
+    tiers = {"1m": US_1M, "1h": US_1H}
+    for seed in (7, 42, 1999):
+        rng = np.random.default_rng(seed)
+        full, parts = _runs_table(rng)
+        ref = increase_bucket(full, tiers, emit_state=True)
+        blks = _run_shaped_blocks(rng, full, parts)
+        merged = merge_runs_bucket(
+            pa.concat_tables([runs_partial(b, tiers) for b in blks]),
+            tiers,
+            emit_state=True,
+        )
+
+        def norm(t):
+            return t.to_pandas().sort_values(
+                ["tier", "series_key", "window_start"]
+            ).reset_index(drop=True)
+
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(norm(ref), norm(merged))
+
+
+def test_runs_combiner_detects_interleaved_blocks():
+    """Interleaving one series across blocks must raise, not return
+    silently wrong windows (the exact-or-loud contract)."""
+    import pytest
+
+    from beamium_ray.stages.rate import merge_runs_bucket, runs_partial
+
+    tiers = {"1m": US_1M}
+    rng = np.random.default_rng(3)
+    full, _ = _runs_table(rng, n_series=2)
+    head = full.slice(0, 100)
+    even = head.take(pa.array(list(range(0, 100, 2))))
+    odd = head.take(pa.array(list(range(1, 100, 2))))
+    p = pa.concat_tables(
+        [runs_partial(even, tiers), runs_partial(odd, tiers)]
+    )
+    with pytest.raises(ValueError, match="interleave"):
+        merge_runs_bucket(p, tiers)
+
+
+def test_counter_increase_dataset_runs_route(ray_session):
+    """combine='runs' through the Dataset API ≡ combine=None on
+    run-shaped blocks (sorted-by-(series, ts) input)."""
+    import ray.data
+
+    from beamium_ray.stages.rate import counter_increase_dataset
+
+    rng = np.random.default_rng(77)
+    full, parts = _runs_table(rng, n_series=6)
+    blks = _run_shaped_blocks(rng, full, parts, nb=5)
+    ds = ray.data.from_arrow(blks)
+    tiers = {"1m": US_1M, "1h": US_1H}
+    want = counter_increase_dataset(
+        ds, tiers, order_col="order", num_buckets=4
+    ).to_pandas()
+    got = counter_increase_dataset(
+        ds, tiers, order_col="order", num_buckets=4, combine="runs"
+    ).to_pandas()
+
+    def norm(df):
+        return df.sort_values(
+            ["tier", "series_key", "window_start"]
+        ).reset_index(drop=True)
+
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(norm(want), norm(got))
+
+
 def _merged_fixture(keys, ws, lasts):
     n = len(ws)
     z = np.zeros(n, dtype=np.int64)

@@ -261,7 +261,8 @@ def leg_span_dedup(docs_dir: str, ncpu: int) -> dict:
         "removed": int(agg["sum(n_removed)"]),
         "tokens_per_sec": int(tokens / sec),
         "num_cpus": ncpu,
-        "path": metrics.get("path"),
+        "path": metrics.get("span_route"),
+        "marks": metrics.get("span_marks"),
     }
 
 
@@ -295,7 +296,9 @@ def leg_pack_emit(docs_dir: str, ncpu: int) -> dict:
     }
 
 
-def leg_counter_rate(points_dir: str, ncpu: int) -> dict:
+def leg_counter_rate(
+    points_dir: str, ncpu: int, combine: str | None = None
+) -> dict:
     import ray
     import ray.data
 
@@ -310,14 +313,19 @@ def leg_counter_rate(points_dir: str, ncpu: int) -> dict:
     # partials, but this op shuffles the full point stream — squeezing
     # 100M rows into ~CPUs/4 blocks caps the sort+merge at 8-way.
     nb = max(16, ncpu * 2)
+    # combine='runs' is valid on this fixture: synth_points emits the
+    # interleaved series in global ts order, so a row-range block holds
+    # a time-contiguous run per series (and merge_runs_bucket PROVES it
+    # per run, raising on violation)
     ds = ray.data.read_parquet(points_dir, override_num_blocks=ncpu * 3)
     n_rows = ds.count()
     counter_increase_dataset(
         ds.limit(20_000), tiers, order_col="order", num_buckets=nb,
+        combine=combine,
     ).count()
     t0 = time.perf_counter()
     n_out = counter_increase_dataset(
-        ds, tiers, order_col="order", num_buckets=nb,
+        ds, tiers, order_col="order", num_buckets=nb, combine=combine,
     ).count()
     sec = time.perf_counter() - t0
     ray.shutdown()
@@ -327,6 +335,7 @@ def leg_counter_rate(points_dir: str, ncpu: int) -> dict:
         "windows_out": int(n_out),
         "points_per_sec": int(n_rows / sec),
         "num_cpus": ncpu,
+        "combine": combine,
     }
 
 
@@ -362,7 +371,10 @@ def leg_hash_join(left_dir: str, right_dir: str, ncpu: int) -> dict:
     }
 
 
-OPS = ("span_dedup", "pack_emit", "counter_rate", "hash_join")
+OPS = (
+    "span_dedup", "pack_emit", "counter_rate", "counter_rate_runs",
+    "hash_join",
+)
 
 
 def run_leg(op: str, dirs: dict, ncpu: int) -> dict:
@@ -372,6 +384,8 @@ def run_leg(op: str, dirs: dict, ncpu: int) -> dict:
         return leg_pack_emit(dirs["docs"], ncpu)
     if op == "counter_rate":
         return leg_counter_rate(dirs["points"], ncpu)
+    if op == "counter_rate_runs":
+        return leg_counter_rate(dirs["points"], ncpu, combine="runs")
     if op == "hash_join":
         return leg_hash_join(dirs["left"], dirs["right"], ncpu)
     raise ValueError(op)
@@ -405,7 +419,7 @@ def main() -> None:
     def ensure(op: str) -> None:
         if op in ("span_dedup", "pack_emit"):
             synth_doc_ids(dirs["docs"], n_docs)
-        elif op == "counter_rate":
+        elif op in ("counter_rate", "counter_rate_runs"):
             synth_points(dirs["points"], n_points)
         elif op == "hash_join":
             synth_join(dirs["left"], dirs["right"], n_left, n_users)
