@@ -173,9 +173,13 @@ class _IncrementalDedupBase:
         """Merge each store partition's tick files into one
         ``compact-<lo>-<hi>.parquet`` (storegc.compact_dir) so per-tick
         read cost stays O(partitions), not O(partitions × ticks).
-        Returns the number of files merged away."""
+        Bounded to the committed manifest tick: a crashed uncommitted
+        tick's files must keep their ``tick-<n>`` names so the replay
+        overwrite (and any sweep) still reaches them. Returns the
+        number of files merged away."""
         from beamium_ray.state import storegc
 
+        man = self._manifest()
         n = 0
         for s in self._GC_SUBDIRS:
             root = os.path.join(self.dir, s)
@@ -185,7 +189,7 @@ class _IncrementalDedupBase:
             for part in sorted(os.listdir(root)):
                 d = os.path.join(root, part)
                 if os.path.isdir(d):
-                    n += storegc.compact_dir(d, keys)
+                    n += storegc.compact_dir(d, keys, max_hi=man["tick"])
         return n
 
     def _prune_assignments(self, expired_ids: np.ndarray) -> None:
@@ -1367,15 +1371,23 @@ class IncrementalSpanDedup:
 
     def compact(self) -> int:
         """Merge each bucket's tick files into one compact file
-        (storegc.compact_dir; _read_windows reads compact names)."""
+        (storegc.compact_dir; _read_windows reads compact names).
+        Bounded to ``tick - 1``: a replay of the committed tick reads
+        windows STRICTLY BEFORE it (_read_windows excludes any file
+        whose range reaches the replayed tick), so folding the current
+        tick into a compact file would hide every earlier tick in that
+        file from the replay — the tick's own file must stay under its
+        ``tick-<n>`` name until the NEXT tick commits (this also keeps
+        a crashed uncommitted tick's files sweepable by name)."""
         from beamium_ray.state import storegc
 
+        man = self._manifest()
         root = os.path.join(self.dir, "windows")
         n = 0
         for part in sorted(os.listdir(root)):
             d = os.path.join(root, part)
             if os.path.isdir(d):
-                n += storegc.compact_dir(d)
+                n += storegc.compact_dir(d, max_hi=man["tick"] - 1)
         return n
 
     @staticmethod

@@ -150,17 +150,29 @@ class DecodeImage:
         # tokenize the header: magic, width, height, maxval — skipping
         # comments; pos ends ON the single whitespace after maxval
         pos, fields = 2, []
-        while len(fields) < 3:
-            while payload[pos] in b" \t\r\n":
-                pos += 1
-            if payload[pos] == ord("#"):
-                pos = payload.index(b"\n", pos) + 1
-                continue
-            end = pos
-            while payload[end] not in b" \t\r\n":
-                end += 1
-            fields.append(int(payload[pos:end]))
-            pos = end
+        try:
+            while len(fields) < 3:
+                while payload[pos] in b" \t\r\n":
+                    pos += 1
+                if payload[pos] == ord("#"):
+                    pos = payload.index(b"\n", pos) + 1
+                    continue
+                end = pos
+                while end < len(payload) and payload[end] not in b" \t\r\n":
+                    end += 1
+                if end == len(payload):
+                    raise IndexError  # header token cut at end-of-payload
+                fields.append(int(payload[pos:end]))
+                pos = end
+        except (IndexError, ValueError) as e:
+            # a truncated header (payload ends mid-token / unterminated
+            # comment) or a non-integer token must name the corruption,
+            # not crash the decode actor with a bare IndexError
+            raise ValueError(
+                f"truncated or malformed netpbm header "
+                f"(parsed {len(fields)}/3 fields from "
+                f"{len(payload)}-byte payload)"
+            ) from (e if isinstance(e, ValueError) else None)
         pos += 1  # the single whitespace byte ending the header
         iw, ih, maxval = fields
         if maxval > 255:

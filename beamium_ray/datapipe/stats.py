@@ -55,17 +55,14 @@ def group_quantiles(
                 cols[count_col] = pa.array([], pa.int64())
             cols[key_col] = g[key_col]
             return pa.table(cols)
+        from beamium_ray.functions.quantile import quantile_sorted
+
         v = np.sort(g[value_col].to_numpy(zero_copy_only=False))
-        # one-sided lerp v[lo] + frac*(v[hi]-v[lo]) — DuckDB's
-        # quantile_cont formula, shared with sliding_quantiles_bucket.
-        # np.quantile's _lerp switches to b-(b-a)*(1-t) for t>=0.5 and
-        # differs at ulp boundaries that survive micro-unit rounding
-        # (1840625 vs 1840626 measured), so it can't be used here.
+        # the canonical one-sided lerp (functions/quantile.py) — the
+        # DuckDB quantile_cont formula every kernel and the SQL oracle
+        # share; np.quantile diverges at ulp boundaries (ADVICE r4)
         for n, qv in zip(names, qs):
-            pos = qv * (len(v) - 1)
-            lo = int(np.floor(pos))
-            hi = min(lo + 1, len(v) - 1)
-            x = v[lo] + (pos - lo) * (v[hi] - v[lo])
+            x = quantile_sorted(v, qv)
             cols[n] = pa.array(
                 [int(np.round(x * 1e6))], pa.int64()
             )

@@ -454,10 +454,15 @@ def counter_increase_dataset(
     flagship's combiner design; measured 6.7× merge-CPU inflation at
     32-way concurrency when raw points cross the exchange).
     CONTRACT: every input block must hold, per series, a time-
-    contiguous run of points (true for time-partitioned spool files
-    and for any dataset sorted by (series, ts)); the merge PROVES the
-    contract held via the run-chain check and raises on violation —
-    this route is exact-or-loud, never silently wrong.
+    contiguous run of points (true for time-partitioned spool files;
+    a dataset sorted by (series, ts) satisfies it only when (series,
+    ts) pairs are UNIQUE or ``order_col`` names a globally consistent
+    tie-break column — with the per-block synthetic default, equal-ts
+    points of one series straddling a block boundary are order-
+    ambiguous, and the check treats that as a violation rather than
+    picking an arbitrary pairing); the merge PROVES the contract held
+    via the run-chain check and raises on violation — this route is
+    exact-or-loud, never silently wrong.
     """
     if combine not in (None, "runs"):
         raise ValueError("combine must be None or 'runs'")
@@ -469,14 +474,24 @@ def counter_increase_dataset(
             if order_col is not None
             else pa.array(np.arange(n, dtype=np.int64))
         )
+        # explicit cast: a float value column would otherwise propagate
+        # a float 'increase' that drifts from the documented int64
+        # schema (and IncrementalRate's state). Integral floats cast
+        # losslessly; non-integral ones fail loud with guidance.
+        try:
+            value = pc.cast(b[value_col], pa.int64())
+        except pa.ArrowInvalid as e:
+            raise ValueError(
+                f"counter_increase: value column {value_col!r} holds "
+                "non-integral floats; this op is integer-exact — scale "
+                "to fixed-point units (cents/micros) upstream, e.g. "
+                "pc.round(pc.multiply(v, 1e6)) cast to int64"
+            ) from e
         t = pa.table(
             {
                 "series_key": b[key_col],
                 "ts": pc.cast(b[ts_col], pa.int64()),
-                # explicit cast: a float value column would otherwise
-                # propagate a float 'increase' that drifts from the
-                # documented int64 schema (and IncrementalRate's state)
-                "value": pc.cast(b[value_col], pa.int64()),
+                "value": value,
                 "order": order,
             }
         )

@@ -69,13 +69,10 @@ def sliding_quantiles_bucket(
     g: pa.Table, qs: tuple[float, ...], names: tuple[str, ...]
 ) -> pa.Table:
     """One vectorized pass per bucket: lexsort by (series, window,
-    value), then per-(series, window) linear-interpolation quantiles via
-    pure index arithmetic — ``pos = start + q*(len-1)`` — DuckDB's
-    ``quantile_cont`` ONE-SIDED lerp ``v[lo] + frac*(v[hi]-v[lo])``
-    (NOT numpy's: np.quantile's _lerp switches to ``b-(b-a)*(1-t)``
-    for t>=0.5 and differs at ulp boundaries that survive micro-unit
-    rounding), emitted as int64 micro-units (the stats.group_quantiles
-    convention, which shares this exact formula)."""
+    value), then per-(series, window) quantiles via the canonical
+    one-sided lerp (functions/quantile.py — DuckDB ``quantile_cont``'s
+    formula, shared with stats.group_quantiles and the SQL oracle),
+    emitted as int64 micro-units."""
     if g.num_rows == 0:
         return _quantile_schema(names).empty_table()
     keys = g["series_key"].combine_chunks()
@@ -96,16 +93,10 @@ def sliding_quantiles_bucket(
         "series_key": keys.take(pa.array(o[starts], pa.int64())),
         "window_start": pa.array(ws[starts], pa.int64()),
     }
+    from beamium_ray.functions.quantile import grouped_quantile_sorted
+
     for q, name in zip(qs, names):
-        # group-RELATIVE position: pos/frac must not carry the group's
-        # absolute offset in the bucket, or float64 ulp error grows
-        # with bucket size and breaks the micro-unit hash at scale
-        pos = q * (lens - 1)
-        lo_rel = np.floor(pos).astype(np.int64)
-        frac = pos - lo_rel
-        lo = starts + lo_rel
-        hi = np.minimum(lo + 1, starts + lens - 1)
-        val = v[lo] + frac * (v[hi] - v[lo])
+        val = grouped_quantile_sorted(v, starts, lens, q)
         cols[name] = pa.array(np.round(val * 1e6).astype(np.int64), pa.int64())
     cols["n"] = pa.array(lens.astype(np.int64), pa.int64())
     return pa.table(cols)
@@ -397,6 +388,14 @@ def interval_join_sorted(
     ids = intervals[id_col].to_numpy(zero_copy_only=False)
     lo = intervals[lo_col].to_numpy(zero_copy_only=False).astype(np.int64)
     hi = intervals[hi_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    # Empty intervals (hi <= lo) match nothing under lo <= ts < hi, but
+    # the sweep treats them as instantly-free so one can share a level
+    # (and a lo value) with a real interval and SHADOW it at the
+    # searchsorted stab. Drop them up front: after this, lo values
+    # within a level are strictly unique and the stab is exact.
+    keep = hi > lo
+    if not keep.all():
+        ids, lo, hi = ids[keep], lo[keep], hi[keep]
     lvl, n_lvl = _interval_levels(lo, hi)
     packs = []
     for v in range(n_lvl):

@@ -14,12 +14,18 @@ that retention at store-partition granularity:
   a fixed cadence gets the same semantics without clock dependence).
 - **Size cap** — oldest surviving ticks dropped until the store's total
   bytes fit ``max_bytes`` (the reference's pop-oldest loop).
-- Expiry is decided per TICK, not per file: one tick's files span
-  several subdirs (band index + doc payload), and dropping an index row
-  while keeping its payload (or vice versa) would let a candidate pair
-  form that cannot be verified. A tick's age is its newest evidence
-  (max mtime / its tick number), so retention never drops more than
-  promised.
+- Expiry is decided per TICK-RANGE GROUP, not per file: one tick's
+  files span several subdirs (band index + doc payload), and dropping
+  an index row while keeping its payload (or vice versa) would let a
+  candidate pair form that cannot be verified. Files whose tick ranges
+  intersect are expired or kept TOGETHER (a maximal chain of
+  intersecting ranges forms one group) — after compaction different
+  partitions cover different (lo, hi) ranges, and per-``hi`` expiry
+  would drop a docs compact while the same ticks' band rows survive
+  inside a younger bands compact. A group's age is its newest evidence
+  (max mtime / max tick), so retention never drops more than promised;
+  for an uncompacted store every range is [n, n] and this reduces to
+  exact per-tick expiry.
 
 **Compaction** merges every parquet file of one partition directory
 into a single ``compact-<lo>-<hi>.parquet`` (full-row distinct, so a
@@ -27,7 +33,13 @@ crash between the atomic rename and the input deletions — which would
 leave duplicate rows — heals on the next compaction instead of
 compounding). For tick-age purposes a compacted file is as YOUNG as its
 newest merged tick (``hi``): retention of a compacted store is coarser,
-never shorter, than promised.
+never shorter, than promised. Callers MUST bound compaction to
+committed ticks (``max_hi``): folding an uncommitted crashed tick's
+file into a compact file would put rows beyond the reach of the
+name-based crashed-tick sweep, and folding the CURRENT committed tick
+breaks any reader that must exclude that tick's own rows on replay
+(IncrementalSpanDedup reads strictly-before-tick windows, so it
+compacts with ``max_hi = tick - 1``).
 
 Deletions happen strictly BEFORE any assignment-table rewrite the
 caller does: a crash mid-retention leaves index rows gone but
@@ -97,37 +109,65 @@ def select_expired(
     now: float | None = None,
 ) -> list[dict]:
     """The files retention must delete, per the module-docstring rules.
-    Tick-granular: if any of a tick's files expires, all of them do."""
+    Group-granular: files whose tick ranges intersect expire together
+    (for an uncompacted store — all ranges [n, n] — this is exact
+    per-tick expiry; for misaligned compact files it keeps the
+    index/payload coupling by expiring coarser, never shorter)."""
     if not files:
         return []
     now = time.time() if now is None else now
-    # per-tick evidence: newest mtime, total size
-    ticks: dict[int, dict] = {}
-    for f in files:
-        t = ticks.setdefault(f["hi"], {"mtime": 0.0, "size": 0})
-        t["mtime"] = max(t["mtime"], f["mtime"])
-        t["size"] += f["size"]
-    dead: set[int] = set()
-    for hi, ev in ticks.items():
-        if max_ticks is not None and current_tick - hi >= max_ticks:
-            dead.add(hi)
-        elif ttl_seconds is not None and now - ev["mtime"] > ttl_seconds:
-            dead.add(hi)
+    # merge intersecting (lo, hi) ranges into groups; a group's age key
+    # is its newest tick, its evidence the newest mtime / summed size
+    ordered = sorted(files, key=lambda f: (f["lo"], f["hi"]))
+    groups: list[dict] = []
+    for f in ordered:
+        if groups and f["lo"] <= groups[-1]["hi"]:
+            g = groups[-1]
+            g["hi"] = max(g["hi"], f["hi"])
+            g["mtime"] = max(g["mtime"], f["mtime"])
+            g["size"] += f["size"]
+            g["files"].append(f)
+        else:
+            groups.append(
+                {
+                    "hi": f["hi"],
+                    "mtime": f["mtime"],
+                    "size": f["size"],
+                    "files": [f],
+                }
+            )
+    dead: list[dict] = []
+    alive: list[dict] = []
+    for g in groups:
+        if max_ticks is not None and current_tick - g["hi"] >= max_ticks:
+            dead.append(g)
+        elif ttl_seconds is not None and now - g["mtime"] > ttl_seconds:
+            dead.append(g)
+        else:
+            alive.append(g)
     if max_bytes is not None:
-        alive = sorted(t for t in ticks if t not in dead)
-        total = sum(ticks[t]["size"] for t in alive)
-        for t in alive:  # oldest first, the reference's pop-back loop
+        total = sum(g["size"] for g in alive)
+        # oldest group first, the reference's pop-back loop
+        for g in sorted(alive, key=lambda g: g["hi"]):
             if total <= max_bytes:
                 break
-            dead.add(t)
-            total -= ticks[t]["size"]
-    return [f for f in files if f["hi"] in dead]
+            dead.append(g)
+            total -= g["size"]
+    return [f for g in dead for f in g["files"]]
 
 
-def compact_dir(d: str, key_cols: list[str] | None = None) -> int:
+def compact_dir(
+    d: str, key_cols: list[str] | None = None, max_hi: int | None = None
+) -> int:
     """Merge every store file in one partition dir into a single
     ``compact-<lo>-<hi>.parquet``, distinct rows. Returns the number of
     input files merged away (0 = nothing to do).
+
+    ``max_hi`` bounds the merge to files whose newest tick is
+    ``<= max_hi`` — callers pass their committed manifest tick (or
+    ``tick - 1`` when replays must re-read strictly-before-tick rows,
+    see the module docstring) so a crashed uncommitted tick's files
+    stay under their sweepable ``tick-<n>`` names.
 
     Distinctness heals duplicate rows a crashed prior compaction left
     behind: full-row by default (group_by over every column ==
@@ -141,7 +181,7 @@ def compact_dir(d: str, key_cols: list[str] | None = None) -> int:
     inputs: list[tuple[str, int, int]] = []
     for f in sorted(os.listdir(d)):
         rng = parse_ticks(f)
-        if rng is not None:
+        if rng is not None and (max_hi is None or rng[1] <= max_hi):
             inputs.append((os.path.join(d, f), rng[0], rng[1]))
     if len(inputs) < 2:
         return 0

@@ -2074,3 +2074,19 @@ def test_ppm_decoder_real_roundtrip(ray_session):
         want = np.frombuffer((seed * 33)[:1024], np.uint8).astype(np.int64)
         assert r["px_sum"] == int(want.sum())
         assert r["n_px"] == 1024
+
+
+def test_ppm_decoder_truncated_header_named_error():
+    """Truncated/malformed headers raise a descriptive ValueError, not
+    a bare IndexError out of header-byte indexing (review finding)."""
+    from beamium_ray.datapipe.multimodal import DecodeImage
+
+    dec = DecodeImage(decoder="ppm")
+    for bad in (
+        b"P5",                      # magic only
+        b"P5 8",                    # cut mid-header
+        b"P5 # unterminated comment",
+        b"P5 8 six 255 ",           # non-integer token
+    ):
+        with pytest.raises(ValueError, match="netpbm header"):
+            dec._decode(bad, 0, 0)

@@ -177,10 +177,13 @@ def test_expand_matches_property(lk_list, rk_list, how):
 
 
 def _lerp_quantile(vals: np.ndarray, q: float) -> float:
-    """The kernel's (and DuckDB quantile_cont's) ONE-SIDED lerp
-    ``v[lo] + frac*(v[hi]-v[lo])`` — deliberately NOT np.quantile,
-    whose _lerp switches to ``b-(b-a)*(1-t)`` for t>=0.5 and differs
-    at ulp boundaries that survive micro-unit rounding (ADVICE r4)."""
+    """Independent scalar re-derivation of the canonical one-sided lerp
+    (functions/quantile.py, DuckDB quantile_cont): deliberately NOT
+    imported from the helper — every production kernel now shares that
+    helper, so the test must re-derive the formula to catch drift in
+    it. Also deliberately NOT np.quantile, whose _lerp switches to
+    ``b-(b-a)*(1-t)`` for t>=0.5 and differs at ulp boundaries that
+    survive micro-unit rounding (ADVICE r4)."""
     v = np.sort(vals)
     pos = q * (len(v) - 1)
     lo = int(np.floor(pos))

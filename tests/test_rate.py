@@ -573,3 +573,37 @@ def test_incremental_rate_empty_and_single_sample_ticks(ray_session, tmp_path):
 
     outs = sorted(d for d in os.listdir(inc.dir) if d.startswith("out-"))
     assert outs == ["out-00002", "out-00003"]
+
+
+def test_counter_increase_float_values(ray_session):
+    """Integral floats cast losslessly; non-integral floats fail with
+    guidance (the op is integer-exact by contract), not a bare
+    ArrowInvalid (review finding)."""
+    import pytest
+    import ray
+    import ray.data
+
+    from beamium_ray.stages.rate import counter_increase_dataset
+
+    def mk(vals):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "series_key": pa.array(["s"] * len(vals)),
+                    "ts": pa.array(
+                        np.arange(len(vals), dtype=np.int64) * 1_000_000
+                    ),
+                    "value": pa.array(vals, pa.float64()),
+                }
+            )
+        )
+
+    out = counter_increase_dataset(
+        mk([1.0, 3.0, 2.0]), {"1m": 60_000_000}, num_buckets=2
+    ).take_all()
+    assert sum(r["increase"] for r in out) == 4  # 2 + reset-to-2
+
+    with pytest.raises(ray.exceptions.RayTaskError, match="integer-exact"):
+        counter_increase_dataset(
+            mk([1.0, 2.5]), {"1m": 60_000_000}, num_buckets=2
+        ).take_all()

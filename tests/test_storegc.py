@@ -314,3 +314,103 @@ def test_rate_retention_prunes_dead_series(ray_session, tmp_path):
         )
     assert inc_by_key.get("live") == 20  # 50 - 30 survives the sweep
     assert "dead" not in inc_by_key or inc_by_key["dead"] == 0
+
+
+def test_select_expired_range_coupling_after_compaction():
+    """Misaligned compact ranges (a docs partition that only ever saw
+    ticks 1-2 vs a bands partition compacted through tick 5) must
+    expire TOGETHER: per-hi expiry would drop the docs file while the
+    same ticks' band rows survive inside the younger bands compact —
+    index kept, payload gone, exactly what tick-coupling forbids."""
+    files = [
+        {"path": "/x/docs/bkt=3/compact-00001-00002.parquet", "lo": 1,
+         "hi": 2, "mtime": 10.0, "size": 100},
+        {"path": "/x/bands/bkt=7/compact-00001-00005.parquet", "lo": 1,
+         "hi": 5, "mtime": 50.0, "size": 100},
+    ]
+    # ticks 1-2 are past max_ticks but share a group with tick 5 → keep
+    assert storegc.select_expired(files, 5, max_ticks=3) == []
+    # once the WHOLE group ages out, both files go together
+    drop = storegc.select_expired(files, 9, max_ticks=3)
+    assert sorted(f["path"] for f in drop) == sorted(
+        f["path"] for f in files
+    )
+    # non-intersecting ranges stay independent groups
+    files2 = _fake_files([(1, 10.0, 100)]) + [
+        {"path": "/x/bands/bkt=0/compact-00002-00005.parquet", "lo": 2,
+         "hi": 5, "mtime": 50.0, "size": 100}
+    ]
+    drop = storegc.select_expired(files2, 5, max_ticks=3)
+    assert [f["hi"] for f in drop] == [1]
+    # size cap evicts whole oldest GROUPS, never part of one
+    drop = storegc.select_expired(files, 5, max_bytes=150)
+    assert sorted(f["path"] for f in drop) == sorted(
+        f["path"] for f in files
+    )
+
+
+def test_compact_dir_max_hi_excludes_newer_ticks(tmp_path):
+    d = tmp_path / "bkt=0"
+    os.makedirs(d)
+    for t in (1, 2, 3):
+        pq.write_table(
+            pa.table({"h": pa.array([t], pa.int64())}),
+            str(d / f"tick-{t:05d}.parquet"),
+        )
+    assert storegc.compact_dir(str(d), max_hi=2) == 2
+    names = sorted(os.listdir(d))
+    assert names == ["compact-00001-00002.parquet", "tick-00003.parquet"]
+    # a single eligible file is left alone (nothing to merge)
+    assert storegc.compact_dir(str(d), max_hi=2) == 0
+
+
+def test_span_replay_after_compaction_is_identical(ray_session, tmp_path):
+    """Replay of the committed tick after compact() must still see
+    every EARLIER tick's windows: compact() is bounded to tick-1, so
+    the strictly-before-tick read can't lose ticks lo..hi-1 to a
+    compact file that includes the replayed tick itself."""
+    import ray.data
+
+    from beamium_ray.datapipe.incdedup import IncrementalSpanDedup
+
+    def toks(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "tokens": pa.array(
+                        [r[1] for r in rows], pa.list_(pa.int32())
+                    ),
+                }
+            )
+        )
+
+    def collect(out):
+        t = pa.concat_tables(
+            list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+        )
+        return sorted(t.to_pylist(), key=lambda r: r["doc_id"])
+
+    rng = np.random.default_rng(7)
+    seq_a = rng.integers(0, 1000, 80).tolist()
+    seq_b = rng.integers(0, 1000, 80).tolist()
+    store = str(tmp_path / "span")
+    inc = IncrementalSpanDedup(store, window=50, num_buckets=4)
+    inc.tick(toks([(1, seq_a)]), batch_key="a")
+    # tick 2 repeats tick 1's seq_a → its spans come from tick-1 windows
+    out2 = collect(inc.tick(toks([(2, seq_a), (3, seq_b)]), batch_key="b"))
+    assert len(out2[0]["tokens"]) < len(seq_a)  # dup vs tick 1 marked
+
+    # compact, then REPLAY tick 2 (same batch_key): byte-identical
+    assert inc.compact() >= 0
+    wroot = os.path.join(store, "windows")
+    names = {
+        f for b in os.listdir(wroot)
+        if os.path.isdir(os.path.join(wroot, b))
+        for f in os.listdir(os.path.join(wroot, b))
+    }
+    # tick 2 (the committed tick) must NOT be inside any compact file
+    assert all(storegc.parse_ticks(n)[1] != 2 or n.startswith("tick-")
+               for n in names if storegc.parse_ticks(n))
+    replay = collect(inc.tick(toks([(2, seq_a), (3, seq_b)]), batch_key="b"))
+    assert replay == out2

@@ -258,3 +258,63 @@ def test_interval_join_sorted_equals_scan(ray_session):
         ).to_pandas()
     )
     assert srt == scan and auto == scan and len(scan) > 0
+
+
+def test_interval_join_sorted_empty_interval_shadow(ray_session):
+    """An empty interval (hi == lo) sharing its lo with a real interval
+    must not shadow the real one at the searchsorted stab (empty
+    intervals match nothing under lo <= ts < hi, in both routes)."""
+    import ray.data
+
+    from beamium_ray.stages.window import (
+        interval_join_broadcast,
+        interval_join_sorted,
+    )
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array(np.array([7, 5, 12], np.int64)),
+                "rid": pa.array(np.array([0, 1, 2], np.int64)),
+            }
+        )
+    )
+    intervals = pa.table(
+        {
+            # real [5,10) listed BEFORE empty [5,5): stable lo-sort keeps
+            # this order, so the stab lands on the empty one without the fix
+            "interval_id": pa.array(np.array([1, 2, 3], np.int64)),
+            "lo": pa.array(np.array([5, 5, 11], np.int64)),
+            "hi": pa.array(np.array([10, 5, 13], np.int64)),
+        }
+    )
+
+    def pairs(out):
+        return sorted(zip(out["interval_id"], out["rid"]))
+
+    scan = pairs(
+        interval_join_broadcast(
+            ds, intervals, ts_col="ts", out_cols=["rid"]
+        ).to_pandas()
+    )
+    srt = pairs(
+        interval_join_sorted(
+            ds, intervals, ts_col="ts", out_cols=["rid"]
+        ).to_pandas()
+    )
+    assert srt == scan == [(1, 0), (1, 1), (3, 2)]
+
+    # all-empty interval table: both routes return zero rows, no crash
+    empt = pa.table(
+        {
+            "interval_id": pa.array(np.array([9], np.int64)),
+            "lo": pa.array(np.array([5], np.int64)),
+            "hi": pa.array(np.array([5], np.int64)),
+        }
+    )
+    assert (
+        interval_join_sorted(ds, empt, ts_col="ts", out_cols=["rid"])
+        .to_pandas()
+        .shape[0]
+        == 0
+    )
