@@ -54,6 +54,24 @@ def _atomic_write_table(t: pa.Table, path: str) -> None:
     os.replace(tmp, path)
 
 
+def _committed_files(d: str, before_tick: int) -> list[str]:
+    """Store files in partition dir ``d`` written by ticks STRICTLY
+    BEFORE ``before_tick``. The manifest rename is the only commit
+    point, so a tick that crashed after its store writes leaves
+    ``tick-<before_tick>`` files on disk; a replay must not read them
+    back as committed state (the distributed minhash route tags rows
+    old/new by FILE origin, and a new doc's stale copy tagged old
+    would let its candidate pairs be dropped as old-old)."""
+    from beamium_ray.state.storegc import parse_ticks
+
+    out: list[str] = []
+    for f in sorted(os.listdir(d)):
+        rng = parse_ticks(f)
+        if rng is not None and rng[1] < before_tick:
+            out.append(os.path.join(d, f))
+    return out
+
+
 class _IncrementalDedupBase:
     """Shared durable-assignment machinery for incremental dedup
     stores: the manifest (pointer-switch commit), the full (id,
@@ -225,6 +243,26 @@ class _IncrementalDedupBase:
         prev.map_batches(
             drop_rows, batch_format="pyarrow", batch_size=None
         ).write_parquet(assign_dir)
+
+        # a sweep that pruned EVERY row writes zero files — seed the
+        # generation with an empty same-schema file so the manifest
+        # never points at a parquet-less dir (the rate-store guard,
+        # stages/rate.py:_ensure_parquet_dir, for the same reason)
+        import glob as _glob
+
+        if not _glob.glob(os.path.join(assign_dir, "*.parquet")):
+            prev_files = sorted(
+                _glob.glob(
+                    os.path.join(self.dir, "assign", man["assign"],
+                                 "**", "*.parquet"),
+                    recursive=True,
+                )
+            )
+            os.makedirs(assign_dir, exist_ok=True)
+            pq.write_table(
+                pq.read_schema(prev_files[0]).empty_table(),
+                os.path.join(assign_dir, "empty.parquet"),
+            )
 
         from beamium_ray.state.manifest import atomic_write_bytes
 
@@ -417,8 +455,12 @@ class IncrementalMinHashDedup(_IncrementalDedupBase):
         self.num_partitions = num_partitions
 
     # -- stored-index access ----------------------------------------------
-    def _read_band_rows(self, buckets: set[int]) -> pa.Table:
-        """Committed band rows in the touched hash buckets (narrow)."""
+    def _read_band_rows(
+        self, buckets: set[int], before_tick: int
+    ) -> pa.Table:
+        """Committed band rows in the touched hash buckets (narrow) —
+        ticks strictly before ``before_tick`` only, so a crashed
+        tick's replay never reads its own store writes back."""
         empty = pa.table(
             {
                 "band": pa.array([], pa.int32()),
@@ -431,12 +473,11 @@ class IncrementalMinHashDedup(_IncrementalDedupBase):
             d = os.path.join(self.dir, "bands", f"bkt={b}")
             if not os.path.isdir(d):
                 continue
-            for f in sorted(os.listdir(d)):
-                if f.endswith(".parquet"):
-                    tables.append(pq.read_table(os.path.join(d, f)))
+            for p in _committed_files(d, before_tick):
+                tables.append(pq.read_table(p))
         return pa.concat_tables(tables)
 
-    def _read_docs(self, ids: np.ndarray) -> pa.Table:
+    def _read_docs(self, ids: np.ndarray, before_tick: int) -> pa.Table:
         """(doc_id, text) of the requested COMMITTED docs — reads only
         the doc partitions those ids hash to, filtered."""
         empty = pa.table(
@@ -453,12 +494,11 @@ class IncrementalMinHashDedup(_IncrementalDedupBase):
             d = os.path.join(self.dir, "docs", f"bkt={b}")
             if not os.path.isdir(d):
                 continue
-            for f in sorted(os.listdir(d)):
-                if f.endswith(".parquet"):
-                    t = pq.read_table(os.path.join(d, f))
-                    tables.append(
-                        t.filter(pc.is_in(t[self.id_col], value_set=want))
-                    )
+            for p in _committed_files(d, before_tick):
+                t = pq.read_table(p)
+                tables.append(
+                    t.filter(pc.is_in(t[self.id_col], value_set=want))
+                )
         return pa.concat_tables(tables)
 
     # -- one tick ----------------------------------------------------------
@@ -553,7 +593,7 @@ class IncrementalMinHashDedup(_IncrementalDedupBase):
 
         # 2. stored rows in touched partitions only
         touched = {int(h) % self.B for h in nh.tolist()}
-        old_rows = self._read_band_rows(touched)
+        old_rows = self._read_band_rows(touched, tick)
         ob = old_rows["band"].to_numpy().astype(np.uint64)
         oh = old_rows["band_hash"].to_numpy().astype(np.uint64)
         o_ids = old_rows[self.id_col].to_numpy()
@@ -586,7 +626,7 @@ class IncrementalMinHashDedup(_IncrementalDedupBase):
                 id_col=self.id_col,
                 k=self.k,
             )
-            old_docs = self._read_docs(need_old)
+            old_docs = self._read_docs(need_old, tick)
             if old_docs.num_rows:
                 import ray.data as _rd
 
@@ -655,17 +695,20 @@ class IncrementalMinHashDedup(_IncrementalDedupBase):
         )
 
     # -- distributed mega-tick route ---------------------------------------
-    def _bucket_files(self, sub: str, buckets) -> list[str]:
-        """Parquet files of the given store partitions (bands/ or docs/)."""
+    def _bucket_files(
+        self, sub: str, buckets, before_tick: int
+    ) -> list[str]:
+        """COMMITTED parquet files of the given store partitions
+        (bands/ or docs/) — ticks strictly before ``before_tick``. The
+        strict bound is load-bearing for the distributed route: its
+        old/new pair tag comes from file origin, so reading a crashed
+        tick's own files back as old would mis-tag a new doc's band
+        rows and let ``_new_touch`` drop real candidate pairs."""
         out: list[str] = []
         for b in sorted(buckets):
             d = os.path.join(self.dir, sub, f"bkt={b}")
             if os.path.isdir(d):
-                out.extend(
-                    os.path.join(d, f)
-                    for f in sorted(os.listdir(d))
-                    if f.endswith(".parquet")
-                )
+                out.extend(_committed_files(d, before_tick))
         return out
 
     def _tick_distributed(self, mat, tick: int, batch_key: str | None):
@@ -731,7 +774,7 @@ class IncrementalMinHashDedup(_IncrementalDedupBase):
         index = band_ds.map_batches(
             _flag(1), batch_format="pyarrow", batch_size=None
         )
-        old_files = self._bucket_files("bands", touched)
+        old_files = self._bucket_files("bands", touched, tick)
         if old_files:
             index = index.union(
                 rd.read_parquet(old_files).map_batches(
@@ -784,7 +827,7 @@ class IncrementalMinHashDedup(_IncrementalDedupBase):
                 batch_format="pyarrow",
                 batch_size=None,
             )
-            doc_files = self._bucket_files("docs", doc_bkts)
+            doc_files = self._bucket_files("docs", doc_bkts, tick)
             if doc_files:
                 payload = payload.union(rd.read_parquet(doc_files))
             pair_ab = pairs.map_batches(
@@ -970,26 +1013,26 @@ class IncrementalSemanticDedup(_IncrementalDedupBase):
         self._centroids = cent
         return cent
 
-    def _read_cells(self, cells: set[int]) -> tuple[np.ndarray, np.ndarray]:
-        """(ids, vectors) of the committed rows in the touched cells."""
+    def _read_cells(
+        self, cells: set[int], before_tick: int
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(ids, vectors) of the committed rows in the touched cells —
+        ticks strictly before ``before_tick`` (crash-replay safe)."""
         ids_parts: list[np.ndarray] = []
         vec_parts: list[np.ndarray] = []
         for c in sorted(cells):
             d = os.path.join(self.dir, "cells", f"cell={c}")
             if not os.path.isdir(d):
                 continue
-            for f in sorted(os.listdir(d)):
-                if f.endswith(".parquet"):
-                    t = pq.read_table(os.path.join(d, f))
-                    if t.num_rows:
-                        ids_parts.append(t[self.id_col].to_numpy())
-                        vec_parts.append(
-                            np.stack(
-                                t[self.vec_col].to_numpy(
-                                    zero_copy_only=False
-                                )
-                            ).astype(np.float64)
-                        )
+            for p in _committed_files(d, before_tick):
+                t = pq.read_table(p)
+                if t.num_rows:
+                    ids_parts.append(t[self.id_col].to_numpy())
+                    vec_parts.append(
+                        np.stack(
+                            t[self.vec_col].to_numpy(zero_copy_only=False)
+                        ).astype(np.float64)
+                    )
         if not ids_parts:
             return np.zeros(0, np.int64), np.zeros((0, 0))
         return (
@@ -1036,7 +1079,7 @@ class IncrementalSemanticDedup(_IncrementalDedupBase):
         new_id_set = set(n_ids.tolist())
 
         # committed rows of the touched cells only
-        o_ids, OV = self._read_cells(set(cells.tolist()))
+        o_ids, OV = self._read_cells(set(cells.tolist()), tick)
         if len(o_ids):
             o_cells = _nearest_centroid(
                 OV / np.maximum(
@@ -1128,7 +1171,11 @@ class IncrementalExactDedup(_IncrementalDedupBase):
         self.B = num_buckets
         self.text_col = text_col
 
-    def _read_hash_rows(self, buckets: set[int]) -> pa.Table:
+    def _read_hash_rows(
+        self, buckets: set[int], before_tick: int
+    ) -> pa.Table:
+        """Committed (h1, h2, id) rows in the touched buckets — ticks
+        strictly before ``before_tick`` (crash-replay safe)."""
         empty = pa.table(
             {
                 "h1": pa.array([], pa.int64()),
@@ -1141,9 +1188,8 @@ class IncrementalExactDedup(_IncrementalDedupBase):
             d = os.path.join(self.dir, "hashes", f"bkt={b}")
             if not os.path.isdir(d):
                 continue
-            for f in sorted(os.listdir(d)):
-                if f.endswith(".parquet"):
-                    tables.append(pq.read_table(os.path.join(d, f)))
+            for p in _committed_files(d, before_tick):
+                tables.append(pq.read_table(p))
         return pa.concat_tables(tables)
 
     def tick(self, new_ds, batch_key: str | None = None):
@@ -1189,7 +1235,7 @@ class IncrementalExactDedup(_IncrementalDedupBase):
         new_id_set = set(n_ids.tolist())
 
         touched = {int(h) % self.B for h in nh1.tolist()}
-        old_rows = self._read_hash_rows(touched)
+        old_rows = self._read_hash_rows(touched, tick)
         oh1 = old_rows["h1"].to_numpy().astype(np.uint64)
         oh2 = old_rows["h2"].to_numpy().astype(np.uint64)
         o_ids = old_rows[self.id_col].to_numpy()

@@ -586,6 +586,7 @@ def train_pq_codebooks_distributed(
     sample_size: int = 4096,
     id_col: str | None = None,
     sample_frac: float | None = None,
+    init_books: np.ndarray | None = None,
 ) -> np.ndarray:
     """PQ codebooks refined over the FULL corpus (per-subspace Lloyd
     rounds as Ray passes) — removes :func:`train_pq_codebooks`'s
@@ -634,12 +635,22 @@ def train_pq_codebooks_distributed(
 
         ds = ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
 
-    # materialize once: the init sample needs the block count and the
-    # Lloyd rounds re-read the corpus `rounds` times
+    # materialize once: the Lloyd rounds re-read the corpus `rounds`
+    # times (and the init sample, when we draw one, reads block heads)
     ds = ds.materialize()
-    books = train_pq_codebooks(
-        _block_head_sample(ds, vec_col, sample_size), m, k_sub, seed
-    )
+    if init_books is not None:
+        # a caller (build_ivfpq_index) that already drew a covering
+        # sample passes its sample-trained codebooks in, skipping a
+        # redundant second sampling pass + driver k-means
+        books = np.asarray(init_books, dtype=np.float64)
+        if books.ndim != 3 or books.shape[0] != m or books.shape[1] != k_sub:
+            raise ValueError(
+                f"init_books shape {books.shape} != (m={m}, k_sub={k_sub}, dsub)"
+            )
+    else:
+        books = train_pq_codebooks(
+            _block_head_sample(ds, vec_col, sample_size), m, k_sub, seed
+        )
     _, k, dsub = books.shape
 
     for _ in range(rounds):
@@ -899,8 +910,12 @@ def build_ivfpq_index(
     if codebooks is not None:
         books = np.asarray(codebooks, dtype=np.float64)
     elif pq_train == "distributed":
+        # seed the Lloyd rounds from THIS function's already-drawn
+        # sample — the trainer then skips its own sampling pass (and
+        # `ds` is already materialized, so its materialize is a no-op)
         books = train_pq_codebooks_distributed(
-            ds, m, k_sub, vec_col, seed, pq_train_rounds, sample_size
+            ds, m, k_sub, vec_col, seed, pq_train_rounds, sample_size,
+            init_books=train_pq_codebooks(sample, m, k_sub, seed),
         )
     elif pq_train == "sample":
         books = train_pq_codebooks(sample, m, k_sub, seed)

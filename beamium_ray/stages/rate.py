@@ -268,6 +268,11 @@ def _le(ts_a, ord_a, ts_b, ord_b) -> np.ndarray:
     return (ts_a < ts_b) | ((ts_a == ts_b) & (ord_a <= ord_b))
 
 
+def _lt(ts_a, ord_a, ts_b, ord_b) -> np.ndarray:
+    """(ts, order) lexicographic < , vectorized."""
+    return (ts_a < ts_b) | ((ts_a == ts_b) & (ord_a < ord_b))
+
+
 def merge_runs_bucket(
     g: pa.Table, tiers: dict[str, int], emit_state: bool = False
 ) -> pa.Table:
@@ -327,12 +332,21 @@ def merge_runs_bucket(
     )
     # pair: run k's last (index nxt) -> run k+1's first (index nxt+1)
     if len(nxt):
-        if not _le(l_ts[nxt], l_or[nxt], f_ts[nxt + 1], f_or[nxt + 1]).all():
+        # STRICT: run k's last < run k+1's first. Equality can only be
+        # (a) the same physical point serving as two different runs'
+        # boundaries — which means the k-th-with-k-th pairing crossed
+        # real runs (e.g. a single-point run nested strictly inside
+        # another block's run: both <= checks pass via boundary
+        # equality and the reset between them is silently lost), or
+        # (b) two distinct points with equal (ts, order) — the
+        # order-ambiguous straddle the docstring already promises to
+        # reject. Either way: violation, not a legal input.
+        if not _lt(l_ts[nxt], l_or[nxt], f_ts[nxt + 1], f_or[nxt + 1]).all():
             raise ValueError(
                 "counter_increase combine='runs': input blocks interleave "
-                "a series' timeline (overlapping per-series runs) — the "
-                "combiner contract requires per-series time-contiguous "
-                "blocks; use combine=None"
+                "a series' timeline (overlapping or boundary-ambiguous "
+                "per-series runs) — the combiner contract requires "
+                "per-series time-contiguous blocks; use combine=None"
             )
         x_dv = f_v[nxt + 1] - l_v[nxt]
         x_reset = x_dv < 0
@@ -514,6 +528,13 @@ def counter_increase_dataset(
         parts = ds.map_batches(
             partial, batch_format="pyarrow", batch_size=None
         )
+        if shuffle_blocks:
+            # coalesce the PARTIAL stream (output-sized rows). The raw
+            # input must NOT be repartitioned on this route — its block
+            # geometry IS the combiner's per-block-run contract — but
+            # each partial row already carries its source block's run
+            # boundaries, so partial-block geometry is free to change.
+            parts = parts.repartition(shuffle_blocks)
         return parts.groupby("bucket").map_groups(
             merge_runs, batch_format="pyarrow"
         )

@@ -448,6 +448,58 @@ def test_minhash_distributed_tick_route_equality(ray_session, tmp_path):
     assert any(v != k for k, v in want.items())
 
 
+def test_minhash_distributed_replay_ignores_uncommitted_store_files(
+    ray_session, tmp_path
+):
+    """A distributed tick that crashed AFTER its store writes but
+    BEFORE the manifest promotion must not read its own tick files
+    back as committed on replay. This route tags rows old/new by FILE
+    origin, so the crashed attempt's band rows would re-enter tagged
+    is_new=0 and candidate pairs between two new docs could be
+    dropped as old-old — a silently missing edge. The committed-only
+    store read (strictly-before-tick filter) makes the replay land on
+    the clean-run assignments."""
+    t1 = [(i, _doc(i)) for i in range(8)]
+    # 10/11 duplicate committed docs; 12/13 duplicate EACH OTHER (the
+    # new-new pair is exactly the one the stale-file mis-tag can drop)
+    t2 = [(10, _doc(2)), (11, _doc(5)), (12, _doc(40)), (13, _doc(40))]
+
+    clean = IncrementalMinHashDedup(str(tmp_path / "clean"), threshold=0.8)
+    clean.tick(_ds(t1), distributed=True)
+    want = _assign_dict(clean.tick(_ds(t2), distributed=True))
+    assert want[10] == 2 and want[11] == 5 and want[13] == 12
+
+    inc = IncrementalMinHashDedup(str(tmp_path / "crash"), threshold=0.8)
+    inc.tick(_ds(t1), distributed=True)
+
+    import beamium_ray.state.manifest as _m
+
+    real_write = _m.atomic_write_bytes
+
+    def boom(path, data):
+        raise OSError("simulated crash at manifest promotion")
+
+    _m.atomic_write_bytes = boom
+    try:
+        with pytest.raises(OSError):
+            inc.tick(_ds(t2), distributed=True)
+    finally:
+        _m.atomic_write_bytes = real_write
+
+    # the crashed tick's band/doc files ARE on disk, uncommitted
+    import glob as _glob
+
+    stray = _glob.glob(
+        str(tmp_path / "crash" / "bands" / "bkt=*" / "tick-00002.parquet")
+    )
+    assert stray, "crash simulation did not leave uncommitted tick files"
+
+    # replay the same batch distributed on a fresh handle
+    inc2 = IncrementalMinHashDedup(str(tmp_path / "crash"), threshold=0.8)
+    got = _assign_dict(inc2.tick(_ds(t2), distributed=True))
+    assert got == want
+
+
 def test_minhash_tick_auto_routes_above_cap(ray_session, tmp_path):
     """A tick larger than max_tick_rows auto-picks the distributed
     route (store files land, later driver ticks read them back)."""

@@ -218,6 +218,37 @@ def test_runs_combiner_detects_interleaved_blocks():
         merge_runs_bucket(p, tiers)
 
 
+def test_runs_combiner_detects_nested_single_point_run():
+    """A single-point run nested strictly inside another block's run
+    must raise. With per-block synthetic order, both boundary checks
+    used to pass via (ts, order) EQUALITY — the k-th-with-k-th pairing
+    silently crossed real runs and lost the reset between them — so
+    the cross-run check must be strict."""
+    import pytest
+
+    from beamium_ray.stages.rate import merge_runs_bucket, runs_partial
+
+    tiers = {"1m": US_1M}
+
+    def blk(ts, v):
+        n = len(ts)
+        return pa.table(
+            {
+                "series_key": pa.array(np.repeat("s", n)),
+                "ts": pa.array(np.array(ts, np.int64)),
+                "value": pa.array(np.array(v, np.int64)),
+                # per-block synthetic order, as prep() defaults to
+                "order": pa.array(np.arange(n, dtype=np.int64)),
+            }
+        )
+
+    a = blk([1 * US_1M, 5 * US_1M], [10, 5])  # run with in-block reset
+    b = blk([3 * US_1M], [20])  # lone point strictly inside a's span
+    p = pa.concat_tables([runs_partial(a, tiers), runs_partial(b, tiers)])
+    with pytest.raises(ValueError, match="interleave"):
+        merge_runs_bucket(p, tiers)
+
+
 def test_counter_increase_dataset_runs_route(ray_session):
     """combine='runs' through the Dataset API ≡ combine=None on
     run-shaped blocks (sorted-by-(series, ts) input)."""

@@ -112,6 +112,25 @@ def test_minhash_retention_size_cap(ray_session, tmp_path):
     assert set(_assign_dict(inc.assignments())) == {5, 6}
 
 
+def test_retention_pruning_all_rows_does_not_wedge_store(
+    ray_session, tmp_path
+):
+    """A sweep that expires EVERY committed tick prunes every
+    assignment row; write_parquet of a zero-row Dataset writes no
+    files, so the generation must be seeded with an empty same-schema
+    file — otherwise the manifest points at a parquet-less dir and
+    every later assignments()/tick() raises (a durably wedged store)."""
+    inc = _three_tick_store(str(tmp_path / "idx"))
+    stats = inc.retention(max_ticks=0)  # expire everything
+    assert stats["ticks_dropped"] == [1, 2, 3]
+    # the store still reads: empty assignments, not a read error
+    a = inc.assignments()
+    assert a is not None and a.count() == 0
+    # and it still ticks: fresh data founds fresh clusters
+    out = _assign_dict(inc.tick(_ds([(20, _doc(1)), (21, _doc(1))])))
+    assert out == {20: 20, 21: 20}
+
+
 def test_minhash_compaction_preserves_tick_results(ray_session, tmp_path):
     plain = _three_tick_store(str(tmp_path / "plain"))
     comp = _three_tick_store(str(tmp_path / "comp"))
