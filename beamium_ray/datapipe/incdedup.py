@@ -247,20 +247,16 @@ class _IncrementalDedupBase:
         # a sweep that pruned EVERY row writes zero files — seed the
         # generation with an empty same-schema file so the manifest
         # never points at a parquet-less dir (the rate-store guard,
-        # stages/rate.py:_ensure_parquet_dir, for the same reason)
+        # stages/rate.py:_ensure_parquet_dir, for the same reason).
+        # Schema comes from the already-open `prev` Dataset (id type
+        # varies by store), not a re-glob of the old generation.
         import glob as _glob
 
         if not _glob.glob(os.path.join(assign_dir, "*.parquet")):
-            prev_files = sorted(
-                _glob.glob(
-                    os.path.join(self.dir, "assign", man["assign"],
-                                 "**", "*.parquet"),
-                    recursive=True,
-                )
-            )
+            psch = prev.schema()
             os.makedirs(assign_dir, exist_ok=True)
             pq.write_table(
-                pq.read_schema(prev_files[0]).empty_table(),
+                pa.schema(list(zip(psch.names, psch.types))).empty_table(),
                 os.path.join(assign_dir, "empty.parquet"),
             )
 
@@ -1368,17 +1364,13 @@ class IncrementalSpanDedup:
         """(h1, h2) of stored windows in the touched buckets written by
         ticks STRICTLY BEFORE ``before_tick`` (excludes a crashed or
         replayed tick's own files)."""
-        from beamium_ray.state.storegc import parse_ticks
-
         parts = []
         for b in sorted(buckets):
             d = os.path.join(self.dir, "windows", f"bkt={b}")
             if not os.path.isdir(d):
                 continue
-            for f in sorted(os.listdir(d)):
-                rng = parse_ticks(f)  # tick-<n> or compact-<lo>-<hi>
-                if rng is not None and rng[1] < before_tick:
-                    parts.append(pq.read_table(os.path.join(d, f)))
+            for p in _committed_files(d, before_tick):
+                parts.append(pq.read_table(p))
         if not parts:
             return np.zeros(0, np.uint64), np.zeros(0, np.uint64)
         t = pa.concat_tables(parts)

@@ -647,6 +647,16 @@ def train_pq_codebooks_distributed(
             raise ValueError(
                 f"init_books shape {books.shape} != (m={m}, k_sub={k_sub}, dsub)"
             )
+        # dsub must tile the corpus dimension exactly — a wrong width
+        # would otherwise slice misaligned/empty subspaces and fail
+        # deep inside a distributed task instead of here
+        head = ds.take(1)
+        if head and books.shape[2] * m != len(head[0][vec_col]):
+            raise ValueError(
+                f"init_books dsub={books.shape[2]} but corpus dim "
+                f"{len(head[0][vec_col])} needs dsub="
+                f"{len(head[0][vec_col]) // m} at m={m}"
+            )
     else:
         books = train_pq_codebooks(
             _block_head_sample(ds, vec_col, sample_size), m, k_sub, seed

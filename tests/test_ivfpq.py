@@ -209,6 +209,12 @@ def test_pq_distributed_training_on_hash_sample(ray_session):
         train_pq_codebooks_distributed(
             ds, id_col="vec_id", sample_frac=1.5
         )
+    # init_books with right (m, k_sub) but wrong subspace width must
+    # fail upfront, not deep inside a distributed Lloyd pass
+    with pytest.raises(ValueError, match="dsub"):
+        train_pq_codebooks_distributed(
+            ds, m=8, k_sub=16, init_books=np.zeros((8, 16, 5))
+        )
 
 
 def test_ivfpq_in_memory_matches_persisted(ray_session, tmp_path):
