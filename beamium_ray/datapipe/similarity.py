@@ -897,13 +897,18 @@ def build_ivfpq_index(
     pq_train: str = "sample",
     pq_train_rounds: int = 4,
     codebooks: np.ndarray | None = None,
+    pq_sample_frac: float | None = None,
 ) -> IvfPqIndex:
     """Coarse centroids + PQ codebooks, then ONE pass assigns every
     vector a list and a code. ``pq_train='sample'`` trains codebooks
     on a bounded per-block-head sample (the standard recipe);
     ``'distributed'`` refines them with full-corpus Lloyd passes
     (:func:`train_pq_codebooks_distributed`) so codebook quality does
-    not depend on the sample at 100 TB. Persisted layout: parquet
+    not depend on the sample at 100 TB; ``pq_sample_frac`` (only with
+    ``pq_train='distributed'``) runs those Lloyd rounds over the
+    trainer's deterministic salted-hash row sample of ``id_col``
+    instead of the full corpus — the 100 TB posture, where rounds×
+    full read passes are the cost that matters. Persisted layout: parquet
     partitioned by ``list_id`` carrying (id, vec, code) — probes prune
     the read by partition AND by column."""
     import ray
@@ -917,6 +922,11 @@ def build_ivfpq_index(
         if centroids is not None
         else _kmeans_on_sample(sample, n_lists, seed)
     )
+    if pq_sample_frac is not None and pq_train != "distributed":
+        raise ValueError(
+            "pq_sample_frac only applies to pq_train='distributed' "
+            f"(got pq_train={pq_train!r})"
+        )
     if codebooks is not None:
         books = np.asarray(codebooks, dtype=np.float64)
     elif pq_train == "distributed":
@@ -925,6 +935,7 @@ def build_ivfpq_index(
         # `ds` is already materialized, so its materialize is a no-op)
         books = train_pq_codebooks_distributed(
             ds, m, k_sub, vec_col, seed, pq_train_rounds, sample_size,
+            id_col=id_col, sample_frac=pq_sample_frac,
             init_books=train_pq_codebooks(sample, m, k_sub, seed),
         )
     elif pq_train == "sample":

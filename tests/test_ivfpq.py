@@ -217,6 +217,44 @@ def test_pq_distributed_training_on_hash_sample(ray_session):
         )
 
 
+def test_ivfpq_build_with_sampled_distributed_training(ray_session):
+    """pq_sample_frac plumbed through build_ivfpq_index: the 100 TB
+    posture (distributed Lloyd rounds over a deterministic hash
+    sample) still hits the planted recall floor, and the knob is
+    rejected outside pq_train='distributed'."""
+    import pytest
+    import ray.data
+
+    t, V, centers = _clustered_corpus()
+    ds = ray.data.from_arrow(t)
+    queries = V[[0, 5, 13]]
+    exact = brute_force_topk(ray.data.from_arrow(t), queries, k=10)
+
+    index = build_ivfpq_index(
+        ds, n_lists=8, m=8, k_sub=16, centroids=centers,
+        pq_train="distributed", pq_train_rounds=2,
+        pq_sample_frac=0.5,
+    )
+    got = ivfpq_search(index, queries, k=10, nprobe=2, shortlist=64)
+
+    def hits(tbl):
+        out = {}
+        for q, v in zip(tbl["query"].to_pylist(), tbl["vec_id"].to_pylist()):
+            out.setdefault(q, set()).add(v)
+        return out
+
+    eh, gh = hits(exact), hits(got)
+    recall = sum(len(eh[q] & gh.get(q, set())) for q in eh) / sum(
+        len(eh[q]) for q in eh
+    )
+    assert recall >= 0.95, recall
+
+    with pytest.raises(ValueError, match="pq_sample_frac"):
+        build_ivfpq_index(
+            ds, centroids=centers, pq_train="sample", pq_sample_frac=0.5
+        )
+
+
 def test_ivfpq_in_memory_matches_persisted(ray_session, tmp_path):
     import ray.data
 
