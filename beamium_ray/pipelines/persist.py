@@ -22,6 +22,7 @@ from beamium_ray.config import EngineConfig
 from beamium_ray.stages.gorilla import encode_block
 from beamium_ray.stages.rollup import (
     merge_cascade_gapfill,
+    merge_tiers_with_prior,
     partial_rollup_batch,
     validate_tiers,
 )
@@ -70,12 +71,14 @@ def _encode_and_commit(
     """Per-bucket merge → encode per tier → atomic block write → manifest.
 
     ``incremental`` (continuous-aggregate mode): merge the NEW partials
-    with the bucket's existing base-tier block instead of replacing it —
-    the persisted block rows carry full merge state (vmin/vmax/vsum/n/
+    with the bucket's existing blocks instead of replacing them — the
+    persisted block rows carry full merge state (vmin/vmax/vsum/n/
     last/last_ts/last_order), so appending is just another
-    merge_partials pass; coarser tiers and gap-fill are regenerated
-    from the combined base. Completed windows are never re-rolled from
-    raw input.
+    merge_partials pass. EACH tier folds the increment into its OWN
+    prior block (merge_tiers_with_prior), so per-tier retention that
+    evicted base-tier blocks but kept coarse ones cannot lose coarse
+    history to a base-only re-derive; gap-fill is regenerated per
+    tier. Completed windows are never re-rolled from raw input.
     """
     if group.num_rows == 0:
         return MANIFEST_ROW_SCHEMA.empty_table()
@@ -87,6 +90,7 @@ def _encode_and_commit(
     bucket = int(group["bucket"][0].as_py())
 
     applied = [fingerprint]
+    prior_tier_rows: dict[str, pa.Table] = {}
     if incremental:
         import json
 
@@ -111,10 +115,7 @@ def _encode_and_commit(
             if fingerprint in prior_applied:
                 return MANIFEST_ROW_SCHEMA.empty_table()  # idempotent rerun
             applied = prior_applied + [fingerprint]
-            base_tier = min(tiers, key=tiers.get)
             for b in prior.get("blocks") or []:
-                if b.get("tier") != base_tier:
-                    continue
                 from beamium_ray.stages.gorilla import decode_block
 
                 with open(os.path.join(out_dir, b["path"]), "rb") as f:
@@ -122,14 +123,29 @@ def _encode_and_commit(
                 # stored rows ARE merge state; drop gap-filled (n=0)
                 # rows, they are regenerated after the merge
                 old = old.filter(pc.greater(old["n"], 0))
-                group = pa.concat_tables(
-                    [group.drop_columns(["bucket"]), old], promote_options="default"
+                t = b.get("tier", "")
+                prior_tier_rows[t] = (
+                    pa.concat_tables(
+                        [prior_tier_rows[t], old], promote_options="default"
+                    )
+                    if t in prior_tier_rows
+                    else old
                 )
         fingerprint = combine_fp(applied)
 
     if "bucket" in group.column_names:
         group = group.drop_columns(["bucket"])
-    rolled = merge_cascade_gapfill(group, tiers, gapfill, gapfill_max_gap)
+    if prior_tier_rows:
+        # per-tier merge: each tier folds the new partials into ITS
+        # OWN prior state, so per-tier retention (base evicted, coarse
+        # kept) never loses coarse history to a base-only re-derive;
+        # exactly equal to the cascade when nothing was evicted
+        # (decomposable aggregates)
+        rolled = merge_tiers_with_prior(
+            group, tiers, prior_tier_rows, gapfill, gapfill_max_gap
+        )
+    else:
+        rolled = merge_cascade_gapfill(group, tiers, gapfill, gapfill_max_gap)
 
     blocks: list[dict] = []
     rows_out: list[dict] = []
@@ -262,8 +278,8 @@ def append_rollup(
     """Continuous aggregate: fold NEW input into existing rollup blocks.
 
     Only the new datapoints are read and combiner-reduced; each bucket
-    merge pulls its existing base-tier block (already merge-state) and
-    re-commits. Idempotent per (bucket, new-input fingerprint): a rerun
+    merge pulls its existing blocks (already merge-state, per tier —
+    so per-tier retention horizons are respected) and re-commits. Idempotent per (bucket, new-input fingerprint): a rerun
     after a crash skips buckets that already applied this append — the
     north rule's "resumes without re-rolling completed windows".
     """

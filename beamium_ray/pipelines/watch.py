@@ -20,9 +20,12 @@ watch state file (``_run/watch.json``):
 A tick that finds a leftover ``pending`` entry first replays exactly
 that file list (same fingerprint → buckets that committed it no-op),
 then proceeds to genuinely new files. The input files must therefore
-remain in place until their batch is promoted to ``seen`` — a missing
-pending file aborts with a clear error instead of risking a
-double-count under a changed batch fingerprint.
+remain in place — and UNCHANGED — until their batch is promoted to
+``seen``: a missing pending file aborts with a clear error, and the
+pending record stores the intent-time batch fingerprint so a file
+rewritten (or merely touched — the fingerprint hashes size+mtime_ns)
+in the crash window also aborts instead of replaying under a fresh
+fingerprint and double-counting the buckets that already committed.
 """
 
 from __future__ import annotations
@@ -83,6 +86,7 @@ class DirectoryWatcher:
         config_path: str | None = None,
         order_col: str | None = None,
         appender=None,
+        seen_prune: bool = False,
     ):
         self.input_dir = input_dir
         self.cfg = cfg
@@ -103,6 +107,16 @@ class DirectoryWatcher:
         # exactly-once protocol. The appender must be IDEMPOTENT per
         # file batch — a crash between append and promotion replays it.
         self.appender = appender
+        # seen_prune: drop 'seen' entries whose files no longer exist
+        # (checked at each promotion). Keeps the durable seen-set —
+        # otherwise O(every file ever), re-serialized per tick — bounded
+        # by the LIVE spool when a producer deletes consumed files (the
+        # reference's shape: the router deletes routed files,
+        # router.rs:98). Caveat: a new file later REUSING a pruned path
+        # is treated as new input — correct for fresh data, a
+        # double-count if the identical old file is restored in place;
+        # leave off for append-only spools.
+        self.seen_prune = seen_prune
         self.state_path = os.path.join(out_dir, "_run", "watch.json")
         self.config_path = config_path
         self.reload_count = 0  # the reference's beamium_reload_count
@@ -222,6 +236,27 @@ class DirectoryWatcher:
                     f"before commit: {missing} — input files must stay in "
                     "place until their batch is promoted to 'seen'"
                 )
+            # the append's idempotence key is the batch FINGERPRINT
+            # (path + size + mtime_ns), so a pending file rewritten or
+            # even just touched in the crash window would fingerprint
+            # as a fresh batch and re-apply rows that buckets already
+            # committed — verify against the intent-time fingerprint
+            # and abort loudly instead of double-counting
+            from beamium_ray.state.manifest import input_fingerprint
+
+            want_fp = st["pending"].get("fingerprint")
+            have_fp = input_fingerprint(files)
+            if want_fp is not None and have_fp != want_fp:
+                raise RuntimeError(
+                    "watch replay aborted: pending batch fingerprint "
+                    f"changed ({want_fp} -> {have_fp}) — a pending file "
+                    "was modified or touched before its batch was "
+                    "promoted to 'seen'; replaying would double-count "
+                    "the rows the crashed tick already committed. "
+                    "Restore the original files (size+mtime) or move "
+                    "the changed files aside and reset 'pending' by "
+                    "hand after auditing the store."
+                )
             run = self._append(files)
             st["seen"] = sorted(set(st["seen"]) | set(files))
             st["pending"] = None
@@ -230,13 +265,23 @@ class DirectoryWatcher:
 
         new = self.scan(st)
         if new:
-            st["pending"] = {"files": new}
+            from beamium_ray.state.manifest import input_fingerprint
+
+            st["pending"] = {
+                "files": new,
+                "fingerprint": input_fingerprint(new),
+            }
             self._save_state(st)  # intent BEFORE side effects
             run = self._append(new)
             st["seen"] = sorted(set(st["seen"]) | set(new))
             st["pending"] = None
             self._save_state(st)
             applied = new
+        if self.seen_prune:
+            kept = [p for p in st["seen"] if os.path.exists(p)]
+            if len(kept) != len(st["seen"]):
+                st["seen"] = kept
+                self._save_state(st)
         # retention per scan, the reference daemon's site (sink.rs:
         # 102-221 runs the TTL + size-cap sweep on every sink pass).
         # Data-time TTL ("now" = the run watermark, like run.py) keeps

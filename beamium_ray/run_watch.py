@@ -107,7 +107,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.relay_url:
         from beamium_ray.sinks import HttpSinkConf
 
-        relay = HttpSinkConf(url=args.relay_url, token=args.relay_token)
+        # daemon semantics: retry forever with capped backoff (the
+        # reference's sender loop never gives up, http.rs:93) — the
+        # default max_attempts=10 is for one-shot CLI forwards and
+        # would kill the daemon after a few minutes of sink outage
+        relay = HttpSinkConf(
+            url=args.relay_url, token=args.relay_token, max_attempts=None
+        )
         totals = {"files": 0, "bytes": 0, "requests": 0, "retries": 0}
         status_totals: dict[str, int] = {}
     else:

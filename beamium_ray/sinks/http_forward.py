@@ -50,11 +50,14 @@ class BackoffPolicy:
 
     def delay(self, attempt: int, rng: random.Random) -> float:
         """Delay before retry ``attempt`` (0-based), jittered
-        ±randomization like the reference's randomization_factor."""
+        ±randomization like the reference's randomization_factor.
+        Clamped non-negative: a user-set randomization ≥ 1 (flows in
+        unvalidated via parameters.backoff.randomization) must jitter
+        down to zero, not hand ``time.sleep`` a negative number."""
         base = min(self.max_s, self.initial_s * self.multiplier**attempt)
-        lo = base * (1.0 - self.randomization)
+        lo = max(0.0, base * (1.0 - self.randomization))
         hi = base * (1.0 + self.randomization)
-        return rng.uniform(lo, min(hi, self.max_s))
+        return rng.uniform(lo, max(lo, min(hi, self.max_s)))
 
 
 @dataclass
@@ -129,6 +132,13 @@ class HttpSession:
         from urllib.parse import urlsplit
 
         u = urlsplit(url)
+        if u.scheme not in ("http", "https") or not u.hostname:
+            # 'localhost:8080/api' parses as scheme='localhost',
+            # hostname=None — fail with a configuration error instead
+            # of a cryptic http.client crash from inside the actor
+            raise ValueError(
+                f"invalid sink url {url!r}: need http(s)://host[:port]/path"
+            )
         port = u.port or (443 if u.scheme == "https" else 80)
         key = (u.scheme, u.hostname, port)
         path = u.path or "/"
@@ -301,7 +311,15 @@ class _SpoolPoster:
             for p in paths:
                 try:
                     with open(p, "rb") as f:
-                        parts.append(f.read())
+                        data = f.read()
+                    # line protocol: a file lacking its trailing
+                    # newline (truncated/non-conforming producer) must
+                    # not splice its last line into the next file's
+                    # first — that corrupts BOTH datapoints and the
+                    # 2xx ack then deletes them for good
+                    if data and not data.endswith(b"\n"):
+                        data += b"\n"
+                    parts.append(data)
                     alive.append(p)
                 except FileNotFoundError:
                     continue
@@ -478,9 +496,12 @@ def forward_parquet_sink(path: str, conf: HttpSinkConf) -> dict:
         path, columns=["ts", "class", "labels", "value_str"]
     )
     stats = forward_dataset(ds, conf)
-    t = pa.concat_tables(
-        list(stats.iter_batches(batch_format="pyarrow", batch_size=None))
+    batches = list(
+        stats.iter_batches(batch_format="pyarrow", batch_size=None)
     )
+    if not batches:  # empty sink store → zero counters, not a crash
+        return {"rows": 0, "requests": 0, "retries": 0, "status": {}}
+    t = pa.concat_tables(batches)
     status_counts: dict[str, int] = {}
     for s in t["status"].to_pylist():
         status_counts[str(s)] = status_counts.get(str(s), 0) + 1

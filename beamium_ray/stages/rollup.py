@@ -391,6 +391,69 @@ def merge_cascade_gapfill(
     return pa.concat_tables(pieces)
 
 
+def merge_tiers_with_prior(
+    bucket_table: pa.Table,
+    tiers: dict[str, int],
+    prior: dict[str, pa.Table],
+    gapfill: bool = True,
+    gapfill_max_gap: int | None = None,
+    gapfill_interpolate: bool = False,
+) -> pa.Table:
+    """Per-bucket finalization for incremental appends whose stored
+    tier states may cover DIFFERENT horizons (per-tier retention):
+    each tier merges ITS OWN prior merged rows with the new
+    increment's partials floored to that tier — never re-deriving a
+    coarser tier from the finer one. Re-deriving (what
+    :func:`merge_cascade_gapfill` does) silently destroys coarse-tier
+    history when retention evicted base-tier blocks but kept the
+    coarse ones (the standard downsample-and-keep-longer pattern).
+
+    Exactly equivalent to the cascade when every tier's prior state
+    derives from the same untruncated base: every aggregate here is
+    decomposable (min/max/sum/count; last by greatest (last_ts,
+    order); first by least (first_ts, order)), so
+    merge(prior_tier, floor(new)) == cascade(merge(prior_base, new)).
+
+    ``bucket_table`` rows must be partials at the BASE tier's window
+    granularity (every tier must be a multiple of the base — weaker
+    than the cascade's pairwise-nesting requirement).
+    """
+    if "bucket" in bucket_table.column_names:
+        bucket_table = bucket_table.drop_columns(["bucket"])
+    order = sorted(tiers.items(), key=lambda kv: kv[1])
+    base_name, base_us = order[0]
+    ws_idx = bucket_table.column_names.index("window_start")
+    base_ws = bucket_table["window_start"].to_numpy()
+    pieces = []
+    for name, us in order:
+        if us % base_us != 0:
+            raise ValueError(
+                f"tier {name} ({us}µs) is not a multiple of the base "
+                f"tier ({base_us}µs); re-flooring base partials "
+                "requires aligned tiers"
+            )
+        inp = (
+            bucket_table
+            if us == base_us
+            else bucket_table.set_column(
+                ws_idx,
+                "window_start",
+                pa.array(window_start(base_ws, us), pa.int64()),
+            )
+        )
+        p = prior.get(name)
+        if p is not None and p.num_rows:
+            inp = pa.concat_tables([inp, p], promote_options="default")
+        m = merge_partials(inp)
+        if gapfill:
+            m = gapfill_tier(m, us, gapfill_max_gap, gapfill_interpolate)
+        m = m.append_column(
+            "tier", pa.array([name] * m.num_rows, pa.string())
+        )
+        pieces.append(m)
+    return pa.concat_tables(pieces)
+
+
 def rollup_dataset(
     ds,
     tiers: dict[str, int],

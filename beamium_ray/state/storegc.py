@@ -180,6 +180,17 @@ def compact_dir(
 
     inputs: list[tuple[str, int, int]] = []
     for f in sorted(os.listdir(d)):
+        # a crash between write_table and os.replace leaves a
+        # .tmp.<pid> orphan that parse_ticks ignores — nothing else
+        # ever sweeps it and it can be partition-sized, silently
+        # blowing the size cap; one compactor per store (the module
+        # contract), so any tmp here is dead
+        if ".parquet.tmp." in f:
+            try:
+                os.remove(os.path.join(d, f))
+            except OSError:
+                pass
+            continue
         rng = parse_ticks(f)
         if rng is not None and (max_hi is None or rng[1] <= max_hi):
             inputs.append((os.path.join(d, f), rng[0], rng[1]))
@@ -187,10 +198,22 @@ def compact_dir(
         return 0
     t = pa.concat_tables([pq.read_table(p) for p, _, _ in inputs])
     if key_cols:
-        keys = np.stack(
-            [t[c].to_numpy(zero_copy_only=False) for c in key_cols], axis=1
+        import pyarrow.compute as pc
+
+        # factorize each key column to integer codes first: np.unique
+        # (axis=0) rejects object arrays, so raw string keys would
+        # crash — dictionary codes make any Arrow key type uniquable
+        codes = [
+            pc.fill_null(
+                t[c].combine_chunks().dictionary_encode().indices, -1
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            for c in key_cols
+        ]
+        _, first_idx = np.unique(
+            np.stack(codes, axis=1), axis=0, return_index=True
         )
-        _, first_idx = np.unique(keys, axis=0, return_index=True)
         t = t.take(pa.array(np.sort(first_idx)))
     else:
         t = t.group_by(t.column_names, use_threads=False).aggregate([])

@@ -116,6 +116,59 @@ def test_retention_ttl_and_size(ray_session, cfg):
     assert c2["bytes_after"] <= c["bytes_after"] // 2
 
 
+def test_append_after_base_ttl_preserves_coarse_history(ray_session, cfg):
+    """The standard downsample-and-keep-longer pattern: TTL evicts the
+    base (1m) blocks, the coarse (1h) blocks survive. A later append
+    must fold the increment into each tier's OWN prior state — a
+    base-only re-derive would rebuild 1h from the truncated base and
+    the post-commit GC would delete the surviving 1h block, silently
+    destroying the downsampled history."""
+    import ray.data
+
+    from beamium_ray.pipelines.persist import append_rollup
+
+    _fresh()
+    t = _mk_dp()
+    rollup_to_blocks(
+        ray.data.from_arrow(t).repartition(4), cfg, ["memory://dp"], OUT
+    )
+    before_1h = read_blocks(OUT, "1h").filter(pc.greater(pc.field("n"), 0))
+    assert pc.sum(before_1h["n"]).as_py() == t.num_rows
+
+    # evict ALL base-tier blocks; 1h untouched
+    c = apply_retention(
+        OUT, ttl_us={"1m": 10_000}, max_bytes=None, now_us=50_000_000
+    )
+    assert c["blocks_ttl_evicted"] == 8
+
+    # append strictly-later points
+    t2 = _mk_dp(n=5000, seed=7)
+    t2 = t2.set_column(
+        t2.column_names.index("ts"),
+        "ts",
+        pa.array(t2["ts"].to_numpy() + 100_000_000, pa.int64()),
+    )
+    append_rollup(
+        ray.data.from_arrow(t2).repartition(2), cfg, ["mem://later"], OUT
+    )
+
+    # 1m state: only the new points (base history was evicted)
+    after_1m = read_blocks(OUT, "1m").filter(pc.greater(pc.field("n"), 0))
+    assert pc.sum(after_1m["n"]).as_py() == t2.num_rows
+
+    # 1h state: FULL history — prior windows byte-identical, plus the
+    # new points
+    after_1h = read_blocks(OUT, "1h").filter(pc.greater(pc.field("n"), 0))
+    assert pc.sum(after_1h["n"]).as_py() == t.num_rows + t2.num_rows
+    # old data spans ts<50M → last old 1h window starts at 46.8M; the
+    # first new window (ts≥100M) starts at 97.2M
+    old = after_1h.filter(pc.less(pc.field("window_start"), 50_000_000))
+    key = [("series_key", "ascending"), ("window_start", "ascending")]
+    old = old.sort_by(key)
+    want = before_1h.sort_by(key)
+    assert old.select(want.column_names).equals(want)
+
+
 def test_manifest_is_crash_safe(cfg):
     _fresh()
     os.makedirs(os.path.join(OUT, "_manifests"), exist_ok=True)

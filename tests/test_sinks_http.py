@@ -138,6 +138,50 @@ def test_forward_spool_acks_deletes_and_retries(ray_session, tmp_path):
     assert all(a["token"] == "tok-123" for a in sink.acked)
 
 
+def test_forward_spool_missing_trailing_newline_no_splice(
+    ray_session, tmp_path
+):
+    """A spool file without its trailing newline (truncated producer)
+    must not splice its last line into the next file's first line —
+    that corrupts both datapoints and the ack deletes them for good."""
+    spool = tmp_path / "sinkspool"
+    spool.mkdir()
+    (spool / "a.metrics").write_bytes(b"1700// seq.a{} 1.5")  # no \n
+    (spool / "b.metrics").write_bytes(b"1700// seq.b{} 2.5\n")
+    sink = _SinkRecorder()
+    try:
+        conf = HttpSinkConf(url=sink.url, batch_count=10,
+                            batch_size=10**6, backoff=FAST)
+        res = forward_spool(str(spool), conf, concurrency=1)
+    finally:
+        sink.close()
+    assert res["files"] == 2
+    got = sorted(
+        ln for a in sink.acked
+        for ln in a["body"].decode().strip().splitlines()
+    )
+    assert got == ["1700// seq.a{} 1.5", "1700// seq.b{} 2.5"]
+
+
+def test_backoff_and_url_guards():
+    """randomization ≥ 1 must clamp to a non-negative delay (it flows
+    in unvalidated via parameters.backoff.randomization), and a
+    scheme-less sink url fails as a clear config error, not a cryptic
+    http.client crash inside the actor."""
+    import random
+
+    from beamium_ray.sinks.http_forward import BackoffPolicy, HttpSession
+
+    pol = BackoffPolicy(initial_s=0.5, randomization=1.5)
+    rng = random.Random(0)
+    assert all(pol.delay(a, rng) >= 0.0 for a in range(6))
+
+    with pytest.raises(ValueError, match="invalid sink url"):
+        HttpSession().request(
+            "POST", "localhost:8080/api", b"", {}, timeout_s=1.0
+        )
+
+
 def test_forward_spool_gives_up_loudly_files_intact(ray_session, tmp_path):
     spool, _ = _spool(tmp_path, 2)
     sink = _SinkRecorder(fail_first=10**9)  # permanently down

@@ -162,6 +162,38 @@ def test_compact_dir_heals_crash_duplicates(tmp_path):
     assert sorted(out["h"].to_pylist()) == [1, 2]  # distinct, healed
 
 
+def test_compact_dir_string_keys_and_tmp_sweep(tmp_path):
+    """key_cols compaction must work for STRING key columns (np.unique
+    axis=0 rejects object arrays — keys are dictionary-coded first),
+    and a crashed compaction's .tmp.<pid> orphan is swept instead of
+    sitting invisible to the size cap forever."""
+    d = tmp_path / "bkt=0"
+    os.makedirs(d)
+    t1 = pa.table(
+        {
+            "doc_key": pa.array(["a", "b"], pa.string()),
+            "payload": pa.array([1, 2], pa.int64()),
+        }
+    )
+    t2 = pa.table(
+        {
+            "doc_key": pa.array(["b", "c"], pa.string()),
+            "payload": pa.array([9, 3], pa.int64()),
+        }
+    )
+    pq.write_table(t1, d / "tick-00001.parquet")
+    pq.write_table(t2, d / "tick-00002.parquet")
+    # crashed prior compaction leftover
+    orphan = d / "compact-00001-00001.parquet.tmp.999"
+    pq.write_table(t1, orphan)
+
+    assert storegc.compact_dir(str(d), key_cols=["doc_key"]) == 2
+    assert not orphan.exists()
+    out = pq.read_table(d / "compact-00001-00002.parquet")
+    got = dict(zip(out["doc_key"].to_pylist(), out["payload"].to_pylist()))
+    assert got == {"a": 1, "b": 2, "c": 3}  # first copy per key kept
+
+
 # ---------------- exact + semantic stores ----------------
 
 

@@ -187,6 +187,65 @@ def test_watch_missing_pending_file_aborts(ray_session, tmp_path):
         w.tick()
 
 
+def test_watch_modified_pending_file_aborts(ray_session, tmp_path):
+    """A pending file MODIFIED (or just touched — the fingerprint
+    hashes size+mtime_ns) in the crash window must abort the replay:
+    the changed fingerprint would look like a fresh batch to every
+    bucket that already committed the original, double-counting its
+    rows."""
+    import os
+
+    from beamium_ray.state.manifest import input_fingerprint
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    cfg = EngineConfig(num_buckets=8, tiers={"1m": US_1M})
+    w = DirectoryWatcher(str(spool), cfg, str(tmp_path / "out"))
+
+    fa = _write_spool(spool, "a", "seq.alpha", 0, 4)
+    w.tick()
+
+    # crash window: intent + append done, promotion never happened …
+    fb = _write_spool(spool, "b", "seq.beta", 1, 4)
+    st = w._load_state()
+    st["pending"] = {"files": [fb], "fingerprint": input_fingerprint([fb])}
+    w._save_state(st)
+    w._append([fb])
+    # … and the spool file gets touched before the restart
+    os.utime(fb, ns=(1, 1))
+
+    with pytest.raises(RuntimeError, match="fingerprint"):
+        w.tick()
+
+
+def test_watch_seen_prune_bounds_state(ray_session, tmp_path):
+    """seen_prune=True: entries whose spool files were deleted by the
+    producer drop out of the durable seen-set at the next promotion,
+    bounding state by the LIVE spool; surviving files stay excluded."""
+    import os
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    cfg = EngineConfig(num_buckets=4, tiers={"1m": US_1M})
+    w = DirectoryWatcher(
+        str(spool), cfg, str(tmp_path / "out"), seen_prune=True
+    )
+
+    fa = _write_spool(spool, "a", "seq.alpha", 0, 3)
+    fb = _write_spool(spool, "b", "seq.beta", 1, 3)
+    w.tick()
+    assert sorted(w._load_state()["seen"]) == sorted([fa, fb])
+
+    # producer consumed fa; the next non-empty tick prunes it
+    os.remove(fa)
+    fc = _write_spool(spool, "c", "seq.gamma", 2, 3)
+    res = w.tick()
+    assert res["applied"] == [fc]
+    assert sorted(w._load_state()["seen"]) == sorted([fb, fc])
+    # still-present files stay excluded from the scan
+    assert w.scan() == []
+
+
 def test_watch_hot_config_reload(ray_session, tmp_path):
     """Editing the config file between ticks re-parses it (ref
     src/main.rs:158-187): operational knobs reload in place; a SEMANTIC
