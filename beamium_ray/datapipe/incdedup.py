@@ -246,21 +246,18 @@ class _IncrementalDedupBase:
 
         # a sweep that pruned EVERY row writes zero files — seed the
         # generation with an empty same-schema file so the manifest
-        # never points at a parquet-less dir (the rate-store guard,
-        # stages/rate.py:_ensure_parquet_dir, for the same reason).
-        # Schema comes from the already-open `prev` Dataset (id type
-        # varies by store), not a re-glob of the old generation.
-        import glob as _glob
+        # never points at a parquet-less dir. Schema comes from the
+        # already-open `prev` Dataset (id type varies by store), not a
+        # re-glob of the old generation.
+        from beamium_ray.state.manifest import (
+            atomic_write_bytes,
+            ensure_parquet_dir,
+        )
 
-        if not _glob.glob(os.path.join(assign_dir, "*.parquet")):
-            psch = prev.schema()
-            os.makedirs(assign_dir, exist_ok=True)
-            pq.write_table(
-                pa.schema(list(zip(psch.names, psch.types))).empty_table(),
-                os.path.join(assign_dir, "empty.parquet"),
-            )
-
-        from beamium_ray.state.manifest import atomic_write_bytes
+        psch = prev.schema()
+        ensure_parquet_dir(
+            assign_dir, pa.schema(list(zip(psch.names, psch.types)))
+        )
 
         atomic_write_bytes(
             self._manifest_path,
@@ -393,6 +390,24 @@ class _IncrementalDedupBase:
         else:
             full = ray.data.from_arrow(assign_new)
         full.write_parquet(assign_dir)
+
+        # a crashed tick may have written store files for a DIFFERENT
+        # batch under this tick number (the watcher contract replays
+        # the SAME batch, but an operator following the watch abort's
+        # "move the files aside" remediation feeds a different one):
+        # sweep every tick-<tick> store file first, like the span
+        # store, so stale partitions the new batch does not touch
+        # can't outlive the batch that wrote them and look committed
+        # to future ticks (ghost band/doc/cell rows).
+        stale = f"tick-{tick:05d}.parquet"
+        for sub in self._GC_SUBDIRS:
+            root = os.path.join(self.dir, sub)
+            if not os.path.isdir(root):
+                continue
+            for d in os.listdir(root):
+                p = os.path.join(root, d, stale)
+                if os.path.isfile(p):
+                    os.remove(p)
 
         write_store(tick)
 

@@ -677,15 +677,9 @@ _STATE_SCHEMA = pa.schema(
 def _ensure_parquet_dir(path: str, schema: pa.Schema) -> None:
     """Guarantee ``path`` exists and is readable as a parquet dataset of
     ``schema`` even when the writing Dataset had zero rows."""
-    import glob
-    import os
+    from beamium_ray.state.manifest import ensure_parquet_dir
 
-    import pyarrow.parquet as pq
-
-    if glob.glob(os.path.join(path, "*.parquet")):
-        return
-    os.makedirs(path, exist_ok=True)
-    pq.write_table(schema.empty_table(), os.path.join(path, "empty.parquet"))
+    ensure_parquet_dir(path, schema)
 
 
 class IncrementalRate:

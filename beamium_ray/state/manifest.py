@@ -59,6 +59,21 @@ def atomic_write_bytes(path: str, data: bytes) -> None:
     os.replace(tmp, path)  # atomic finalize (ref scraper.rs:253-265)
 
 
+def ensure_parquet_dir(path: str, schema) -> None:
+    """Guarantee ``path`` exists and is readable as a parquet dataset of
+    ``schema`` even when the writing Dataset had zero rows (Ray writes
+    no files for an empty Dataset, and a manifest must never point at a
+    parquet-less dir)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    if glob.glob(os.path.join(path, "*.parquet")):
+        return
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(schema.empty_table(), os.path.join(path, "empty.parquet"))
+
+
 def manifest_path(out_dir: str, bucket: int) -> str:
     return os.path.join(out_dir, "_manifests", f"bucket={bucket:05d}.json")
 

@@ -500,6 +500,65 @@ def test_minhash_distributed_replay_ignores_uncommitted_store_files(
     assert got == want
 
 
+def test_crashed_tick_store_files_swept_on_different_batch(
+    ray_session, tmp_path
+):
+    """A crashed tick's store files must not outlive a DIFFERENT batch
+    committing under the same tick number. Without the pre-write sweep
+    in ``_commit_tick``, batch A's band/doc rows written by the crashed
+    attempt keep their ``tick-00002`` names, batch B's overwrites only
+    reach ITS buckets, and once the manifest commits tick=2 the
+    leftovers look committed: a later doc matching batch A's content
+    would be verified against a ghost document that exists nowhere in
+    the assignments table and silently clustered under it."""
+    inc = IncrementalMinHashDedup(str(tmp_path / "idx"), threshold=0.8)
+    inc.tick(_ds([(1, _doc(1)), (2, _doc(2))]))
+
+    import beamium_ray.state.manifest as _m
+
+    real_write = _m.atomic_write_bytes
+
+    def boom(path, data):
+        raise OSError("simulated crash at manifest promotion")
+
+    # tick 2, batch A (doc 100) crashes at the manifest promotion —
+    # its band/doc store files are on disk under tick-00002
+    _m.atomic_write_bytes = boom
+    try:
+        with pytest.raises(OSError):
+            inc.tick(_ds([(100, _doc(77))]))
+    finally:
+        _m.atomic_write_bytes = real_write
+
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    stray = _glob.glob(
+        str(tmp_path / "idx" / "*" / "bkt=*" / "tick-00002.parquet")
+    )
+    assert stray, "crash simulation did not leave uncommitted tick files"
+
+    # the operator moves batch A aside and feeds batch B (doc 40,
+    # different content, different buckets) — a fresh handle, as after
+    # a process restart with the pending record reset by hand
+    inc2 = IncrementalMinHashDedup(str(tmp_path / "idx"), threshold=0.8)
+    inc2.tick(_ds([(40, _doc(40))]))
+
+    # no ghost: every surviving tick-00002 store row belongs to batch B
+    for p in _glob.glob(
+        str(tmp_path / "idx" / "*" / "bkt=*" / "tick-00002.parquet")
+    ):
+        ids = set(_pq.read_table(p)["doc_id"].to_pylist())
+        assert 100 not in ids, f"ghost batch-A row survived in {p}"
+
+    # end-to-end: a tick-3 doc with batch A's exact content must form
+    # its OWN cluster, not join the ghost id 100
+    a = _assign_dict(inc2.tick(_ds([(200, _doc(77))])))
+    assert a[200] == 200, a
+    assert 100 not in a
+
+
 def test_minhash_tick_auto_routes_above_cap(ray_session, tmp_path):
     """A tick larger than max_tick_rows auto-picks the distributed
     route (store files land, later driver ticks read them back)."""
