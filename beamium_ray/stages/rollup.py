@@ -290,6 +290,15 @@ def gapfill_tier(
     same_next[-1] = False
     hole = np.zeros(n, dtype=np.int64)
     hole[:-1] = np.where(same_next[:-1], (ws[1:] - ws[:-1]) // tier_us - 1, 0)
+    if (hole < 0).any():
+        # duplicate or sub-tier-spaced windows within a series: the
+        # input was not merged/floored at this tier — a silent
+        # negative hole would corrupt the dense expansion below
+        raise ValueError(
+            "gapfill input has duplicate or misaligned window_start "
+            "values within a series (rows must be merged and floored "
+            f"to the {tier_us}µs tier before gap-fill)"
+        )
     if max_gap_windows is not None:
         hole = np.where(hole <= max_gap_windows, hole, 0)
     if not hole.any():
@@ -443,6 +452,18 @@ def merge_tiers_with_prior(
         )
         p = prior.get(name)
         if p is not None and p.num_rows:
+            # stored rows must already sit on THIS tier's boundaries —
+            # a misaligned prior (e.g. finer-tier rows passed under a
+            # coarser tier's name) would merge into mixed-granularity
+            # windows and surface as a cryptic indexing error inside
+            # gap-fill; fail loudly at the boundary instead
+            p_ws = p["window_start"].to_numpy()
+            if np.mod(p_ws, us).any():
+                raise ValueError(
+                    f"prior rows for tier {name} ({us}µs) contain "
+                    "window_start values not aligned to the tier width "
+                    "— stored tier state passed under the wrong tier?"
+                )
             inp = pa.concat_tables([inp, p], promote_options="default")
         m = merge_partials(inp)
         if gapfill:

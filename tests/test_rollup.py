@@ -315,3 +315,135 @@ def test_gapfill_first_null_on_gap_rows():
     assert rows[0]["first"] == 1.0
     assert rows[60]["first"] is None and rows[60]["n"] == 0
     assert rows[120]["first"] == 2.0
+
+
+def _sorted_tiers(t: pa.Table) -> pa.Table:
+    keys = [
+        ("tier", "ascending"),
+        ("series_key", "ascending"),
+        ("window_start", "ascending"),
+    ]
+    return t.sort_by([k for k in keys if k[0] in t.column_names])
+
+
+def _assert_tier_tables_equal(got: pa.Table, want: pa.Table, ctx: str):
+    got, want = _sorted_tiers(got), _sorted_tiers(want)
+    assert got.num_rows == want.num_rows, ctx
+    assert got.column_names == want.column_names, ctx
+    for col in got.column_names:
+        if col == "vsum":  # float addition order differs between paths
+            g = got[col].to_numpy(zero_copy_only=False)
+            w = want[col].to_numpy(zero_copy_only=False)
+            assert np.allclose(g, w, rtol=1e-12, equal_nan=True), (ctx, col)
+        else:
+            assert got[col].to_pylist() == want[col].to_pylist(), (ctx, col)
+
+
+def test_merge_tiers_with_prior_equals_cascade_on_untruncated_prior():
+    """The incremental-append claim (persist.py): folding new partials
+    into EACH tier's own stored rows is exactly the cascade over
+    (prior partials ∪ new partials) when no tier was truncated —
+    seeded battery over random splits, with and without gap-fill and
+    the first/M4 columns."""
+    import pyarrow.compute as pc
+
+    from beamium_ray.stages.rollup import merge_tiers_with_prior
+
+    tiers = {"1m": 60, "1h": 3600}
+    for seed in range(6):
+        rng = np.random.default_rng(seed)
+        n = 2500
+        t = mk(
+            ts=rng.integers(0, 90_000, n).tolist(),
+            key=rng.choice(["a", "b", "c", "d"], n).tolist(),
+            val=np.round(rng.normal(0, 10, n), 2).tolist(),
+            order=list(range(n)),
+        )
+        s = n * (seed + 1) // 8
+        gapfill = seed % 2 == 0
+        first = seed % 3 == 0
+        P, N = t.slice(0, s), t.slice(s)
+        pP = partial_rollup_batch(
+            P, 60, order_col="order", num_buckets=1, include_first=first
+        )
+        pN = partial_rollup_batch(
+            N, 60, order_col="order", num_buckets=1, include_first=first
+        )
+        want = merge_cascade_gapfill(
+            pa.concat_tables([pP, pN]), tiers, gapfill
+        )
+        # prior per tier = a previous run's stored rows: the cascade
+        # output split by tier, gap rows dropped (n=0), as persist does
+        prior_full = merge_cascade_gapfill(pP, tiers, gapfill)
+        prior = {}
+        for name in tiers:
+            pt = prior_full.filter(
+                pc.equal(prior_full["tier"], name)
+            ).drop_columns(["tier"])
+            prior[name] = pt.filter(pc.greater(pt["n"], 0))
+        got = merge_tiers_with_prior(pN.drop_columns(["bucket"]), tiers, prior, gapfill)
+        _assert_tier_tables_equal(got, want, f"seed={seed}")
+
+
+def test_merge_tiers_with_prior_non_nested_tiers_vs_direct():
+    """merge_tiers_with_prior only needs each tier to be a multiple of
+    the BASE (weaker than the cascade's pairwise nesting): 180s is not
+    a multiple of 120s, so the cascade rejects this tier set — the
+    per-tier merge must still match a direct rollup of ALL datapoints
+    at each tier."""
+    import pyarrow.compute as pc
+
+    from beamium_ray.stages.rollup import merge_tiers_with_prior
+
+    tiers = {"1m": 60, "2m": 120, "3m": 180}
+    with pytest.raises(ValueError):
+        merge_cascade_gapfill(
+            partial_rollup_batch(
+                mk(ts=[10], key=["s"], val=[1.0]), 60, order_col="order"
+            ),
+            tiers,
+        )
+    rng = np.random.default_rng(99)
+    n = 2000
+    t = mk(
+        ts=rng.integers(0, 50_000, n).tolist(),
+        key=rng.choice(["a", "b"], n).tolist(),
+        val=np.round(rng.normal(0, 10, n), 2).tolist(),
+        order=list(range(n)),
+    )
+    P, N = t.slice(0, 900), t.slice(900)
+    pP = partial_rollup_batch(P, 60, order_col="order", num_buckets=1)
+    pN = partial_rollup_batch(N, 60, order_col="order", num_buckets=1)
+    # stored tier state = prior partials re-floored to the tier and
+    # merged (what a previous run's blocks hold for that tier)
+    prior = {}
+    for name, us in tiers.items():
+        pt = merge_tiers_with_prior(
+            pP, {"base": 60, name: us} if us != 60 else {name: us},
+            {}, gapfill=False,
+        )
+        pt = pt.filter(pa.compute.equal(pt["tier"], name))
+        prior[name] = pt.drop_columns(["tier"])
+    got = merge_tiers_with_prior(pN, tiers, prior, gapfill=True)
+    for name, us in tiers.items():
+        want = full_rollup(t, {name: us}, gapfill=True).drop_columns(["tier"])
+        g = got.filter(pc.equal(got["tier"], name)).drop_columns(["tier"])
+        _assert_tier_tables_equal(g, want, name)
+
+
+def test_merge_tiers_with_prior_rejects_misaligned_prior():
+    """Stored rows passed under the wrong tier name (finer-granularity
+    windows) must fail loudly at the boundary, not corrupt gap-fill."""
+    from beamium_ray.stages.rollup import merge_tiers_with_prior
+
+    pN = partial_rollup_batch(
+        mk(ts=[10, 200], key=["s", "s"], val=[1.0, 2.0]),
+        60, order_col="order", num_buckets=1,
+    )
+    base_rows = merge_tiers_with_prior(
+        pN, {"1m": 60}, {}, gapfill=False
+    ).drop_columns(["tier"])
+    with pytest.raises(ValueError, match="not aligned"):
+        merge_tiers_with_prior(
+            pN, {"1m": 60, "1h": 3600}, {"1h": base_rows}, gapfill=False
+        )
