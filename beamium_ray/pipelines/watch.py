@@ -112,11 +112,16 @@ class DirectoryWatcher:
         # otherwise O(every file ever), re-serialized per tick — bounded
         # by the LIVE spool when a producer deletes consumed files (the
         # reference's shape: the router deletes routed files,
-        # router.rs:98). Caveat: a new file later REUSING a pruned path
-        # is treated as new input — correct for fresh data, a
-        # double-count if the identical old file is restored in place;
-        # leave off for append-only spools.
+        # router.rs:98). Pruned entries leave a fingerprint TOMBSTONE
+        # (path+size+mtime, FIFO-capped at max_tombstones): a consumed
+        # file RESTORED in place (backup restore, producer replaying the
+        # same filename byte-identically) is recognized and skipped
+        # instead of silently double-counted, while genuinely new
+        # content reusing a pruned path (different size/mtime) ingests
+        # as fresh input. A restore older than max_tombstones pruned
+        # files ago falls back to the new-input treatment.
         self.seen_prune = seen_prune
+        self.max_tombstones = 100_000
         self.state_path = os.path.join(out_dir, "_run", "watch.json")
         self.config_path = config_path
         self.reload_count = 0  # the reference's beamium_reload_count
@@ -212,7 +217,20 @@ class DirectoryWatcher:
             os.path.join(self.input_dir, "**", f"*.{self.ext}"),
             recursive=True,
         )
-        return sorted(p for p in found if p not in exclude)
+        tomb = st.get("tombstones") or {}
+        out = []
+        for p in sorted(found):
+            if p in exclude:
+                continue
+            if p in tomb:
+                from beamium_ray.state.manifest import file_fingerprint
+
+                # identical fingerprint → a restored already-consumed
+                # file; ingesting it would double-count its rows
+                if file_fingerprint(p) == tomb[p]:
+                    continue
+            out.append(p)
+        return out
 
     # -- one tick --------------------------------------------------------
     def tick(self) -> dict:
@@ -258,9 +276,7 @@ class DirectoryWatcher:
                     "hand after auditing the store."
                 )
             run = self._append(files)
-            st["seen"] = sorted(set(st["seen"]) | set(files))
-            st["pending"] = None
-            self._save_state(st)
+            self._promote(st, files)
             replayed = files
 
         new = self.scan(st)
@@ -273,15 +289,10 @@ class DirectoryWatcher:
             }
             self._save_state(st)  # intent BEFORE side effects
             run = self._append(new)
-            st["seen"] = sorted(set(st["seen"]) | set(new))
-            st["pending"] = None
-            self._save_state(st)
+            self._promote(st, new)
             applied = new
-        if self.seen_prune:
-            kept = [p for p in st["seen"] if os.path.exists(p)]
-            if len(kept) != len(st["seen"]):
-                st["seen"] = kept
-                self._save_state(st)
+        if self.seen_prune and self._prune_seen(st):
+            self._save_state(st)
         # retention per scan, the reference daemon's site (sink.rs:
         # 102-221 runs the TTL + size-cap sweep on every sink pass).
         # Data-time TTL ("now" = the run watermark, like run.py) keeps
@@ -306,6 +317,50 @@ class DirectoryWatcher:
             "run": run,
             "reloaded": reloaded,
         }
+
+    def _promote(self, st: dict, files: list[str]) -> None:
+        """Promote an applied batch to 'seen' and clear the pending
+        intent — the single commit point for both the replay and
+        new-batch paths. With seen_prune on, per-file fingerprints are
+        recorded so a later prune can tombstone them."""
+        st["seen"] = sorted(set(st["seen"]) | set(files))
+        if self.seen_prune:
+            from beamium_ray.state.manifest import file_fingerprint
+
+            fps = st.setdefault("seen_fp", {})
+            tomb = st.get("tombstones") or {}
+            for p in files:
+                fp = file_fingerprint(p)
+                if fp is not None:
+                    fps[p] = fp
+                # new content on a previously-tombstoned path: the live
+                # seen entry supersedes the stale tombstone
+                tomb.pop(p, None)
+        st["pending"] = None
+        self._save_state(st)
+
+    def _prune_seen(self, st: dict) -> bool:
+        """Drop 'seen' entries whose files are gone, moving each to a
+        fingerprint tombstone (FIFO-capped). Returns True when state
+        changed."""
+        fps = st.setdefault("seen_fp", {})
+        tomb = st.setdefault("tombstones", {})
+        kept: list[str] = []
+        changed = False
+        for p in st["seen"]:
+            if os.path.exists(p):
+                kept.append(p)
+                continue
+            changed = True
+            fp = fps.pop(p, None)
+            if fp is not None:
+                tomb.pop(p, None)  # re-insert at FIFO tail
+                tomb[p] = fp
+        while len(tomb) > self.max_tombstones:
+            tomb.pop(next(iter(tomb)))
+        if changed:
+            st["seen"] = kept
+        return changed
 
     def _append(self, files: list[str]) -> dict:
         dp = self.loader(files)

@@ -110,9 +110,16 @@ def main(argv: list[str] | None = None) -> int:
         # daemon semantics: retry forever with capped backoff (the
         # reference's sender loop never gives up, http.rs:93) — the
         # default max_attempts=10 is for one-shot CLI forwards and
-        # would kill the daemon after a few minutes of sink outage
+        # would kill the daemon after a few minutes of sink outage.
+        # Provably-permanent client errors (bad token → 401/403,
+        # over-cap body → 413) still fail loudly instead of wedging
+        # the first POST at the backoff cap forever; transient-able
+        # statuses (404 during a deploy, 429, 5xx) keep retrying.
         relay = HttpSinkConf(
-            url=args.relay_url, token=args.relay_token, max_attempts=None
+            url=args.relay_url,
+            token=args.relay_token,
+            max_attempts=None,
+            giveup_on=(401, 403, 413),
         )
         totals = {"files": 0, "bytes": 0, "requests": 0, "retries": 0}
         status_totals: dict[str, int] = {}

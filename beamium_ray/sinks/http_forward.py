@@ -30,6 +30,7 @@ intact instead. Set ``max_attempts=None`` for the daemon behavior
 
 from __future__ import annotations
 
+import logging
 import os
 import random
 import time
@@ -74,6 +75,13 @@ class HttpSinkConf:
     parallel: int | None = None
     backoff: BackoffPolicy = field(default_factory=BackoffPolicy)
     max_attempts: int | None = 10  # None = retry forever (daemon mode)
+    # statuses that raise IMMEDIATELY even under retry-forever: the
+    # reference retries every non-2xx with loud error!/warn! logs
+    # (http.rs:183,201); with max_attempts=None a provably-permanent
+    # client error (bad token → 401/403, oversized body → 413) would
+    # otherwise wedge the daemon at the backoff cap. Default () keeps
+    # full reference parity; run_watch relay mode opts in.
+    giveup_on: tuple = ()
     content_type: str = "text/plain"
     # connection reuse (ref sink keep-alive knobs, conf.rs:318-319,
     # wired into hyper's pool at http.rs:83-84)
@@ -276,13 +284,30 @@ def _post_with_backoff(
         statuses.append(status)
         if 200 <= status < 300:
             return status, attempts, statuses
+        if status in conf.giveup_on:
+            raise RuntimeError(
+                f"sink POST to {conf.url} got non-retryable status "
+                f"{status} (attempt {attempts}) — this client error will "
+                "never succeed on retry; check the sink token/URL and "
+                "body-size caps. Unacked files are untouched; rerun "
+                "re-ships exactly the leftovers"
+            )
         if conf.max_attempts is not None and attempts >= conf.max_attempts:
             raise RuntimeError(
                 f"sink POST to {conf.url} failed after {attempts} attempts "
                 f"(statuses={statuses}) — unacked files are untouched; fix "
                 "the sink and rerun to re-ship exactly the leftovers"
             )
-        time.sleep(conf.backoff.delay(attempts - 1, rng))
+        delay = conf.backoff.delay(attempts - 1, rng)
+        # the reference logs every failed push + backoff (error! at
+        # http.rs:183, warn! at http.rs:201); without this a
+        # retry-forever daemon wedges with zero diagnostics
+        logging.getLogger("beamium_ray.sink").warning(
+            "sink POST to %s failed (status %s, attempt %d); backoff %.1fs",
+            conf.url, status if status else "transport-error", attempts,
+            delay,
+        )
+        time.sleep(delay)
 
 
 class _SpoolPoster:

@@ -674,14 +674,6 @@ _STATE_SCHEMA = pa.schema(
 )
 
 
-def _ensure_parquet_dir(path: str, schema: pa.Schema) -> None:
-    """Guarantee ``path`` exists and is readable as a parquet dataset of
-    ``schema`` even when the writing Dataset had zero rows."""
-    from beamium_ray.state.manifest import ensure_parquet_dir
-
-    ensure_parquet_dir(path, schema)
-
-
 class IncrementalRate:
     """Counter increase/rate across watch-mode ticks: a durable
     per-series LAST-POINT store (series_key, ts, value, order — one
@@ -774,7 +766,10 @@ class IncrementalRate:
         import os
         import shutil
 
-        from beamium_ray.state.manifest import atomic_write_bytes
+        from beamium_ray.state.manifest import (
+            atomic_write_bytes,
+            ensure_parquet_dir,
+        )
 
         man = self._manifest()
         if man["state"] is None:
@@ -794,7 +789,7 @@ class IncrementalRate:
             batch_size=None,
         ).materialize()
         kept.write_parquet(p)
-        _ensure_parquet_dir(p, _STATE_SCHEMA)
+        ensure_parquet_dir(p, _STATE_SCHEMA)
         atomic_write_bytes(
             self._manifest_path,
             json.dumps({**man, "state": state_name}, sort_keys=True).encode(),
@@ -813,7 +808,10 @@ class IncrementalRate:
 
         import ray.data
 
-        from beamium_ray.state.manifest import atomic_write_bytes
+        from beamium_ray.state.manifest import (
+            atomic_write_bytes,
+            ensure_parquet_dir,
+        )
 
         man = self._manifest()
         if batch_key is not None and man.get("last_batch") == batch_key:
@@ -858,8 +856,8 @@ class IncrementalRate:
         # generation (the engine's manifest-after-blocks invariant). An
         # all-single-sample tick (no deltas) or an empty landed batch is
         # a legitimate tick; land a schema-typed empty file instead.
-        _ensure_parquet_dir(os.path.join(self.dir, state_name), _STATE_SCHEMA)
-        _ensure_parquet_dir(
+        ensure_parquet_dir(os.path.join(self.dir, state_name), _STATE_SCHEMA)
+        ensure_parquet_dir(
             os.path.join(self.dir, out_name), _empty_increase_table().schema
         )
 

@@ -361,6 +361,22 @@ def gapfill_tier(
     return pa.table(out_cols).select(sel)
 
 
+def _finalize_tier(
+    m: pa.Table,
+    name: str,
+    us: int,
+    gapfill: bool,
+    gapfill_max_gap: int | None,
+    gapfill_interpolate: bool,
+) -> pa.Table:
+    """Shared per-tier finalization tail (gap-fill + tier label) for the
+    fresh-roll cascade and the incremental per-tier merge — one place,
+    so a new gap-fill flag cannot silently diverge the two paths."""
+    if gapfill:
+        m = gapfill_tier(m, us, gapfill_max_gap, gapfill_interpolate)
+    return m.append_column("tier", pa.array([name] * m.num_rows, pa.string()))
+
+
 def merge_cascade_gapfill(
     bucket_table: pa.Table,
     tiers: dict[str, int],
@@ -390,13 +406,13 @@ def merge_cascade_gapfill(
         prev = cascade_tier(prev, us)
         merged[name] = prev
         prev_us = us
-    pieces = []
-    for name, us in order:
-        m = merged[name]
-        if gapfill:
-            m = gapfill_tier(m, us, gapfill_max_gap, gapfill_interpolate)
-        m = m.append_column("tier", pa.array([name] * m.num_rows, pa.string()))
-        pieces.append(m)
+    pieces = [
+        _finalize_tier(
+            merged[name], name, us, gapfill, gapfill_max_gap,
+            gapfill_interpolate,
+        )
+        for name, us in order
+    ]
     return pa.concat_tables(pieces)
 
 
@@ -465,13 +481,12 @@ def merge_tiers_with_prior(
                     "— stored tier state passed under the wrong tier?"
                 )
             inp = pa.concat_tables([inp, p], promote_options="default")
-        m = merge_partials(inp)
-        if gapfill:
-            m = gapfill_tier(m, us, gapfill_max_gap, gapfill_interpolate)
-        m = m.append_column(
-            "tier", pa.array([name] * m.num_rows, pa.string())
+        pieces.append(
+            _finalize_tier(
+                merge_partials(inp), name, us, gapfill, gapfill_max_gap,
+                gapfill_interpolate,
+            )
         )
-        pieces.append(m)
     return pa.concat_tables(pieces)
 
 

@@ -51,6 +51,23 @@ def input_fingerprint(paths: list[str], extra: str = "") -> str:
     return h.hexdigest()[:16]
 
 
+def file_fingerprint(path: str) -> str | None:
+    """Per-file fingerprint (path + size + mtime_ns — the same fields
+    :func:`input_fingerprint` folds per file), or None when the file is
+    unreadable. Used by the watcher's seen-prune tombstones to tell a
+    RESTORED already-consumed file (identical fingerprint → skip, no
+    double-count) from genuinely new content reusing a pruned path."""
+    h = hashlib.sha256()
+    h.update(path.encode())
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    h.update(str(st.st_size).encode())
+    h.update(str(st.st_mtime_ns).encode())
+    return h.hexdigest()[:16]
+
+
 def atomic_write_bytes(path: str, data: bytes) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}.tmp.{os.getpid()}"

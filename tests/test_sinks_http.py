@@ -29,13 +29,19 @@ class _SinkRecorder:
     back after a blip. HTTP/1.1, so keep-alive connection reuse is
     observable via ``connections`` (one Handler per TCP connection)."""
 
-    def __init__(self, fail_first: int = 0, body_to_serve: bytes = b""):
+    def __init__(
+        self,
+        fail_first: int = 0,
+        body_to_serve: bytes = b"",
+        fail_status: int = 500,
+    ):
         self.lock = threading.Lock()
         self.requests = 0
         self.connections = 0
         self.acked: list[dict] = []
         self.gets: list[dict] = []
         self.fail_first = fail_first
+        self.fail_status = fail_status
         self.body_to_serve = body_to_serve
         recorder = self
 
@@ -60,7 +66,7 @@ class _SinkRecorder:
                             "headers": dict(self.headers),
                         })
                 if fail:
-                    self.send_error(500)
+                    self.send_error(recorder.fail_status)
                 else:
                     self.send_response(200)
                     self.send_header("Content-Length", "0")
@@ -194,6 +200,39 @@ def test_forward_spool_gives_up_loudly_files_intact(ray_session, tmp_path):
         sink.close()
     # nothing acked ⇒ nothing deleted ⇒ a rerun re-ships everything
     assert len(list(spool.iterdir())) == 2
+
+
+def test_giveup_on_permanent_client_error():
+    """With max_attempts=None (daemon retry-forever), a status listed in
+    giveup_on raises immediately instead of wedging the POST loop at the
+    backoff cap; the same status NOT listed keeps retrying (here until
+    the bounded max_attempts surfaces it)."""
+    import random
+
+    from beamium_ray.sinks.http_forward import HttpSession, _post_with_backoff
+
+    sink = _SinkRecorder(fail_first=10**9, fail_status=403)
+    try:
+        conf = HttpSinkConf(
+            url=sink.url, backoff=FAST, max_attempts=None,
+            giveup_on=(401, 403, 413),
+        )
+        with pytest.raises(RuntimeError, match="non-retryable status 403"):
+            _post_with_backoff(
+                b"x", conf, random.Random(0), HttpSession()
+            )
+        assert sink.requests == 1  # no retry burned on a permanent error
+
+        conf2 = HttpSinkConf(
+            url=sink.url, backoff=FAST, max_attempts=3, giveup_on=()
+        )
+        with pytest.raises(RuntimeError, match="after 3 attempts"):
+            _post_with_backoff(
+                b"x", conf2, random.Random(0), HttpSession()
+            )
+        assert sink.requests == 4  # 1 (above) + 3 bounded attempts
+    finally:
+        sink.close()
 
 
 def test_run_multi_forward_e2e(tmp_path):

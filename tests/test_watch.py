@@ -246,6 +246,50 @@ def test_watch_seen_prune_bounds_state(ray_session, tmp_path):
     assert w.scan() == []
 
 
+def test_watch_seen_prune_tombstones_restored_file(ray_session, tmp_path):
+    """A consumed+pruned spool file RESTORED byte-identically (same
+    size+mtime) must NOT re-ingest (the silent double-count path);
+    genuinely new content reusing the pruned path must ingest."""
+    import shutil
+
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    stash = tmp_path / "stash"
+    stash.mkdir()
+    cfg = EngineConfig(num_buckets=4, tiers={"1m": US_1M})
+    w = DirectoryWatcher(
+        str(spool), cfg, str(tmp_path / "out"), seen_prune=True
+    )
+
+    fa = _write_spool(spool, "a", "seq.alpha", 0, 3)
+    w.tick()
+    # producer consumes fa (preserve metadata for the restore)
+    kept = str(stash / "a.metrics")
+    shutil.copy2(fa, kept)
+    os.remove(fa)
+    fb = _write_spool(spool, "b", "seq.beta", 1, 3)
+    w.tick()  # prunes fa into a tombstone
+    st = w._load_state()
+    assert fa not in st["seen"] and fa in st["tombstones"]
+
+    # restore the identical file: fingerprint matches → skipped
+    shutil.copy2(kept, fa)
+    res = w.tick()
+    assert res["applied"] == [] and w.scan() == []
+    blocks_after_restore = _blocks_table(str(tmp_path / "out"))
+
+    # overwrite the path with NEW content (different size) → fresh input
+    fa2 = _write_spool(spool, "a", "seq.alpha", 10, 4)
+    assert fa2 == fa
+    res = w.tick()
+    assert res["applied"] == [fa]
+    assert len(_blocks_table(str(tmp_path / "out"))) > len(
+        blocks_after_restore
+    )
+    st = w._load_state()
+    assert fa in st["seen"] and fa not in st["tombstones"]
+
+
 def test_watch_hot_config_reload(ray_session, tmp_path):
     """Editing the config file between ticks re-parses it (ref
     src/main.rs:158-187): operational knobs reload in place; a SEMANTIC
