@@ -290,6 +290,107 @@ def test_watch_seen_prune_tombstones_restored_file(ray_session, tmp_path):
     assert fa in st["seen"] and fa not in st["tombstones"]
 
 
+@pytest.mark.slow
+def test_watch_sigkill_chaos(tmp_path):
+    """Randomized process-level crash battery for the watch daemon (the
+    north rule's resumability claim): SIGKILL the daemon at random
+    points across progressive ticks — inside the pending window, mid
+    bucket commits — restart to heal, and assert the final persisted
+    store is IDENTICAL to a clean never-killed daemon over the same
+    spool. The in-process tests pin each crash window separately; this
+    drives the real CLI through real kills."""
+    import random
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    conf = tmp_path / "conf.yaml"
+    conf.write_text(
+        "num_buckets: 8\ntiers:\n  1m: 60000000\n  1h: 3600000000\n"
+    )
+
+    def run_daemon(spool, out, kill_after=None, commit_delay=None):
+        env = dict(os.environ, RAY_DEDUP_LOGS="0")
+        if commit_delay:
+            env["BEAMIUM_TEST_COMMIT_DELAY"] = str(commit_delay)
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "beamium_ray.run_watch",
+             "--input", str(spool), "--output", str(out),
+             "--config", str(conf), "--scan-period", "0.1",
+             "--max-ticks", "2", "--num-cpus", "4"],
+            env=env, cwd=repo,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        if kill_after is None:
+            assert proc.wait(timeout=240) == 0
+            return False
+        # arm the kill once the tick is in flight: pending intent
+        # written or a first bucket manifest landed
+        state = os.path.join(out, "_run", "watch.json")
+        mdir = os.path.join(out, "_manifests")
+        deadline = _time.time() + 120
+        armed = False
+        while _time.time() < deadline and proc.poll() is None:
+            in_flight = False
+            if os.path.isdir(mdir) and os.listdir(mdir):
+                in_flight = True
+            elif os.path.exists(state):
+                try:
+                    in_flight = json.load(open(state)).get("pending") is not None
+                except (json.JSONDecodeError, OSError):
+                    in_flight = True  # torn mid-write: definitely in flight
+            if in_flight:
+                armed = True
+                _time.sleep(kill_after)
+                break
+            _time.sleep(0.05)
+        if proc.poll() is None:
+            proc.send_signal(signal.SIGKILL)
+            proc.wait()
+            return armed
+        return False  # finished before the kill landed
+
+    def blocks_key(out):
+        from beamium_ray.pipelines.persist import read_blocks
+
+        rows = []
+        for tier in ("1m", "1h"):
+            t = read_blocks(str(out), tier)
+            cols = ["series_key", "window_start", "vmin", "vmax", "vsum",
+                    "n", "last", "last_ts"]
+            rows.extend(
+                (tier,) + tuple(r[c] for c in cols)
+                for r in t.select(cols).to_pylist()
+            )
+        return sorted(rows)
+
+    rng = random.Random(0xC4A05)
+    spool_k = tmp_path / "spool_k"
+    spool_c = tmp_path / "spool_c"
+    spool_k.mkdir(), spool_c.mkdir()
+    out_k = tmp_path / "out_k"
+    out_c = tmp_path / "out_c"
+
+    kills_landed = 0
+    for i in range(3):  # progressive batches: overlapping series
+        for sp in (spool_k, spool_c):
+            _write_spool(sp, f"f{i}", "seq.alpha", i * 2, 4)
+            _write_spool(sp, f"g{i}", f"seq.b{i}", i * 3, 3)
+        kills_landed += run_daemon(
+            spool_k, out_k,
+            kill_after=rng.uniform(0.0, 1.2), commit_delay=0.3,
+        )
+        run_daemon(spool_k, out_k)  # heal: replay pending + catch up
+        run_daemon(spool_c, out_c)  # clean twin, never killed
+    assert kills_landed >= 1, "no kill landed mid-flight; widen the window"
+
+    st = json.load(open(out_k / "_run" / "watch.json"))
+    assert st["pending"] is None and len(st["seen"]) == 6
+    assert blocks_key(out_k) == blocks_key(out_c)
+
+
 def test_watch_hot_config_reload(ray_session, tmp_path):
     """Editing the config file between ticks re-parses it (ref
     src/main.rs:158-187): operational knobs reload in place; a SEMANTIC
