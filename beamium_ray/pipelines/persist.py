@@ -41,6 +41,7 @@ MANIFEST_ROW_SCHEMA = pa.schema(
         ("tier", pa.string()),
         ("path", pa.string()),
         ("bytes", pa.int64()),
+        ("sha256", pa.string()),
         ("rows", pa.int64()),
         ("points", pa.int64()),
         ("min_window", pa.int64()),
@@ -168,10 +169,16 @@ def _encode_and_commit(
         ws = tt["window_start"].to_numpy()
         lt_max = pc.max(tt["last_ts"]).as_py()  # None when all-null
         base = min(tiers, key=tiers.get)
+        import hashlib
+
         info = {
             "tier": tier,
             "path": rel,
             "bytes": len(buf),
+            # content hash: lets fsck verify block BYTES against the
+            # lineage (a bit-flip that still decodes would otherwise
+            # only be caught if it moved a row/point/window count)
+            "sha256": hashlib.sha256(buf).hexdigest()[:16],
             "rows": tt.num_rows,
             "points": int(pc.sum(tt["n"]).as_py() or 0),
             "min_window": int(ws.min()),
