@@ -62,7 +62,7 @@ present) so a failed run can be re-executed per partition.
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 
 VALID_STAGES = {
@@ -71,6 +71,20 @@ VALID_STAGES = {
     "mixture_sample", "assign_splits", "redact_pii", "tokenize",
     "truncate", "pack", "cap_per_key", "shuffle", "token_budget",
     "span_dedup",
+}
+
+# Stages whose per-row output depends ONLY on that row (plus broadcast
+# constants like the decontamination benchmark or salted hashes): a
+# sharded run over these is row-for-row identical to the one-shot run.
+# Everything else holds cross-document state (dedup keep-sets, global
+# frequency tables, global caps/budgets/orderings) and, under sharding,
+# applies WITHIN each shard only — a deliberate locality trade the
+# caller must opt into (the standard posture at 10^12 docs: global
+# dedup runs as its own dedicated job; within-shard dedup is the
+# common cheap pre-pass).
+SHARD_SAFE_STAGES = {
+    "quality_filter", "decontaminate", "sample", "assign_splits",
+    "redact_pii", "tokenize", "truncate",
 }
 
 
@@ -546,6 +560,169 @@ def run_clean(cfg: CleanConfig) -> dict:
         "input": cfg.input,
         "output": cfg.output,
         "stages": [next(iter(st)) for st in cfg.stages],
+        "rows_in": int(rows_in),
+        "rows_out": int(rows_out),
+        "partitioned_by_split": has_split,
+    }
+
+
+def _clean_config_sig(cfg: CleanConfig) -> str:
+    """Semantic signature of the pipeline: a shard committed under a
+    DIFFERENT stage list / column config must not be skipped."""
+    import hashlib
+
+    return hashlib.sha256(
+        json.dumps(
+            {
+                "stages": cfg.stages,
+                "text_col": cfg.text_col,
+                "id_col": cfg.id_col,
+            },
+            sort_keys=True,
+            default=str,
+        ).encode()
+    ).hexdigest()[:16]
+
+
+def _input_files(input_path: str) -> list[str]:
+    import glob as _glob
+    import os
+
+    if os.path.isdir(input_path):
+        files = sorted(
+            _glob.glob(
+                os.path.join(input_path, "**", "*.parquet"), recursive=True
+            )
+        )
+    else:
+        files = sorted(_glob.glob(input_path)) or [input_path]
+    if not files or not os.path.exists(files[0]):
+        raise ValueError(f"no parquet input found at {input_path!r}")
+    return files
+
+
+def run_clean_sharded(
+    cfg: CleanConfig,
+    files_per_shard: int = 64,
+    allow_within_shard: bool = False,
+) -> dict:
+    """Resumable clean run: input files → shards → one pipeline run and
+    one output directory (``shard=<fp>/``) per shard, committed by an
+    atomic per-shard manifest (``_shards/<fp>.json``). A rerun skips
+    committed shards and sweeps+redoes half-written ones, so a killed
+    100 TB job resumes at shard granularity — the same
+    blocks-then-manifest protocol as the rollup store.
+
+    Shard fingerprints fold in the input files (path+size+mtime) AND
+    the pipeline signature; a semantic config change over a partially
+    committed output dir is refused (mirrors the watch daemon's reload
+    rule) rather than silently mixing two pipelines' shards.
+
+    Stages outside :data:`SHARD_SAFE_STAGES` see only their own shard;
+    pass ``allow_within_shard=True`` to accept that semantic (refused
+    loudly otherwise).
+    """
+    import os
+
+    import ray.data
+
+    from beamium_ray.state.manifest import (
+        atomic_write_bytes,
+        input_fingerprint,
+    )
+
+    cfg.validate()
+    names = [next(iter(st)) for st in cfg.stages]
+    cross = [n for n in names if n not in SHARD_SAFE_STAGES]
+    if cross and not allow_within_shard:
+        raise ValueError(
+            f"stages {cross} hold cross-document state and would apply "
+            "WITHIN each shard under sharded execution; pass "
+            "allow_within_shard=True (CLI: --allow-within-shard) to "
+            "accept per-shard semantics, or run them as a dedicated "
+            "unsharded job"
+        )
+    if files_per_shard < 1:
+        raise ValueError("files_per_shard must be >= 1")
+
+    sig = _clean_config_sig(cfg)
+    sdir = os.path.join(cfg.output, "_shards")
+    sig_path = os.path.join(sdir, "_config.json")
+    if os.path.exists(sig_path):
+        try:
+            prev = json.load(open(sig_path)).get("config_sig")
+        except (json.JSONDecodeError, OSError):
+            prev = None
+        if prev != sig:
+            raise RuntimeError(
+                f"output dir {cfg.output!r} holds shards committed under "
+                f"a different pipeline (config_sig {prev} != {sig}); "
+                "resuming would mix two pipelines' outputs — use a fresh "
+                "output dir (or delete this one) after a config change"
+            )
+    else:
+        atomic_write_bytes(
+            sig_path, json.dumps({"config_sig": sig}).encode()
+        )
+
+    files = _input_files(cfg.input)
+    shards = [
+        files[i : i + files_per_shard]
+        for i in range(0, len(files), files_per_shard)
+    ]
+    has_split = "assign_splits" in names
+    done = skipped = rows_in = rows_out = 0
+    for shard_files in shards:
+        fp = input_fingerprint(shard_files, extra=sig)
+        mpath = os.path.join(sdir, f"{fp}.json")
+        out = os.path.join(cfg.output, f"shard={fp}")
+        if os.path.exists(mpath):
+            try:
+                m = json.load(open(mpath))
+                rows_in += m["rows_in"]
+                rows_out += m["rows_out"]
+                skipped += 1
+                continue
+            except (json.JSONDecodeError, KeyError, OSError):
+                pass  # torn manifest: uncommitted, redo the shard
+        if os.path.isdir(out):  # crash residue: output without manifest
+            import shutil
+
+            shutil.rmtree(out)
+        n_in = ray.data.read_parquet(shard_files).count()  # footers only
+        sc = replace(cfg, input=shard_files, output=out)
+        ds = build_clean_pipeline(sc)
+        if has_split:
+            ds.write_parquet(out, partition_cols=["split"])
+        else:
+            ds.write_parquet(out)
+        n_out = (
+            ray.data.read_parquet(out).count()
+            if os.path.isdir(out) and os.listdir(out)
+            else 0
+        )
+        atomic_write_bytes(
+            mpath,
+            json.dumps(
+                {
+                    "files": shard_files,
+                    "config_sig": sig,
+                    "rows_in": int(n_in),
+                    "rows_out": int(n_out),
+                },
+                sort_keys=True,
+            ).encode(),
+        )
+        rows_in += n_in
+        rows_out += n_out
+        done += 1
+    return {
+        "input": cfg.input,
+        "output": cfg.output,
+        "stages": names,
+        "shards": len(shards),
+        "shards_run": done,
+        "shards_skipped": skipped,
         "rows_in": int(rows_in),
         "rows_out": int(rows_out),
         "partitioned_by_split": has_split,

@@ -26,6 +26,17 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="validate the configuration and exit WITHOUT starting Ray",
     )
+    ap.add_argument(
+        "--shards", type=int, default=None, metavar="FILES_PER_SHARD",
+        help="resumable sharded mode: run the pipeline per input-file "
+             "shard, each committed by an atomic manifest; a rerun "
+             "skips committed shards",
+    )
+    ap.add_argument(
+        "--allow-within-shard", action="store_true",
+        help="accept that cross-document stages (dedup/caps/shuffle/"
+             "pack/...) apply WITHIN each shard under --shards",
+    )
     args = ap.parse_args(argv)
 
     from beamium_ray.pipelines.clean import CleanConfig
@@ -52,9 +63,17 @@ def main(argv: list[str] | None = None) -> int:
 
     ray.data.DataContext.get_current().enable_progress_bars = False
 
-    from beamium_ray.pipelines.clean import run_clean
+    from beamium_ray.pipelines.clean import run_clean, run_clean_sharded
 
-    print(json.dumps(run_clean(cfg)))
+    if args.shards:
+        res = run_clean_sharded(
+            cfg,
+            files_per_shard=args.shards,
+            allow_within_shard=args.allow_within_shard,
+        )
+    else:
+        res = run_clean(cfg)
+    print(json.dumps(res))
     ray.shutdown()
     return 0
 

@@ -1515,6 +1515,103 @@ def test_run_clean_pipeline_e2e(ray_session, tmp_path):
         bad2.validate()
 
 
+def test_run_clean_sharded_resume(ray_session, tmp_path):
+    """Sharded clean runs: per-shard atomic manifests, skip-on-rerun,
+    crash-residue sweep, one-shot row equality for shard-safe stages,
+    cross-doc refusal, and config-change refusal."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from beamium_ray.pipelines.clean import (
+        CleanConfig, run_clean, run_clean_sharded,
+    )
+
+    inp = tmp_path / "in"
+    os.makedirs(inp)
+    text = " ".join(f"word{i}" for i in range(30))
+    for f in range(4):
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(range(f * 10, f * 10 + 10), pa.int64()),
+                "text": pa.array(
+                    [text if i % 2 == 0 else "too short" for i in range(10)]
+                ),
+                "source": pa.array(["a"] * 10),
+            }),
+            f"{inp}/part{f}.parquet",
+        )
+    stages = [
+        {"quality_filter": {"min_words": 20}},
+        {"assign_splits": {"fractions_ppm":
+                           {"train": 800000, "val": 200000}}},
+    ]
+
+    out = tmp_path / "out_sharded"
+    res = run_clean_sharded(
+        CleanConfig(input=str(inp), output=str(out), stages=stages),
+        files_per_shard=2,
+    )
+    assert res["shards"] == 2 and res["shards_run"] == 2
+    assert res["rows_in"] == 40 and res["rows_out"] == 20
+
+    # row-for-row equal to the one-shot run (shard-safe stages only)
+    out1 = tmp_path / "out_oneshot"
+    run_clean(CleanConfig(input=str(inp), output=str(out1), stages=stages))
+
+    def rows(p):
+        t = ray.data.read_parquet(str(p)).take_all()
+        return sorted((r["doc_id"], r["split"]) for r in t)
+
+    assert rows(out) == rows(out1)
+
+    # rerun: everything skips, committed manifests untouched
+    sdir = out / "_shards"
+    manifests = sorted(f for f in os.listdir(sdir) if not f.startswith("_"))
+    mtimes = {f: os.path.getmtime(sdir / f) for f in manifests}
+    res2 = run_clean_sharded(
+        CleanConfig(input=str(inp), output=str(out), stages=stages),
+        files_per_shard=2,
+    )
+    assert res2["shards_run"] == 0 and res2["shards_skipped"] == 2
+    assert res2["rows_out"] == 20
+    assert all(os.path.getmtime(sdir / f) == m for f, m in mtimes.items())
+
+    # crash residue: a shard dir without its manifest is swept + redone
+    victim = manifests[0]
+    fp = victim[:-5]
+    os.remove(sdir / victim)
+    with open(out / f"shard={fp}" / "garbage.parquet", "wb") as f:
+        f.write(b"not parquet")
+    res3 = run_clean_sharded(
+        CleanConfig(input=str(inp), output=str(out), stages=stages),
+        files_per_shard=2,
+    )
+    assert res3["shards_run"] == 1 and res3["shards_skipped"] == 1
+    assert rows(out) == rows(out1)
+
+    # cross-document stage: refused unless explicitly allowed
+    cross = CleanConfig(
+        input=str(inp), output=str(tmp_path / "out_x"),
+        stages=[{"dedup_exact": None}],
+    )
+    with pytest.raises(ValueError, match="cross-document"):
+        run_clean_sharded(cross, files_per_shard=2)
+    resx = run_clean_sharded(
+        cross, files_per_shard=2, allow_within_shard=True
+    )
+    assert resx["shards_run"] == 2 and resx["rows_out"] == 4
+
+    # semantic config change over a committed dir: refused
+    with pytest.raises(RuntimeError, match="different pipeline"):
+        run_clean_sharded(
+            CleanConfig(input=str(inp), output=str(out),
+                        stages=[{"quality_filter": {"min_words": 5}}]),
+            files_per_shard=2,
+        )
+
+
 def test_run_clean_dedup_minhash_stage(ray_session, tmp_path):
     """The near-dup stage keeps one representative per verified minhash
     cluster inside the composed pipeline."""
