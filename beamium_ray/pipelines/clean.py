@@ -616,7 +616,12 @@ def run_clean_sharded(
     Shard fingerprints fold in the input files (path+size+mtime) AND
     the pipeline signature; a semantic config change over a partially
     committed output dir is refused (mirrors the watch daemon's reload
-    rule) rather than silently mixing two pipelines' shards.
+    rule) rather than silently mixing two pipelines' shards. Committed
+    shards whose fingerprint is no longer in the CURRENT input grouping
+    (a file added/modified, ``files_per_shard`` changed) are swept
+    before the run — any reader of the output dir sees exactly the
+    current input's rows, never a stale grouping's duplicates. A
+    non-empty output dir that is not a sharded-run output is refused.
 
     Stages outside :data:`SHARD_SAFE_STAGES` see only their own shard;
     pass ``allow_within_shard=True`` to accept that semantic (refused
@@ -648,6 +653,19 @@ def run_clean_sharded(
     sig = _clean_config_sig(cfg)
     sdir = os.path.join(cfg.output, "_shards")
     sig_path = os.path.join(sdir, "_config.json")
+    if (
+        os.path.isdir(cfg.output)
+        and os.listdir(cfg.output)
+        and not os.path.exists(sig_path)
+    ):
+        # same rationale as run_clean's refusal: writing shards next to
+        # a previous one-shot run's parquet silently doubles every row
+        # for any reader of the output dir
+        raise RuntimeError(
+            f"output dir {cfg.output!r} is non-empty and not a sharded-"
+            "run output (no _shards/_config.json); refusing to mix — "
+            "use a fresh output dir"
+        )
     if os.path.exists(sig_path):
         try:
             prev = json.load(open(sig_path)).get("config_sig")
@@ -670,10 +688,31 @@ def run_clean_sharded(
         files[i : i + files_per_shard]
         for i in range(0, len(files), files_per_shard)
     ]
+    expected = {
+        input_fingerprint(s, extra=sig): s for s in shards
+    }
+    # reconcile: shards committed under a DIFFERENT input grouping (a
+    # file added/modified, files_per_shard changed) are stale — their
+    # rows would appear TWICE to any reader of the output dir next to
+    # the regrouped shards. Manifest first, dir second: a crash between
+    # the two leaves a manifest-less dir the dir sweep removes on the
+    # next run.
+    import shutil
+
+    swept = 0
+    for f in os.listdir(sdir):
+        if f.startswith("_") or not f.endswith(".json"):
+            continue
+        if f[:-5] not in expected:
+            os.remove(os.path.join(sdir, f))
+            swept += 1
+    for d in os.listdir(cfg.output):
+        if d.startswith("shard=") and d.split("=", 1)[1] not in expected:
+            shutil.rmtree(os.path.join(cfg.output, d))
+            swept += 1
     has_split = "assign_splits" in names
     done = skipped = rows_in = rows_out = 0
-    for shard_files in shards:
-        fp = input_fingerprint(shard_files, extra=sig)
+    for fp, shard_files in expected.items():
         mpath = os.path.join(sdir, f"{fp}.json")
         out = os.path.join(cfg.output, f"shard={fp}")
         if os.path.exists(mpath):
@@ -686,8 +725,6 @@ def run_clean_sharded(
             except (json.JSONDecodeError, KeyError, OSError):
                 pass  # torn manifest: uncommitted, redo the shard
         if os.path.isdir(out):  # crash residue: output without manifest
-            import shutil
-
             shutil.rmtree(out)
         n_in = ray.data.read_parquet(shard_files).count()  # footers only
         sc = replace(cfg, input=shard_files, output=out)
@@ -723,6 +760,7 @@ def run_clean_sharded(
         "shards": len(shards),
         "shards_run": done,
         "shards_skipped": skipped,
+        "shards_swept": swept,
         "rows_in": int(rows_in),
         "rows_out": int(rows_out),
         "partitioned_by_split": has_split,

@@ -65,7 +65,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from beamium_ray.pipelines.clean import run_clean, run_clean_sharded
 
-    if args.shards:
+    if args.shards is not None:
         res = run_clean_sharded(
             cfg,
             files_per_shard=args.shards,

@@ -15,7 +15,10 @@ to guarantee:
    exactly — row count, point count (sum of ``n``), window range, and
    (when ``num_buckets`` is given) that every row's series_key
    actually hashes to the manifest's bucket (a mis-shuffled row can
-   only come from an engine bug);
+   only come from an engine bug). The bucket-membership check re-runs
+   ``hash64``, whose stability is within-environment (hashing.py): run
+   it with the same hash backend (polars xxhash64 build) that rolled
+   the store, or a healthy store reports false membership errors;
 4. the manifest's own counters re-derive from its base-tier blocks
    (``points_rolled`` = base points, ``windows`` = base rows);
 5. unreferenced ``block-*.bin`` files are reported as ORPHANS — the
@@ -149,6 +152,11 @@ def fsck(
     for path, m in committed:
         blocks = m.get("blocks") or []
         tiers = {b.get("tier", "") for b in blocks}
+        if m.get("retention_evicted"):
+            # counters are roll-time lineage; retention rewrote the
+            # block list without touching them (by design), so they no
+            # longer re-derive — skip, don't flag a healthy store
+            continue
         if blocks and m.get("counters"):
             # the base tier is not recorded; it is the tier whose rows
             # match counters["windows"] AND points match points_rolled —
@@ -177,7 +185,12 @@ def fsck(
     referenced = {r["path"] for r in expected}
     orphans = 0
     for root, _dirs, files in os.walk(out_dir):
-        if "_manifests" in root or "_run" in root:
+        rel = os.path.relpath(root, out_dir)
+        parts = [] if rel == "." else rel.split(os.sep)
+        # skip the metadata trees by path COMPONENT — a substring test
+        # on the absolute root would disable the sweep entirely for an
+        # out_dir whose own path contains '_run'/'_manifests'
+        if parts and parts[0] in ("_manifests", "_run"):
             continue
         for f in files:
             if f.startswith("block-") and f.endswith(".bin"):
@@ -256,7 +269,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="existence+size only; skip block decode")
     ap.add_argument("--num-buckets", type=int, default=None,
                     help="also verify per-row bucket membership "
-                         "(pass the config's num_buckets)")
+                         "(pass the config's num_buckets; requires the "
+                         "same hash backend/environment that rolled "
+                         "the store — see module docstring)")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
 

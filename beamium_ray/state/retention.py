@@ -64,6 +64,11 @@ def apply_retention(
                     kept.append(b)
             if dropped:
                 m["blocks"] = kept
+                # counters stay as roll-time lineage; the marker tells
+                # readers (fsck) that blocks no longer re-derive them
+                m["retention_evicted"] = (
+                    int(m.get("retention_evicted", 0)) + len(dropped)
+                )
                 rewrite(path, m)
                 for b in dropped:
                     to_delete.append(b["path"])
@@ -84,6 +89,7 @@ def apply_retention(
         while total > max_bytes and i < len(all_blocks):
             path, m, b = all_blocks[i]
             m["blocks"] = [x for x in m["blocks"] if x is not b]
+            m["retention_evicted"] = int(m.get("retention_evicted", 0)) + 1
             total -= b.get("bytes", 0)
             counters["blocks_size_evicted"] += 1
             changed[path] = m

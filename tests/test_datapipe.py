@@ -1611,6 +1611,43 @@ def test_run_clean_sharded_resume(ray_session, tmp_path):
             files_per_shard=2,
         )
 
+    # input regrouping: stale committed shards are swept, never
+    # double-counted by a reader of the output dir
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(100, 110), pa.int64()),
+            "text": pa.array([text] * 10),
+            "source": pa.array(["a"] * 10),
+        }),
+        f"{inp}/part4.parquet",
+    )
+    # appended file: old groupings keep their fingerprints (skipped),
+    # only the new shard runs
+    res4 = run_clean_sharded(
+        CleanConfig(input=str(inp), output=str(out), stages=stages),
+        files_per_shard=2,
+    )
+    assert res4["shards"] == 3 and res4["shards_run"] == 1
+    assert res4["shards_skipped"] == 2 and res4["shards_swept"] == 0
+    assert res4["rows_in"] == 50 and res4["rows_out"] == 30
+    # regrouping (files_per_shard changed): every old shard is stale —
+    # swept (manifest + dir each), rerun under the new grouping
+    res5 = run_clean_sharded(
+        CleanConfig(input=str(inp), output=str(out), stages=stages),
+        files_per_shard=3,
+    )
+    assert res5["shards"] == 2 and res5["shards_run"] == 2
+    assert res5["shards_swept"] == 6  # 3 stale manifests + 3 stale dirs
+    assert res5["rows_out"] == 30
+    assert ray.data.read_parquet(str(out)).count() == 30  # no stale rows
+
+    # a non-empty NON-sharded output dir is refused (mixing guard)
+    with pytest.raises(RuntimeError, match="not a sharded"):
+        run_clean_sharded(
+            CleanConfig(input=str(inp), output=str(out1), stages=stages),
+            files_per_shard=2,
+        )
+
 
 def test_run_clean_dedup_minhash_stage(ray_session, tmp_path):
     """The near-dup stage keeps one representative per verified minhash

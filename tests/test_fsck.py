@@ -93,6 +93,43 @@ def test_fsck_detects_corruption_and_tolerates_orphans(ray_session):
     assert not res["ok"] and any("missing" in e for e in res["errors"])
 
 
+def test_fsck_retention_pruned_store_is_healthy(ray_session):
+    """Retention rewrites block lists without touching the roll-time
+    counters (by design, marked via retention_evicted); fsck must not
+    flag the intact pruned store."""
+    import pyarrow.compute as pc
+
+    from beamium_ray.pipelines.persist import read_blocks
+    from beamium_ray.state.retention import apply_retention
+
+    _roll(ray_session)
+    res = apply_retention(
+        OUT, ttl_us={"1m": 1_000_000}, max_bytes=None, now_us=60_000_000
+    )
+    assert res["blocks_ttl_evicted"] > 0  # base tier actually pruned
+    assert read_blocks(OUT, "1h").num_rows > 0  # coarse history survives
+    out = fsck(OUT, deep=True, use_ray=False)
+    assert out["ok"], out["errors"]
+
+
+def test_fsck_orphan_sweep_with_metadata_like_path(ray_session, tmp_path):
+    """The metadata-tree skip must match path COMPONENTS relative to
+    the store root — an out_dir whose own path contains '_run' must not
+    disable orphan detection."""
+    import shutil
+
+    _roll(ray_session)
+    tricky = tmp_path / "bench_run" / "store"
+    os.makedirs(os.path.dirname(tricky))
+    shutil.copytree(OUT, tricky)
+    orphan_dir = tricky / "tier=1m" / "bucket=00000"
+    os.makedirs(orphan_dir, exist_ok=True)
+    with open(orphan_dir / "block-feedface.bin", "wb") as f:
+        f.write(b"crash residue")
+    res = fsck(str(tricky), deep=False, use_ray=False)
+    assert res["ok"] and res["orphan_blocks"] == 1
+
+
 def test_fsck_detects_lineage_tampering(ray_session):
     _roll(ray_session)
     mdir = os.path.join(OUT, "_manifests")
