@@ -365,6 +365,19 @@ class DirectoryWatcher:
     def _append(self, files: list[str]) -> dict:
         dp = self.loader(files)
         if self.appender is not None:
+            # two-parameter appenders also receive the FILE BATCH so
+            # they can derive an idempotence key (e.g. the incremental
+            # dedup stores' batch_key) — decided by signature, not by
+            # catching TypeError (which would mask appender-internal
+            # TypeErrors as arity fallbacks)
+            import inspect
+
+            try:
+                n = len(inspect.signature(self.appender).parameters)
+            except (TypeError, ValueError):
+                n = 1
+            if n >= 2:
+                return self.appender(dp, files)
             return self.appender(dp)
         from beamium_ray.pipelines.persist import append_rollup
 

@@ -1,0 +1,196 @@
+"""Watch-mode incremental dedup daemon over a parquet landing dir.
+
+    python -m beamium_ray.run_dedup_watch --input landing/ --store st/ \
+        --mode exact|minhash|semantic|span [--scan-period S] \
+        [--max-ticks N] [--idle-exit K] [--num-cpus N] \
+        [--store-ttl-ticks T] [--compact-every K] [--output out/]
+
+The training-data sibling of ``run_watch``: the same scan-period
+directory loop, durable seen-set, and two-phase pending/seen
+exactly-once protocol (the reference daemon's shape,
+``src/lib/asynch/fs.rs:29-145``), but each tick folds the new parquet
+files into one of the durable incremental dedup stores
+(``datapipe/incdedup.py``) instead of the rollup block store. The
+tick's ``batch_key`` is the file batch's fingerprint, so a crash
+between the store's manifest promotion and the watcher's own
+seen-promotion replays as a NO-OP (the stores' committed-replay
+contract) — exactly-once end to end.
+
+Per tick it prints one JSON line; ``--store-ttl-ticks`` /
+``--compact-every`` run the store lifecycle (``state/storegc.py``
+semantics) inside the loop like ``run_watch`` does for block
+retention.
+
+Modes: ``exact`` (128-bit content hash), ``minhash`` (near-dup,
+``--threshold``), ``semantic`` (embedding SemDeDup, ``--vec-col``),
+``span`` (ExactSubstr duplicate-window removal over a tokens column —
+the one mode with a REWRITTEN payload, landed per tick under
+``--output/shard=<fp>/``, swept + rewritten on replay).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build(args):
+    from beamium_ray.datapipe.incdedup import (
+        IncrementalExactDedup,
+        IncrementalMinHashDedup,
+        IncrementalSemanticDedup,
+        IncrementalSpanDedup,
+    )
+
+    if args.mode == "exact":
+        return IncrementalExactDedup(
+            args.store, text_col=args.text_col, id_col=args.id_col
+        )
+    if args.mode == "minhash":
+        return IncrementalMinHashDedup(
+            args.store,
+            threshold=args.threshold,
+            text_col=args.text_col,
+            id_col=args.id_col,
+        )
+    if args.mode == "semantic":
+        return IncrementalSemanticDedup(
+            args.store,
+            threshold=args.threshold,
+            vec_col=args.vec_col,
+            id_col=args.id_col,
+        )
+    return IncrementalSpanDedup(
+        args.store, list_col=args.tokens_col, id_col=args.id_col,
+        window=args.window,
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="beamium_ray.run_dedup_watch")
+    ap.add_argument("--input", required=True,
+                    help="landing dir of *.parquet document batches")
+    ap.add_argument("--store", required=True,
+                    help="durable incremental store dir (also holds the "
+                         "watcher state under _run/)")
+    ap.add_argument("--mode", required=True,
+                    choices=["exact", "minhash", "semantic", "span"])
+    ap.add_argument("--output", default=None,
+                    help="span mode: dir for the cleaned per-tick output "
+                         "(shard=<batch fp>/ parquet)")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--vec-col", default="embedding")
+    ap.add_argument("--tokens-col", default="tokens")
+    ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--window", type=int, default=50)
+    ap.add_argument("--scan-period", type=float, default=10.0)
+    ap.add_argument("--max-ticks", type=int, default=None)
+    ap.add_argument("--idle-exit", type=int, default=None,
+                    help="exit 0 after K consecutive empty scans")
+    ap.add_argument("--seen-prune", action="store_true",
+                    help="bound the durable seen-set by the live landing "
+                         "dir (consumed files tombstoned)")
+    ap.add_argument("--store-ttl-ticks", type=int, default=None,
+                    help="expire store partitions older than T ticks")
+    ap.add_argument("--compact-every", type=int, default=None,
+                    help="compact the store every K committed ticks")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+    if args.mode == "span" and not args.output:
+        print("config error: span mode needs --output for the cleaned "
+              "batches", file=sys.stderr)
+        return 2
+
+    import ray
+
+    if not ray.is_initialized():
+        kw = {"include_dashboard": False, "ignore_reinit_error": True,
+              "logging_level": "ERROR"}
+        if args.num_cpus:
+            kw["num_cpus"] = args.num_cpus
+        ray.init(address="local", **kw)
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from beamium_ray.config import EngineConfig
+    from beamium_ray.pipelines.watch import DirectoryWatcher
+    from beamium_ray.state.manifest import input_fingerprint
+
+    dd = _build(args)
+
+    def appender(ds, files):
+        key = input_fingerprint(files)
+        out = dd.tick(ds, batch_key=key)
+        run = {"batch_key": key}
+        if args.mode == "span":
+            import os
+            import shutil
+
+            sdir = os.path.join(args.output, f"shard={key}")
+            if os.path.isdir(sdir):  # crash residue: deterministic redo
+                shutil.rmtree(sdir)
+            out.write_parquet(sdir)
+            run["rows_out"] = (
+                ray.data.read_parquet(sdir).count()
+                if os.path.isdir(sdir) and os.listdir(sdir)
+                else 0
+            )
+            run["output"] = sdir
+        else:
+            run["assignments"] = out.count()
+        man = dd._manifest()
+        run["store_tick"] = man.get("tick")
+        return run
+
+    w = DirectoryWatcher(
+        args.input,
+        EngineConfig(),
+        args.store,
+        file_extension="parquet",
+        loader=lambda files: ray.data.read_parquet(files),
+        appender=appender,
+        seen_prune=args.seen_prune,
+    )
+
+    import time
+
+    ticks = 0
+    idle = 0
+    skip_totals = {"files_ttl_evicted": 0, "compacted": 0}
+    while True:
+        res = w.tick()
+        ticks += 1
+        if res["applied"] or res["replayed"]:
+            idle = 0
+            if args.store_ttl_ticks is not None:
+                gc = dd.retention(max_ticks=args.store_ttl_ticks)
+                skip_totals["files_ttl_evicted"] += gc.get(
+                    "files_deleted", 0
+                )
+            tick_no = dd._manifest().get("tick") or 0
+            if args.compact_every and tick_no and (
+                tick_no % args.compact_every == 0
+            ):
+                skip_totals["compacted"] += dd.compact()
+            print(json.dumps({"tick": ticks, **res["run"],
+                              "applied_files": len(res["applied"]),
+                              "replayed_files": len(res["replayed"])}))
+            sys.stdout.flush()
+        else:
+            idle += 1
+            if args.idle_exit is not None and idle >= args.idle_exit:
+                break
+        if args.max_ticks is not None and ticks >= args.max_ticks:
+            break
+        time.sleep(args.scan_period)
+
+    print(json.dumps({"ticks": ticks, "mode": args.mode, **skip_totals}))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

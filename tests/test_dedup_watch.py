@@ -1,0 +1,175 @@
+"""Watch-mode incremental dedup daemon (run_dedup_watch): CLI e2e over
+a parquet landing dir, two-arg appender dispatch, span-mode output."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_cli(args, timeout=180):
+    p = subprocess.run(
+        [sys.executable, "-m", "beamium_ray.run_dedup_watch", *args],
+        env={**os.environ, "PYTHONPATH": REPO},
+        capture_output=True, text=True, timeout=timeout, cwd=REPO,
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    return [json.loads(ln) for ln in p.stdout.strip().splitlines()]
+
+
+@pytest.mark.slow
+def test_dedup_watch_cli_exact_cross_tick(tmp_path):
+    """Two daemon runs over a growing landing dir: the second run's
+    batch dedups against the FIRST run's committed store (cross-tick,
+    cross-process), the seen-set resumes, retention/compaction knobs
+    execute in the loop."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    store = str(tmp_path / "store")
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["alpha one", "beta two", "alpha one"]),
+        }),
+        landing / "b1.parquet",
+    )
+    base = ["--input", str(landing), "--store", store, "--mode", "exact",
+            "--scan-period", "0.1", "--num-cpus", "4"]
+    lines = _run_cli([*base, "--max-ticks", "2"])
+    assert lines[0]["assignments"] == 3 and lines[0]["store_tick"] == 1
+
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([10, 11], pa.int64()),
+            "text": pa.array(["alpha one", "fresh text"]),
+        }),
+        landing / "b2.parquet",
+    )
+    lines = _run_cli(
+        [*base, "--max-ticks", "2", "--idle-exit", "2",
+         "--store-ttl-ticks", "100", "--compact-every", "1"]
+    )
+    # only b2 applied (seen-set resumed across processes)
+    assert lines[0]["applied_files"] == 1
+    assert lines[0]["assignments"] == 5 and lines[0]["store_tick"] == 2
+    assert lines[-1]["compacted"] >= 1  # compaction ran in the loop
+
+    import ray
+
+    from beamium_ray.datapipe.incdedup import IncrementalExactDedup
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    dd = IncrementalExactDedup(store)
+    got = sorted(
+        (r["doc_id"], r["cluster"]) for r in dd.assignments().take_all()
+    )
+    assert got == [(1, 1), (2, 2), (3, 1), (10, 1), (11, 11)]
+
+
+def test_dedup_watch_appender_receives_files(ray_session, tmp_path):
+    """DirectoryWatcher dispatches by appender arity: a two-parameter
+    appender receives the file batch (the idempotence-key hook); a
+    one-parameter appender keeps the old contract."""
+    import ray.data
+
+    from beamium_ray.config import EngineConfig
+    from beamium_ray.pipelines.watch import DirectoryWatcher
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array(["x"])}),
+        landing / "a.parquet",
+    )
+    seen_calls = []
+
+    def two_arg(ds, files):
+        seen_calls.append(("two", sorted(files), ds.count()))
+        return {"ok": True}
+
+    w = DirectoryWatcher(
+        str(landing), EngineConfig(), str(tmp_path / "s1"),
+        file_extension="parquet",
+        loader=lambda files: ray.data.read_parquet(files),
+        appender=two_arg,
+    )
+    res = w.tick()
+    assert res["run"] == {"ok": True}
+    assert seen_calls == [
+        ("two", [str(landing / "a.parquet")], 1)
+    ]
+
+    def one_arg(ds):
+        seen_calls.append(("one", ds.count()))
+        return {"ok": 1}
+
+    w2 = DirectoryWatcher(
+        str(landing), EngineConfig(), str(tmp_path / "s2"),
+        file_extension="parquet",
+        loader=lambda files: ray.data.read_parquet(files),
+        appender=one_arg,
+    )
+    assert w2.tick()["run"] == {"ok": 1}
+    assert seen_calls[-1] == ("one", 1)
+
+
+@pytest.mark.slow
+def test_dedup_watch_cli_span_output(tmp_path):
+    """Span mode lands the CLEANED batch under --output/shard=<fp>/;
+    a duplicate window straddling two ticks is removed in tick 2."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "clean")
+    store = str(tmp_path / "store")
+    rng = np.random.default_rng(7)
+    copied = rng.integers(0, 1000, 60, dtype=np.int64).tolist()
+
+    def toks(prefix, tail):
+        return pa.array([prefix + tail], pa.list_(pa.int32()))
+
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([1], pa.int64()),
+            "tokens": toks(copied, rng.integers(
+                1000, 2000, 40, dtype=np.int64).tolist()),
+        }),
+        landing / "b1.parquet",
+    )
+    base = ["--input", str(landing), "--store", store, "--mode", "span",
+            "--output", out, "--window", "50",
+            "--scan-period", "0.1", "--num-cpus", "4"]
+    lines = _run_cli([*base, "--max-ticks", "1"])
+    assert lines[0]["rows_out"] == 1
+
+    # tick 2 carries the SAME leading 60 tokens → its windows are
+    # committed duplicates and get removed
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([2], pa.int64()),
+            "tokens": toks(copied, rng.integers(
+                2000, 3000, 40, dtype=np.int64).tolist()),
+        }),
+        landing / "b2.parquet",
+    )
+    lines = _run_cli([*base, "--max-ticks", "1"])
+    assert lines[0]["rows_out"] == 1
+    shard = lines[0]["output"]
+    t = pq.read_table(
+        [os.path.join(shard, f) for f in os.listdir(shard)
+         if f.endswith(".parquet")]
+    )
+    assert t.num_rows == 1
+    assert t["n_removed"][0].as_py() > 0  # the straddling copy removed
+    assert len(t["tokens"][0].as_py()) < 100
