@@ -126,6 +126,94 @@ def test_dedup_watch_appender_receives_files(ray_session, tmp_path):
 
 
 @pytest.mark.slow
+def test_dedup_watch_sigkill_heals_exactly_once(tmp_path):
+    """Kill the real daemon mid-tick (pending written, store writes
+    possibly in flight), restart to heal, and assert the assignments
+    equal a never-killed twin over the same landing dir — the
+    batch_key no-op replay contract at process level."""
+    import random
+    import signal
+    import time as _time
+
+    rng = random.Random(0xDEDD)
+
+    def spawn(landing, store):
+        return subprocess.Popen(
+            [sys.executable, "-m", "beamium_ray.run_dedup_watch",
+             "--input", str(landing), "--store", store, "--mode", "exact",
+             "--scan-period", "0.1", "--max-ticks", "2",
+             "--num-cpus", "4"],
+            env={**os.environ, "PYTHONPATH": REPO}, cwd=REPO,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+
+    def batch(landing, i):
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(range(i * 10, i * 10 + 6), pa.int64()),
+                "text": pa.array(
+                    [f"doc {j % 3} of batch {i if j < 3 else 0}"
+                     for j in range(6)]
+                ),
+            }),
+            landing / f"b{i}.parquet",
+        )
+
+    landing_k = tmp_path / "lk"
+    landing_c = tmp_path / "lc"
+    landing_k.mkdir(), landing_c.mkdir()
+    store_k = str(tmp_path / "sk")
+    store_c = str(tmp_path / "sc")
+
+    kills = 0
+    for i in range(2):
+        batch(landing_k, i), batch(landing_c, i)
+        p = spawn(landing_k, store_k)
+        state = os.path.join(store_k, "_run", "watch.json")
+        deadline = _time.time() + 120
+        while _time.time() < deadline and p.poll() is None:
+            pending = False
+            if os.path.exists(state):
+                try:
+                    pending = json.load(open(state)).get("pending") is not None
+                except (json.JSONDecodeError, OSError):
+                    pending = True
+            if pending:
+                _time.sleep(rng.uniform(0.0, 1.0))
+                break
+            _time.sleep(0.02)
+        if p.poll() is None:
+            p.send_signal(signal.SIGKILL)
+            p.wait()
+            kills += 1
+        _run_cli(["--input", str(landing_k), "--store", store_k,
+                  "--mode", "exact", "--scan-period", "0.1",
+                  "--max-ticks", "2", "--num-cpus", "4"])  # heal
+        _run_cli(["--input", str(landing_c), "--store", store_c,
+                  "--mode", "exact", "--scan-period", "0.1",
+                  "--max-ticks", "2", "--num-cpus", "4"])  # clean twin
+    assert kills >= 1, "no kill landed mid-flight; widen the window"
+
+    import ray
+
+    from beamium_ray.datapipe.incdedup import IncrementalExactDedup
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+
+    def asn(store):
+        dd = IncrementalExactDedup(store)
+        return sorted(
+            (r["doc_id"], r["cluster"])
+            for r in dd.assignments().take_all()
+        )
+
+    got, want = asn(store_k), asn(store_c)
+    assert got == want and len(got) == 12
+
+
+@pytest.mark.slow
 def test_dedup_watch_cli_span_output(tmp_path):
     """Span mode lands the CLEANED batch under --output/shard=<fp>/;
     a duplicate window straddling two ticks is removed in tick 2."""
