@@ -65,6 +65,19 @@ def metrics_datapoints(files: list[str], cfg: EngineConfig,
     return dp.map_batches(key, batch_format="pyarrow", batch_size=None)
 
 
+class FileBatch(list):
+    """The file list handed to two-parameter appenders, carrying the
+    INTENT-TIME batch fingerprint from the watcher's pending record.
+    Appenders must derive their idempotence key from this fingerprint
+    (not recompute it from the files): a producer touching a pending
+    file between the intent write and the append would otherwise key
+    the store commit differently from the pending record, and the
+    crash-replay fingerprint check could then re-ingest an
+    already-committed batch."""
+
+    fingerprint: str | None = None
+
+
 class DirectoryWatcher:
     """One watched spool directory → incremental rollup blocks.
 
@@ -275,7 +288,9 @@ class DirectoryWatcher:
                     "the changed files aside and reset 'pending' by "
                     "hand after auditing the store."
                 )
-            run = self._append(files)
+            fb = FileBatch(files)
+            fb.fingerprint = want_fp or have_fp
+            run = self._append(fb)
             self._promote(st, files)
             replayed = files
 
@@ -288,7 +303,9 @@ class DirectoryWatcher:
                 "fingerprint": input_fingerprint(new),
             }
             self._save_state(st)  # intent BEFORE side effects
-            run = self._append(new)
+            fb = FileBatch(new)
+            fb.fingerprint = st["pending"]["fingerprint"]
+            run = self._append(fb)
             self._promote(st, new)
             applied = new
         if self.seen_prune and self._prune_seen(st):
@@ -365,15 +382,27 @@ class DirectoryWatcher:
     def _append(self, files: list[str]) -> dict:
         dp = self.loader(files)
         if self.appender is not None:
-            # two-parameter appenders also receive the FILE BATCH so
-            # they can derive an idempotence key (e.g. the incremental
+            # two-parameter appenders also receive the FILE BATCH (a
+            # FileBatch carrying the intent-time fingerprint) so they
+            # can derive an idempotence key (e.g. the incremental
             # dedup stores' batch_key) — decided by signature, not by
             # catching TypeError (which would mask appender-internal
-            # TypeErrors as arity fallbacks)
+            # TypeErrors as arity fallbacks). Only REQUIRED positional
+            # parameters count: `def appender(ds, log=None)` keeps the
+            # one-arg contract (binding the file list into an optional
+            # param would silently corrupt it).
             import inspect
 
             try:
-                n = len(inspect.signature(self.appender).parameters)
+                n = sum(
+                    1
+                    for p in inspect.signature(
+                        self.appender
+                    ).parameters.values()
+                    if p.kind in (p.POSITIONAL_ONLY,
+                                  p.POSITIONAL_OR_KEYWORD)
+                    and p.default is p.empty
+                )
             except (TypeError, ValueError):
                 n = 1
             if n >= 2:
@@ -392,17 +421,22 @@ class DirectoryWatcher:
         scan_period_s: float = 10.0,
         max_ticks: int | None = None,
         idle_exit: int | None = None,
+        on_tick=None,
     ) -> dict:
         """Tick every ``scan_period_s`` (the reference's ``scan-period``,
         ``src/conf.rs:122``) until ``max_ticks`` ticks ran or
         ``idle_exit`` consecutive empty scans (None = run forever).
-        Returns the last non-None run manifest."""
+        ``on_tick(res, ticks)`` runs after every tick (CLIs hook
+        per-tick printing / store lifecycle here instead of cloning
+        this loop). Returns the last non-None run manifest."""
         last_run = None
         idle = 0
         ticks = 0
         while True:
             res = self.tick()
             ticks += 1
+            if on_tick is not None:
+                on_tick(res, ticks)
             if res["run"] is not None:
                 last_run = res["run"]
                 idle = 0

@@ -35,6 +35,46 @@ import json
 import sys
 
 
+def _semantic_params(args) -> dict:
+    """The store-committed dedup parameters: a restart with DIFFERENT
+    values would silently mix incompatible semantics into one durable
+    store (a span store with mixed window widths stops matching; a
+    threshold change can't un-merge committed clusters), so they are
+    recorded at first run and verified on every restart — the same
+    refusal the watcher's hot reload and run_clean --shards apply."""
+    keep = {
+        "exact": ("mode", "text_col", "id_col"),
+        "minhash": ("mode", "text_col", "id_col", "threshold"),
+        "semantic": ("mode", "vec_col", "id_col", "threshold"),
+        "span": ("mode", "tokens_col", "id_col", "window"),
+    }[args.mode]
+    return {k: getattr(args, k) for k in keep}
+
+
+def _check_store_params(args) -> None:
+    import os
+
+    from beamium_ray.state.manifest import atomic_write_bytes
+
+    want = _semantic_params(args)
+    p = os.path.join(args.store, "_cli.json")
+    if os.path.exists(p):
+        try:
+            have = json.load(open(p))
+        except (json.JSONDecodeError, OSError):
+            have = None
+        if have != want:
+            raise SystemExit(
+                f"config error: store {args.store!r} was committed with "
+                f"{have} but this run has {want} — restarting with "
+                "different dedup semantics would corrupt the durable "
+                "store; use a fresh --store (or restore the original "
+                "parameters)"
+            )
+    else:
+        atomic_write_bytes(p, json.dumps(want, sort_keys=True).encode())
+
+
 def _build(args):
     from beamium_ray.datapipe.incdedup import (
         IncrementalExactDedup,
@@ -83,7 +123,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--vec-col", default="embedding")
     ap.add_argument("--tokens-col", default="tokens")
-    ap.add_argument("--threshold", type=float, default=0.8)
+    # None = the mode's own library default (minhash 0.8, semantic
+    # 0.95) — one shared CLI default would silently override SemDeDup's
+    # 0.95 contract and bake the wrong threshold into the store forever
+    ap.add_argument("--threshold", type=float, default=None)
     ap.add_argument("--window", type=int, default=50)
     ap.add_argument("--scan-period", type=float, default=10.0)
     ap.add_argument("--max-ticks", type=int, default=None)
@@ -98,9 +141,33 @@ def main(argv: list[str] | None = None) -> int:
                     help="compact the store every K committed ticks")
     ap.add_argument("--num-cpus", type=int, default=None)
     args = ap.parse_args(argv)
+    if args.threshold is None:
+        args.threshold = {"minhash": 0.8, "semantic": 0.95}.get(
+            args.mode, 0.8
+        )
     if args.mode == "span" and not args.output:
         print("config error: span mode needs --output for the cleaned "
               "batches", file=sys.stderr)
+        return 2
+    # the scan is a recursive *.parquet glob: a store/output nested
+    # under --input would be re-ingested as fresh batches every tick —
+    # a self-ingestion feedback loop
+    import os
+
+    inp_real = os.path.realpath(args.input)
+    for name, path in (("--store", args.store), ("--output", args.output)):
+        if path and os.path.commonpath(
+            [os.path.realpath(path), inp_real]
+        ) == inp_real:
+            print(f"config error: {name} {path!r} is inside --input "
+                  f"{args.input!r}; the daemon would re-ingest its own "
+                  "files — point it outside the landing dir",
+                  file=sys.stderr)
+            return 2
+    try:
+        _check_store_params(args)
+    except SystemExit as ex:
+        print(ex, file=sys.stderr)
         return 2
 
     import ray
@@ -122,11 +189,16 @@ def main(argv: list[str] | None = None) -> int:
     dd = _build(args)
 
     def appender(ds, files):
-        key = input_fingerprint(files)
+        # the INTENT-TIME fingerprint from the watcher's pending record
+        # (FileBatch) — recomputing from the files could diverge if a
+        # producer touched one in the intent→append window, and a crash
+        # replay would then re-ingest the committed batch
+        key = getattr(files, "fingerprint", None) or input_fingerprint(
+            files
+        )
         out = dd.tick(ds, batch_key=key)
         run = {"batch_key": key}
         if args.mode == "span":
-            import os
             import shutil
 
             sdir = os.path.join(args.output, f"shard={key}")
@@ -140,9 +212,11 @@ def main(argv: list[str] | None = None) -> int:
             )
             run["output"] = sdir
         else:
-            run["assignments"] = out.count()
-        man = dd._manifest()
-        run["store_tick"] = man.get("tick")
+            # assignments() is None before the first manifest commit
+            # (e.g. a zero-row first batch): 0, not a crash that would
+            # wedge the pending record permanently
+            run["assignments"] = 0 if out is None else out.count()
+        run["store_tick"] = dd._manifest().get("tick")
         return run
 
     w = DirectoryWatcher(
@@ -155,39 +229,34 @@ def main(argv: list[str] | None = None) -> int:
         seen_prune=args.seen_prune,
     )
 
-    import time
-
-    ticks = 0
-    idle = 0
     skip_totals = {"files_ttl_evicted": 0, "compacted": 0}
-    while True:
-        res = w.tick()
-        ticks += 1
-        if res["applied"] or res["replayed"]:
-            idle = 0
-            if args.store_ttl_ticks is not None:
-                gc = dd.retention(max_ticks=args.store_ttl_ticks)
-                skip_totals["files_ttl_evicted"] += gc.get(
-                    "files_deleted", 0
-                )
-            tick_no = dd._manifest().get("tick") or 0
-            if args.compact_every and tick_no and (
-                tick_no % args.compact_every == 0
-            ):
-                skip_totals["compacted"] += dd.compact()
-            print(json.dumps({"tick": ticks, **res["run"],
-                              "applied_files": len(res["applied"]),
-                              "replayed_files": len(res["replayed"])}))
-            sys.stdout.flush()
-        else:
-            idle += 1
-            if args.idle_exit is not None and idle >= args.idle_exit:
-                break
-        if args.max_ticks is not None and ticks >= args.max_ticks:
-            break
-        time.sleep(args.scan_period)
 
-    print(json.dumps({"ticks": ticks, "mode": args.mode, **skip_totals}))
+    def on_tick(res, ticks):
+        # store lifecycle + per-tick reporting ride DirectoryWatcher's
+        # own loop (one loop, not a CLI clone of it)
+        if not (res["applied"] or res["replayed"]):
+            return
+        if args.store_ttl_ticks is not None:
+            gc = dd.retention(max_ticks=args.store_ttl_ticks)
+            skip_totals["files_ttl_evicted"] += gc.get("files_deleted", 0)
+        tick_no = dd._manifest().get("tick") or 0
+        if args.compact_every and tick_no and (
+            tick_no % args.compact_every == 0
+        ):
+            skip_totals["compacted"] += dd.compact()
+        print(json.dumps({"tick": ticks, **res["run"],
+                          "applied_files": len(res["applied"]),
+                          "replayed_files": len(res["replayed"])}))
+        sys.stdout.flush()
+
+    summary = w.run(
+        scan_period_s=args.scan_period,
+        max_ticks=args.max_ticks,
+        idle_exit=args.idle_exit,
+        on_tick=on_tick,
+    )
+    print(json.dumps({"ticks": summary["ticks"], "mode": args.mode,
+                      **skip_totals}))
     ray.shutdown()
     return 0
 

@@ -126,6 +126,64 @@ def test_dedup_watch_appender_receives_files(ray_session, tmp_path):
 
 
 @pytest.mark.slow
+def test_dedup_watch_guards_and_empty_first_batch(tmp_path):
+    """CLI guards: nested store/output refused, restart with changed
+    dedup params refused, semantic threshold defaults to the library's
+    0.95; a ZERO-ROW first batch must not wedge the pending record."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    store = str(tmp_path / "store")
+
+    def run_raw(extra, store_dir=store):
+        return subprocess.run(
+            [sys.executable, "-m", "beamium_ray.run_dedup_watch",
+             "--input", str(landing), "--store", store_dir,
+             "--scan-period", "0.1", "--num-cpus", "4", *extra],
+            env={**os.environ, "PYTHONPATH": REPO},
+            capture_output=True, text=True, timeout=180, cwd=REPO,
+        )
+
+    # store nested under the landing dir: self-ingestion loop refused
+    p = run_raw(["--mode", "exact", "--max-ticks", "1"],
+                store_dir=str(landing / "store"))
+    assert p.returncode == 2 and "re-ingest" in p.stderr
+
+    # empty (0-row, valid schema) FIRST batch: promoted, not a wedge
+    pq.write_table(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())}),
+        landing / "empty.parquet",
+    )
+    lines = _run_cli(["--input", str(landing), "--store", store,
+                      "--mode", "exact", "--scan-period", "0.1",
+                      "--max-ticks", "1", "--num-cpus", "4"])
+    assert lines[0]["assignments"] == 0
+    # and the next run ingests fresh data normally (no pending replay)
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array(["x"])}),
+        landing / "b1.parquet",
+    )
+    lines = _run_cli(["--input", str(landing), "--store", store,
+                      "--mode", "exact", "--scan-period", "0.1",
+                      "--max-ticks", "1", "--num-cpus", "4"])
+    assert lines[0]["assignments"] == 1
+    assert lines[0]["replayed_files"] == 0
+
+    # restart with a different id-col: refused before touching the store
+    p = run_raw(["--mode", "exact", "--id-col", "other", "--max-ticks",
+                 "1"])
+    assert p.returncode == 2 and "different dedup semantics" in p.stderr
+
+    # semantic mode records the library default threshold 0.95
+    sem_store = str(tmp_path / "sem")
+    run_raw(["--mode", "semantic", "--max-ticks", "1", "--idle-exit",
+             "1"], store_dir=sem_store)
+    rec = json.load(open(os.path.join(sem_store, "_cli.json")))
+    assert rec["threshold"] == 0.95 and rec["mode"] == "semantic"
+
+
+@pytest.mark.slow
 def test_dedup_watch_sigkill_heals_exactly_once(tmp_path):
     """Kill the real daemon mid-tick (pending written, store writes
     possibly in flight), restart to heal, and assert the assignments
