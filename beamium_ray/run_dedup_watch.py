@@ -140,6 +140,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--compact-every", type=int, default=None,
                     help="compact the store every K committed ticks")
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--metrics-addr", default=None,
+                    help="host:port for a live /metrics endpoint "
+                         "(Prometheus text, like run_watch)")
     args = ap.parse_args(argv)
     if args.threshold is None:
         args.threshold = {"minhash": 0.8, "semantic": 0.95}.get(
@@ -230,12 +233,45 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     skip_totals = {"files_ttl_evicted": 0, "compacted": 0}
+    live = {"ticks": 0, "files_applied": 0}
+
+    server = None
+    if args.metrics_addr:
+        import glob as _glob
+
+        from beamium_ray.state.metrics_server import (
+            MetricsServer,
+            with_reference_aliases,
+        )
+
+        def provider():
+            vals = {"watch_ticks": live["ticks"],
+                    "dedup_files_applied": live["files_applied"],
+                    "store_files_ttl_evicted":
+                        skip_totals["files_ttl_evicted"],
+                    "store_files_compacted": skip_totals["compacted"]}
+            # the reference's beamium_directory_files{directory} gauge
+            n = len(_glob.glob(
+                os.path.join(args.input, "**", "*.parquet"),
+                recursive=True,
+            ))
+            vals[f'directory_files{{directory="{args.input}"}}'] = n
+            return with_reference_aliases(vals)
+
+        host, _, port = args.metrics_addr.partition(":")
+        server = MetricsServer(provider, host or "127.0.0.1",
+                               int(port or 0)).start()
+        print(json.dumps({"metrics_url":
+                          f"http://{server.host}:{server.port}/metrics"}))
+        sys.stdout.flush()
 
     def on_tick(res, ticks):
         # store lifecycle + per-tick reporting ride DirectoryWatcher's
         # own loop (one loop, not a CLI clone of it)
+        live["ticks"] = ticks
         if not (res["applied"] or res["replayed"]):
             return
+        live["files_applied"] += len(res["applied"]) + len(res["replayed"])
         if args.store_ttl_ticks is not None:
             gc = dd.retention(max_ticks=args.store_ttl_ticks)
             skip_totals["files_ttl_evicted"] += gc.get("files_deleted", 0)
@@ -257,6 +293,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     print(json.dumps({"ticks": summary["ticks"], "mode": args.mode,
                       **skip_totals}))
+    if server is not None:
+        server.close()
     ray.shutdown()
     return 0
 

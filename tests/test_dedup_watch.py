@@ -272,6 +272,50 @@ def test_dedup_watch_sigkill_heals_exactly_once(tmp_path):
 
 
 @pytest.mark.slow
+def test_dedup_watch_metrics_endpoint(tmp_path):
+    """--metrics-addr serves live counters (and the reference's
+    directory_files gauge) while the daemon runs."""
+    import time
+    import urllib.request
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["a doc", "a doc"])}),
+        landing / "b1.parquet",
+    )
+    p = subprocess.Popen(
+        [sys.executable, "-m", "beamium_ray.run_dedup_watch",
+         "--input", str(landing), "--store", str(tmp_path / "store"),
+         "--mode", "exact", "--scan-period", "0.5", "--max-ticks", "60",
+         "--num-cpus", "4", "--metrics-addr", "127.0.0.1:0"],
+        env={**os.environ, "PYTHONPATH": REPO}, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    try:
+        url = None
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            line = p.stdout.readline()
+            if not line:
+                time.sleep(0.1)
+                continue
+            d = json.loads(line)
+            url = d.get("metrics_url", url)
+            if d.get("tick"):
+                break
+        assert url, "daemon never announced its metrics url"
+        body = urllib.request.urlopen(url, timeout=10).read().decode()
+    finally:
+        p.kill()
+        p.wait()
+    assert "beamium_dedup_files_applied 1" in body
+    assert "beamium_watch_ticks" in body
+    assert 'beamium_directory_files{directory=' in body  # ref gauge
+
+
+@pytest.mark.slow
 def test_dedup_watch_cli_span_output(tmp_path):
     """Span mode lands the CLEANED batch under --output/shard=<fp>/;
     a duplicate window straddling two ticks is removed in tick 2."""
